@@ -1,0 +1,65 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once warm-up free at the target scale factor on a
+single local session; timing is wall-clock of the full action (plan + exec +
+collect-to-count).  ``SPARK_GRAFT_BENCH_ALL=1`` times every registered query
+instead of just the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from worker_etl_spark.queries import load_all  # noqa: E402
+from worker_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL", "") == "1"
+    registry = load_all()
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session bootstrap.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in registry.items():
+        if not (bench_all or spec.headline):
+            continue
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Single place that encodes the engine's Spark runtime posture:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing) —
+  this is what lets the same declarative plans survive a 100×-1000× scale-up
+  without hand-retuning every shuffle;
+- shuffle partitions sized to cores for local mode (the 200 default is wrong
+  in both directions — over-parallelized locally, under-parallelized on a
+  real 100 TB cluster where AQE coalescing takes over);
+- Arrow enabled so the few Pandas-UDF operators (grid detection, Excel
+  decode, multimodal feature extraction) move batches, not rows;
+- session timezone pinned to UTC so timestamp semantics match the DuckDB
+  correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "worker_etl_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession."""
+    if cpus is None:
+        cpus = int(os.getenv("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.getenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", driver_memory or os.getenv("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Read the driver's parquet tables from *sf_dir* into a dict of DataFrames.
+
+    Plain ``spark.read.parquet`` — columnar scan with predicate pushdown and
+    column pruning handled by Catalyst downstream.
+    """
+    all_names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out

@@ -1,0 +1,45 @@
+"""Typed parquet table source (reference S4, ``etl.py:541-543``).
+
+Parquet is the engine's native columnar path: Catalyst pushes predicates and
+prunes columns into the scan, so every downstream query only reads the bytes
+it needs — the property that matters most at 100 TB.
+
+One quirk handled here: the driver's ``events`` table is written with
+``TIMESTAMP(NANOS)``, which vanilla Spark refuses to read
+([PARQUET_TYPE_ILLEGAL]).  We flip the runtime conf
+``spark.sql.legacy.parquet.nanosAsLong`` and convert the raw nanosecond longs
+to microsecond timestamps with integer arithmetic (``DIV 1000`` — never
+float division: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 integer range).
+This matches DuckDB's read of the same file (truncation to µs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver's parquet tables with schema normalization."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    out = {}
+    for name in names or ALL_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            out[name] = read_table(spark, sf_dir, name)
+    return out
