@@ -1,0 +1,362 @@
+"""Schema inference & coercion operators (reference SURVEY.md §2 A.4: I1-I7).
+
+The reference infers a column's logical type by attempting pandas conversions
+over EVERY row, with a precedence chain full of deliberate quirks
+(``infer_schema_pandas``, ``etl.py:851-924``):
+
+    int → float → datetime (guarded: skipped when every cell is all-digits,
+    so IDs/ZIPs stay numeric, ``etl.py:884``) → boolean-token-set → string
+
+and notably 0/1 columns become INTEGER (int wins before the boolean check,
+``etl.py:864-871``) and "1.0"-style strings become INTEGER (pandas safe-casts
+integral floats).
+
+Spark-first re-expression: ONE aggregate pass computes, for all columns at
+once, the ``try_cast`` success counters the precedence needs — a single
+column-pruned, whole-stage-codegen'd scan instead of pandas' N per-column
+passes.  At 100 TB this is the difference between one job and dozens; the
+counters are also partial-aggregatable so the scan combines map-side.
+
+Coercion (``align_dataframe_to_schema``, ``etl.py:1012-1152``) becomes a
+single projection of ``try_cast``-style expressions: bad cell → NULL, never a
+row failure.  One documented divergence: for INTEGER targets the reference
+coerces per-cell but bails out on the whole column if any value is a
+non-integral float (the ``astype('Int64')`` exception path,
+``etl.py:1073-1075, 1137-1144``); this engine nulls just the offending cell,
+which is the behavior the coercion contract describes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from worker_etl_spark.config import BOOL_FALSE_TOKENS, BOOL_TRUE_TOKENS
+
+#: Accepted logical types (the reference's validation whitelist, etl.py:793-797).
+TYPE_WHITELIST = frozenset(
+    {
+        "STRING", "BYTES", "INTEGER", "INT64", "FLOAT", "FLOAT64", "NUMERIC",
+        "BIGNUMERIC", "BOOLEAN", "BOOL", "TIMESTAMP", "DATE", "TIME",
+        "DATETIME", "GEOGRAPHY", "JSON", "INTERVAL",
+    }
+)
+
+#: logical type → Spark type (SURVEY.md §1.3 mapping).
+LOGICAL_TO_SPARK: dict[str, T.DataType] = {
+    "STRING": T.StringType(),
+    "BYTES": T.BinaryType(),
+    "INTEGER": T.LongType(),
+    "INT64": T.LongType(),
+    "FLOAT": T.DoubleType(),
+    "FLOAT64": T.DoubleType(),
+    "NUMERIC": T.DecimalType(38, 9),
+    "BIGNUMERIC": T.DecimalType(38, 9),
+    "BOOLEAN": T.BooleanType(),
+    "BOOL": T.BooleanType(),
+    "TIMESTAMP": T.TimestampType(),
+    "DATETIME": T.TimestampNTZType(),
+    "DATE": T.DateType(),
+    "TIME": T.StringType(),  # Spark has no TimeType; normalized HH:mm:ss strings
+    "JSON": T.StringType(),
+    "GEOGRAPHY": T.StringType(),  # WKT passthrough
+    "INTERVAL": T.DayTimeIntervalType(),
+}
+
+_BOOL_TOKENS = tuple(BOOL_TRUE_TOKENS) + tuple(BOOL_FALSE_TOKENS)
+
+# 2^63 expressed as the nearest double below it — integral-double → long guard.
+_LONG_RANGE = 9.2e18
+
+
+def spark_type_to_logical(dt: T.DataType) -> str:
+    """Typed-column → logical type (the reference's dtype map, etl.py:226-233)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "INTEGER"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "FLOAT"
+    if isinstance(dt, T.DecimalType):
+        return "NUMERIC"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.TimestampNTZType):
+        return "DATETIME"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.DayTimeIntervalType):
+        return "INTERVAL"
+    if isinstance(dt, T.BinaryType):
+        return "BYTES"
+    return "STRING"
+
+
+@dataclass
+class ColumnStats:
+    """try_cast success counters for one string column (one scan, all columns)."""
+
+    total: int
+    non_null: int
+    num_ok: int
+    int_ok: int
+    digits: int
+    ts_ok: int
+    bool_ok: int
+
+    def decide(self) -> str:
+        """Reference precedence (etl.py:860-913) over the counters."""
+        n = self.non_null
+        if n == 0:
+            return "STRING"  # fully-null stays object → STRING
+        if self.num_ok == n and self.int_ok == n:
+            return "INTEGER"
+        if self.num_ok == n:
+            return "FLOAT"
+        # datetime guard: skipped when EVERY row (nulls render as 'nan' in the
+        # reference and fail the digit regex, so any null disables the guard)
+        # is an all-digit string (etl.py:884).
+        if self.digits < self.total and self.ts_ok == n:
+            return "TIMESTAMP"
+        if self.bool_ok == n:
+            return "BOOLEAN"
+        return "STRING"
+
+
+def _counter_exprs(c: str) -> list[Column]:
+    col = F.col(f"`{c}`")
+    d = col.try_cast("double")
+    integral = d.isNotNull() & ~F.isnan(d) & (d == F.floor(d))
+    return [
+        F.count(col).alias(f"{c}\x00nn"),
+        F.count(d).alias(f"{c}\x00num"),
+        F.sum(integral.cast("long")).alias(f"{c}\x00int"),
+        F.sum(col.rlike(r"^\d+$").cast("long")).alias(f"{c}\x00dig"),
+        F.count(F.try_to_timestamp(col)).alias(f"{c}\x00ts"),
+        F.sum(F.lower(col).isin(*_BOOL_TOKENS).cast("long")).alias(f"{c}\x00bool"),
+    ]
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None) -> dict[str, ColumnStats]:
+    """One aggregate job → counters for every string column."""
+    str_cols = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    ]
+    if not str_cols:
+        return {}
+    exprs = [F.count(F.lit(1)).alias("\x00total")]
+    for c in str_cols:
+        exprs.extend(_counter_exprs(c))
+    row = df.agg(*exprs).first()
+    total = row["\x00total"]
+
+    def g(c: str, k: str) -> int:
+        v = row[f"{c}\x00{k}"]
+        return int(v) if v is not None else 0
+
+    return {
+        c: ColumnStats(
+            total=total,
+            non_null=g(c, "nn"),
+            num_ok=g(c, "num"),
+            int_ok=g(c, "int"),
+            digits=g(c, "dig"),
+            ts_ok=g(c, "ts"),
+            bool_ok=g(c, "bool"),
+        )
+        for c in str_cols
+    }
+
+
+def infer_schema(df: DataFrame) -> list[dict]:
+    """I4: ``[{'name', 'type'}]`` for every column, reference precedence.
+
+    String columns go through the counter scan; already-typed columns map
+    directly (parquet is the reference's only typed read, etl.py:541-543).
+    """
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    stats = column_stats(df, str_cols)
+    out = []
+    for f in df.schema.fields:
+        if f.name in stats:
+            out.append({"name": f.name, "type": stats[f.name].decide()})
+        else:
+            out.append({"name": f.name, "type": spark_type_to_logical(f.dataType)})
+    return out
+
+
+# --- I6: coercive cast expressions ------------------------------------------------
+def coerce_expr(col: Column, logical_type: str) -> Column:
+    """Cast *col* to *logical_type* with coerce semantics (bad cell → NULL).
+
+    Mirrors the reference cast table (etl.py:1053-1152): boolean token map
+    incl. null-ish tokens, timestamps via permissive parse, TIME as HH:mm:ss
+    strings (Spark has no TimeType — documented divergence), BYTES degrades
+    to STRING exactly like the reference (etl.py:1115-1117); GEOGRAPHY /
+    INTERVAL have no cast path and pass through unchanged (etl.py:1129-1134).
+    """
+    t = logical_type.upper()
+    s = col.cast("string")
+    if t in ("INTEGER", "INT64"):
+        d = s.try_cast("double")
+        return F.when(
+            d.isNotNull() & ~F.isnan(d) & (d == F.floor(d)) & (F.abs(d) < _LONG_RANGE),
+            d.cast("long"),
+        )
+    if t in ("FLOAT", "FLOAT64"):
+        return s.try_cast("double")
+    if t in ("NUMERIC", "BIGNUMERIC"):
+        return s.try_cast("decimal(38,9)")
+    if t in ("BOOLEAN", "BOOL"):
+        low = F.lower(F.regexp_replace(s, r"^\s+|\s+$", ""))
+        return (
+            F.when(low.isin(*BOOL_TRUE_TOKENS), F.lit(True))
+            .when(low.isin(*BOOL_FALSE_TOKENS), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+    if t == "TIMESTAMP":
+        return F.try_to_timestamp(s)
+    if t == "DATETIME":
+        return F.try_to_timestamp(s).cast("timestamp_ntz")
+    if t == "DATE":
+        return F.try_to_timestamp(s).cast("date")
+    if t == "TIME":
+        # normalized HH:mm:ss string (divergence from etl.py:1104-1107 noted
+        # in SURVEY §7: Spark has no TimeType)
+        return F.date_format(
+            F.try_to_timestamp(F.concat(F.lit("1970-01-01 "), s)), "HH:mm:ss"
+        )
+    if t in ("STRING", "JSON", "BYTES"):
+        return s
+    return col  # GEOGRAPHY / INTERVAL: no cast path in the reference either
+
+
+# --- I5 + I6: alignment projection -------------------------------------------------
+def align_to_schema(df: DataFrame, schema_list: list[dict]) -> DataFrame:
+    """Column-level alignment + cell-level coercion as ONE projection.
+
+    Reference does three pandas passes (drop extras etl.py:1033-1037, add
+    NULL columns etl.py:1039-1044, reorder etl.py:1046-1049) plus a per-column
+    conversion loop; declaratively it's a single ``select`` that Catalyst
+    fuses into the scan.
+    """
+    if not schema_list:
+        raise ValueError("Schema list cannot be empty for alignment.")
+    have = set(df.columns)
+    proj = []
+    for field in schema_list:
+        name, t = field["name"], field["type"].upper()
+        if name in have:
+            proj.append(coerce_expr(F.col(f"`{name}`"), t).alias(name))
+        else:
+            proj.append(F.lit(None).cast(LOGICAL_TO_SPARK.get(t, T.StringType())).alias(name))
+    return df.select(*proj)
+
+
+def coercion_metrics(df: DataFrame, schema_list: list[dict]) -> list[dict]:
+    """I7: per-column new-NULL counts introduced by coercion, in one scan.
+
+    Reference warns when a cast adds >10% (and >5 absolute) new NULLs
+    (etl.py:1121-1126).  Returns ``[{'name','original_nulls','new_nulls',
+    'rows','warn'}]``.
+    """
+    have = [f for f in schema_list if f["name"] in set(df.columns)]
+    if not have:
+        return []
+    exprs = [F.count(F.lit(1)).alias("\x00rows")]
+    for f in have:
+        c = F.col(f"`{f['name']}`")
+        coerced = coerce_expr(c, f["type"])
+        exprs.append(F.sum(c.isNull().cast("long")).alias(f"{f['name']}\x00orig"))
+        exprs.append(
+            F.sum((c.isNotNull() & coerced.isNull()).cast("long")).alias(
+                f"{f['name']}\x00new"
+            )
+        )
+    row = df.agg(*exprs).first()
+    rows = row["\x00rows"]
+    out = []
+    for f in have:
+        orig = int(row[f"{f['name']}\x00orig"] or 0)
+        new = int(row[f"{f['name']}\x00new"] or 0)
+        warn = new > 0.1 * (rows - orig) and new > 5
+        out.append(
+            {"name": f["name"], "original_nulls": orig, "new_nulls": new,
+             "rows": rows, "warn": warn}
+        )
+    return out
+
+
+# --- I1/I2: strategy chain ----------------------------------------------------------
+def get_existing_schema(spark, table_ident: str) -> list[dict] | None:
+    """I2: catalog lookup → logical schema list, None when absent."""
+    try:
+        if not spark.catalog.tableExists(table_ident):
+            return None
+    except Exception:  # noqa: BLE001 — malformed identifier behaves like absent
+        return None
+    fields = spark.table(table_ident).schema.fields
+    return [{"name": f.name, "type": spark_type_to_logical(f.dataType), "mode": "NULLABLE"}
+            for f in fields]
+
+
+def validate_llm_schema(raw: object, df_columns: list[str]) -> list[dict] | None:
+    """I3's validation gate (etl.py:786-848): list-shaped, names must exist in
+    the DataFrame (hallucinated names skipped), types whitelisted else STRING.
+    """
+    if not isinstance(raw, list) or not raw:
+        return None
+    cols = set(df_columns)
+    out = []
+    for item in raw:
+        if not isinstance(item, dict):
+            continue
+        name, t = item.get("name"), str(item.get("type", "")).upper()
+        if name not in cols:
+            continue  # hallucinated column → skipped (etl.py:813-816)
+        out.append({"name": name, "type": t if t in TYPE_WHITELIST else "STRING"})
+    return out or None
+
+
+def determine_schema(
+    spark,
+    df: DataFrame,
+    table_ident: str,
+    strategy: str = "existing_or_pandas",
+    llm_infer=None,
+    llm_sample_size: int = 5,
+) -> list[dict] | None:
+    """I1: the reference's strategy chain (etl.py:934-1009).
+
+    ``existing_or_*`` prefix → catalog first; then LLM if the strategy names
+    it (pluggable callable, OFF by default for determinism); then heuristic
+    inference if the strategy names ``pandas``.  Under ``existing_or_gemini``
+    there is NO heuristic fallback — LLM failure skips the table, matching
+    the reference default's behavior.  Final validation: no common columns →
+    ValueError; DF-only columns dropped, schema-only columns become NULL
+    (handled by align_to_schema); every field mode-defaults to NULLABLE.
+    """
+    schema: list[dict] | None = None
+    if strategy.startswith("existing_or_"):
+        schema = get_existing_schema(spark, table_ident)
+    effective = strategy.removeprefix("existing_or_")
+    if schema is None and ("gemini" in effective or "llm" in effective):
+        if llm_infer is not None:
+            sample = df.limit(llm_sample_size).toPandas()
+            schema = validate_llm_schema(llm_infer(sample), df.columns)
+    if schema is None and "pandas" in effective:
+        schema = infer_schema(df)
+    if schema is None:
+        return None
+    common = {f["name"] for f in schema} & set(df.columns)
+    if not common:
+        raise ValueError(
+            "Determined schema shares no columns with the DataFrame "
+            f"(table {table_ident})."
+        )
+    for f in schema:
+        f.setdefault("mode", "NULLABLE")
+    return schema

@@ -1,1 +1,156 @@
-"""Placeholder — filled in as the corresponding operators land."""
+"""Oracle-checked queries for schema inference + coercion (I4, I5, I6).
+
+i01 runs the engine's one-pass inference over an all-stringified ``lineitem``
+and the oracle re-implements the same counter program in DuckDB SQL — so the
+reference's precedence quirks (int before datetime, digit guard, 0/1 →
+INTEGER) are verified engine-vs-SQL, not engine-vs-hardcoded-list.
+
+i02 injects deterministic garbage into stringified columns and coerces them
+back through ``align_to_schema`` — proving the bad-cell→NULL contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_etl_spark.config import BOOL_FALSE_TOKENS, BOOL_TRUE_TOKENS
+from worker_etl_spark.operators import inference
+from worker_etl_spark.queries import register
+from worker_etl_spark.sources.tables import read_table
+
+_LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+_BOOL_SQL = ", ".join(f"'{t}'" for t in (BOOL_TRUE_TOKENS + BOOL_FALSE_TOKENS))
+
+
+def _infer_oracle_sql() -> str:
+    """DuckDB program equivalent to the one-pass counter inference."""
+    parts = []
+    for c in _LINEITEM_COLS:
+        parts.append(
+            f"""
+    SELECT '{c}' AS column_name,
+           CASE
+             WHEN nn = 0 THEN 'STRING'
+             WHEN num = nn AND intk = nn THEN 'INTEGER'
+             WHEN num = nn THEN 'FLOAT'
+             WHEN dig < total AND ts = nn THEN 'TIMESTAMP'
+             WHEN boolk = nn THEN 'BOOLEAN'
+             ELSE 'STRING'
+           END AS inferred_type
+    FROM (
+      SELECT count(*) AS total,
+             count(s) AS nn,
+             count(TRY_CAST(s AS DOUBLE)) AS num,
+             count(CASE WHEN TRY_CAST(s AS DOUBLE) = floor(TRY_CAST(s AS DOUBLE))
+                         AND NOT isnan(TRY_CAST(s AS DOUBLE)) THEN 1 END) AS intk,
+             count(CASE WHEN regexp_full_match(s, '\\d+') THEN 1 END) AS dig,
+             count(TRY_CAST(s AS TIMESTAMP)) AS ts,
+             count(CASE WHEN lower(s) IN ({_BOOL_SQL}) THEN 1 END) AS boolk
+      FROM (SELECT CAST({c} AS VARCHAR) AS s FROM lineitem)
+    )"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register("i01_infer_types", oracle=_infer_oracle_sql())
+def i01_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    stringified = l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])
+    schema = inference.infer_schema(stringified)
+    return spark.createDataFrame(
+        [(f["name"], f["type"]) for f in schema],
+        "column_name string, inferred_type string",
+    ).orderBy("column_name")
+
+
+_I02_TARGET = [
+    {"name": "qty", "type": "INTEGER"},
+    {"name": "price", "type": "FLOAT"},
+    {"name": "ship", "type": "TIMESTAMP"},
+    {"name": "flag", "type": "BOOLEAN"},
+    {"name": "disc", "type": "INTEGER"},
+    {"name": "missing_col", "type": "FLOAT"},  # schema-only → NULL column (I5)
+]
+
+
+@register(
+    "i02_align_coerce",
+    oracle=f"""
+    WITH messy AS (
+      SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'garbage' ELSE CAST(l_quantity AS VARCHAR) END AS qty_s,
+             CASE WHEN l_orderkey % 89 = 0 THEN '' ELSE CAST(l_extendedprice AS VARCHAR) END AS price_s,
+             CASE WHEN l_orderkey % 83 = 0 THEN 'not-a-date' ELSE CAST(l_shipdate AS VARCHAR) END AS ship_s,
+             CASE CAST(l_orderkey % 5 AS INTEGER)
+               WHEN 0 THEN 'yes' WHEN 1 THEN 'NO' WHEN 2 THEN '1.0'
+               WHEN 3 THEN 'junk' ELSE 'TRUE' END AS flag_s,
+             CAST(l_discount AS VARCHAR) AS disc_s
+      FROM lineitem
+    ),
+    coerced AS (
+      SELECT CASE WHEN TRY_CAST(qty_s AS DOUBLE) = floor(TRY_CAST(qty_s AS DOUBLE))
+                   AND NOT isnan(TRY_CAST(qty_s AS DOUBLE))
+                   AND abs(TRY_CAST(qty_s AS DOUBLE)) < 9.2e18
+                  THEN CAST(TRY_CAST(qty_s AS DOUBLE) AS BIGINT) END AS qty,
+             TRY_CAST(price_s AS DOUBLE) AS price,
+             TRY_CAST(ship_s AS TIMESTAMP) AS ship,
+             CASE WHEN lower(flag_s) IN ({", ".join(f"'{t}'" for t in BOOL_TRUE_TOKENS)}) THEN TRUE
+                  WHEN lower(flag_s) IN ({", ".join(f"'{t}'" for t in BOOL_FALSE_TOKENS)}) THEN FALSE
+                  END AS flag,
+             CASE WHEN TRY_CAST(disc_s AS DOUBLE) = floor(TRY_CAST(disc_s AS DOUBLE))
+                   AND NOT isnan(TRY_CAST(disc_s AS DOUBLE))
+                   AND abs(TRY_CAST(disc_s AS DOUBLE)) < 9.2e18
+                  THEN CAST(TRY_CAST(disc_s AS DOUBLE) AS BIGINT) END AS disc,
+             CAST(NULL AS DOUBLE) AS missing_col
+      FROM messy
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(qty) AS BIGINT) AS n_qty,
+           CAST(sum(qty) AS BIGINT) AS sum_qty,
+           CAST(count(price) AS BIGINT) AS n_price,
+           round(sum(price), 2) AS sum_price,
+           CAST(count(ship) AS BIGINT) AS n_ship,
+           min(ship) AS min_ship,
+           CAST(count(flag) AS BIGINT) AS n_flag,
+           CAST(count(CASE WHEN flag THEN 1 END) AS BIGINT) AS n_true,
+           CAST(count(disc) AS BIGINT) AS n_disc,
+           CAST(count(missing_col) AS BIGINT) AS n_missing
+    FROM coerced
+    """,
+)
+def i02_align_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    messy = l.select(
+        F.when(k % 97 == 0, "garbage").otherwise(F.col("l_quantity").cast("string")).alias("qty"),
+        F.when(k % 89 == 0, "").otherwise(F.col("l_extendedprice").cast("string")).alias("price"),
+        F.when(k % 83 == 0, "not-a-date").otherwise(F.col("l_shipdate").cast("string")).alias("ship"),
+        F.when(k % 5 == 0, "yes")
+        .when(k % 5 == 1, "NO")
+        .when(k % 5 == 2, "1.0")
+        .when(k % 5 == 3, "junk")
+        .otherwise("TRUE")
+        .alias("flag"),
+        F.col("l_discount").cast("string").alias("disc"),
+        # extra column NOT in the target schema → must be dropped (I5)
+        F.col("l_returnflag").alias("extra_col"),
+    )
+    aligned = inference.align_to_schema(messy, _I02_TARGET)
+    return aligned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("qty").alias("n_qty"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.count("price").alias("n_price"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.count("ship").alias("n_ship"),
+        F.min("ship").alias("min_ship"),
+        F.count("flag").alias("n_flag"),
+        F.count(F.when(F.col("flag"), 1)).alias("n_true"),
+        F.count("disc").alias("n_disc"),
+        F.count("missing_col").alias("n_missing"),
+    )
