@@ -1,1 +1,352 @@
-"""Placeholder — filled in as the corresponding operators land."""
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Driver-mandated extension (SURVEY.md §2 "Driver-mandated extensions"; the
+reference has no dedup — its only row-drop is the all-null filter,
+``etl.py:681``).  Five families, each registered with a DuckDB oracle so the
+whole pipeline (shingling → hashing → signatures → banding → pair join) is
+value-hash-verified cross-engine:
+
+- d01 exact dedup: hash-groupBy on normalized text.
+- d02 MinHash signatures: char-5-gram shingles → 16 permutations.
+- d03 LSH banding: 4 bands × 4 rows → bucket histogram + candidate-pair mass.
+- d04 SimHash: 32-bit sign-aggregated token hashes.
+- d05 n-gram Jaccard: rare-shingle blocking → exact Jaccard on blocked pairs.
+- d06 embedding cosine near-dup: top pairs by cosine.
+
+Scale posture (100 TB):
+- All hashing/shingling is projection + re-aggregation per doc — explodes
+  never cross the shuffle (map-side combine reduces to one row per doc).
+- d05 blocks on rare shingles (document-frequency cap): a shingle seen in
+  more than DF_CAP docs generates no candidate pairs, so the self-join's
+  per-key fan-out is bounded by C(DF_CAP, 2) — this is what keeps a
+  shingle-join alive at 10^9 docs (the unblocked join is quadratic in the
+  hottest key).  Same pattern as MinHashLSH's band join.
+- d06 is the brute-force O(n²) baseline kept for correctness; the scale path
+  is the LSH bucketing in s02 (similarity_q.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_etl_spark.functions.text import (
+    hex_int,
+    norm_text,
+    sql_hex_int,
+    sql_norm_text,
+    sql_tokens,
+    tokens,
+)
+from worker_etl_spark.functions.vectors import dot, norm, sql_dot, sql_norm
+from worker_etl_spark.queries import register
+from worker_etl_spark.sources.tables import read_table
+
+# --- deterministic MinHash permutation constants ----------------------------
+# (a*h + b) mod P over the 32-bit shingle hash; generated once from a fixed
+# seed and embedded identically in the Spark plan and the SQL oracle.
+_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_rng = random.Random(20260813)
+_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1_000_000), _rng.randrange(0, _P)) for _ in range(16)
+]
+_N_BANDS, _ROWS_PER_BAND = 4, 4
+_SHINGLE_W = 5  # char-gram width for MinHash shingles
+_DF_CAP = 10    # d05 blocking: shingles in more than this many docs are dropped
+
+
+# --- d01: exact dedup --------------------------------------------------------
+@register(
+    "d01_exact_dedup",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source, {sql_hex_int(sql_norm_text('text'), 15)} AS fp
+      FROM documents
+    )
+    SELECT source,
+           count(*)                  AS n_docs,
+           count(DISTINCT fp)        AS n_unique,
+           count(*) - count(DISTINCT fp) AS n_dups,
+           min(doc_id)               AS first_doc
+    FROM norm GROUP BY source ORDER BY source
+    """,
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id", "source", hex_int(norm_text(F.col("text")), 15).alias("fp")
+    )
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dups"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- shared shingle CTE (Spark + SQL) ---------------------------------------
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 32-bit char-gram hash) pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    n = d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
+        F.length("norm") >= _SHINGLE_W
+    )
+    return (
+        n.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("norm") - (_SHINGLE_W - 1))
+            ).alias("i"),
+            "norm",
+        )
+        .select("doc_id", hex_int(F.expr(f"substring(norm, i, {_SHINGLE_W})")).alias("h"))
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = f"""
+    norm AS (
+      SELECT doc_id, {sql_norm_text('text')} AS norm FROM documents
+      WHERE length({sql_norm_text('text')}) >= {_SHINGLE_W}
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             {sql_hex_int(f'substring(norm, i, {_SHINGLE_W})')} AS h
+      FROM norm, unnest(range(1, length(norm) - {_SHINGLE_W - 2})) AS t(i)
+    )
+"""
+
+_SQL_SIG_COLS = ",\n             ".join(
+    f"min((h * {a} + {b}) % {_P}) AS m{j:02d}" for j, (a, b) in enumerate(_PERMS)
+)
+
+_SQL_SIGNATURES = f"""
+    WITH {_SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             {_SQL_SIG_COLS}
+      FROM shingles GROUP BY doc_id
+    )
+"""
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * a + b) % _P).alias(f"m{j:02d}")
+            for j, (a, b) in enumerate(_PERMS)
+        ]
+    )
+
+
+# --- d02: MinHash signatures -------------------------------------------------
+@register(
+    "d02_minhash_signatures",
+    oracle=_SQL_SIGNATURES + "SELECT * FROM sigs ORDER BY doc_id",
+)
+def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir).orderBy("doc_id")
+
+
+# --- d03: LSH banding → bucket histogram ------------------------------------
+def _band_sig_sql(band: int) -> str:
+    cols = " || ',' || ".join(
+        f"m{band * _ROWS_PER_BAND + r:02d}" for r in range(_ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+@register(
+    "d03_lsh_buckets",
+    oracle=_SQL_SIGNATURES
+    + f"""
+    , bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {band} AS band_id, {_band_sig_sql(band)} AS sig FROM sigs"
+          for band in range(_N_BANDS)
+      )}
+    ),
+    buckets AS (
+      SELECT band_id, sig, count(*) AS bucket_size FROM bands GROUP BY band_id, sig
+    )
+    SELECT band_id,
+           count(*)                                        AS n_buckets,
+           max(bucket_size)                                AS max_bucket,
+           sum(bucket_size * (bucket_size - 1) / 2)::BIGINT AS candidate_pairs
+    FROM buckets GROUP BY band_id ORDER BY band_id
+    """,
+)
+def d03_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _signatures(spark, sf_dir)
+    bands = None
+    for band in range(_N_BANDS):
+        cols = [f"m{band * _ROWS_PER_BAND + r:02d}" for r in range(_ROWS_PER_BAND)]
+        expr = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        b = sigs.select("doc_id", F.lit(band).alias("band_id"), expr.alias("sig"))
+        bands = b if bands is None else bands.unionAll(b)
+    buckets = bands.groupBy("band_id", "sig").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum(
+                (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
+            ).alias("candidate_pairs"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# --- d04: SimHash ------------------------------------------------------------
+_SIM_BITS = 32
+
+_SQL_SIM_SUMS = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b:02d}"
+    for b in range(_SIM_BITS)
+)
+_SQL_SIM_VALUE = " + ".join(
+    f"(CASE WHEN s{b:02d} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIM_BITS)
+)
+
+
+@register(
+    "d04_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({sql_tokens(sql_norm_text('text'))}) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {sql_hex_int('t')} AS h FROM tok
+    ),
+    sums AS (
+      SELECT doc_id,
+             {_SQL_SIM_SUMS}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, ({_SQL_SIM_VALUE})::BIGINT AS simhash
+    FROM sums ORDER BY doc_id
+    """,
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("t"))
+        .distinct()
+        .select("doc_id", hex_int(F.col("t")).alias("h"))
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{b:02d}")
+            for b in range(_SIM_BITS)
+        ]
+    )
+    sim = F.expr(
+        " + ".join(
+            f"(CASE WHEN s{b:02d} >= 0 THEN {1 << b}L ELSE 0L END)"
+            for b in range(_SIM_BITS)
+        )
+    )
+    return sums.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+# --- d05: n-gram Jaccard with rare-shingle blocking --------------------------
+@register(
+    "d05_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.c / CAST(ca.n + cb.n - i.c AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN card ca ON ca.doc_id = i.doc_a
+    JOIN card cb ON cb.doc_id = i.doc_b
+    ORDER BY jaccard DESC, i.doc_a, i.doc_b
+    LIMIT 10
+    """,
+)
+def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _DF_CAP
+    ).select("h")
+    rs = sh.join(rare, "h").select("doc_id", "h")
+    card = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rs.alias("a")
+    b = rs.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(10)
+    )
+
+
+# --- d06: embedding cosine near-dup (brute-force baseline) -------------------
+@register(
+    "d06_embedding_neardup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 10
+    """,
+)
+def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(10)
+    )

@@ -1,1 +1,217 @@
-"""Placeholder — filled in as the corresponding operators land."""
+"""Text-analysis queries over the ``documents`` table.
+
+Driver-mandated extension (no reference counterpart — SURVEY.md §2 Part B
+records the absence; the reference's only string ops are trim/lower/regex,
+``etl.py:694,898,213``).  Four operators: token counting, quality scoring,
+language ID (marker-word heuristic), and document fingerprinting (full-hash +
+min-shingle rolling hash).
+
+Scale posture (100 TB): every operator is a pure projection/aggregation over
+``documents`` — no UDFs, no collect, no joins.  Token/shingle explosion is
+the only row-multiplying step and it is immediately re-aggregated per doc
+(map-side combine), so the shuffle carries one row per (doc, aggregate), not
+per token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_etl_spark.functions.text import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    STOPWORDS,
+    count_in,
+    hex_int,
+    norm_text,
+    sql_count_in,
+    sql_hex_int,
+    sql_norm_text,
+    sql_tokens,
+    tokens,
+)
+from worker_etl_spark.queries import register
+from worker_etl_spark.sources.tables import read_table
+
+
+# --- t01: token counting → per-language stats --------------------------------
+@register(
+    "t01_token_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, len({sql_tokens('text')}) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           count(*)                    AS n_docs,
+           sum(n_tokens)               AS total_tokens,
+           min(n_tokens)               AS min_tokens,
+           max(n_tokens)               AS max_tokens,
+           round(avg(n_tokens), 4)     AS avg_tokens
+    FROM tok GROUP BY lang ORDER BY lang
+    """,
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- t02: per-document quality score -----------------------------------------
+_SQL_TOK = sql_tokens("text")
+
+@register(
+    "t02_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text)                                          AS n_chars,
+             len({_SQL_TOK})                                       AS n_tokens,
+             length(regexp_replace(text, '\\s+', '', 'g'))         AS n_nonws,
+             {sql_count_in(_SQL_TOK, STOPWORDS)}                   AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(n_nonws / CAST(n_tokens AS DOUBLE), 4)            AS avg_token_len,
+           round(n_stop  / CAST(n_tokens AS DOUBLE), 4)            AS stop_ratio,
+           round(0.5 * least(1.0, n_tokens / 200.0)
+               + 0.3 * (n_stop / CAST(n_tokens AS DOUBLE))
+               + 0.2 * least(1.0, (n_nonws / CAST(n_tokens AS DOUBLE)) / 8.0), 4)
+                                                                   AS quality
+    FROM feat ORDER BY doc_id
+    """,
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(tok).alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonws"),
+        count_in(tok, STOPWORDS).alias("n_stop"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return feat.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("n_nonws") / nt, 4).alias("avg_token_len"),
+        F.round(F.col("n_stop") / nt, 4).alias("stop_ratio"),
+        F.round(
+            0.5 * F.least(F.lit(1.0), F.col("n_tokens") / 200.0)
+            + 0.3 * (F.col("n_stop") / nt)
+            + 0.2 * F.least(F.lit(1.0), (F.col("n_nonws") / nt) / 8.0),
+            4,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --- t03: language ID (marker-word heuristic) --------------------------------
+def _sql_lang_scores() -> str:
+    return ",\n             ".join(
+        f"{sql_count_in(_SQL_TOK, LANG_MARKERS[lang])} AS s_{lang}" for lang in LANG_ORDER
+    )
+
+
+def _sql_argmax() -> str:
+    # First language in LANG_ORDER with the max score wins; all-zero → 'und'.
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    whens = "\n             ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und'\n             {whens} END"
+
+
+@register(
+    "t03_langid",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_sql_lang_scores()}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang, {_sql_argmax()} AS predicted FROM scores
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    scores = d.select(
+        "doc_id",
+        "lang",
+        *[count_in(tok, LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return (
+        scores.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# --- t04: document fingerprinting (full hash + min-shingle rolling hash) -----
+_SHINGLE = 8  # char-gram width for the rolling min-hash fingerprint
+
+@register(
+    "t04_fingerprint",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {sql_norm_text('text')} AS norm FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id,
+             min({sql_hex_int(f'substring(norm, i, {_SHINGLE})')}) AS fp_shingle_min
+      FROM norm, unnest(range(1, length(norm) - {_SHINGLE - 2})) AS t(i)
+      WHERE length(norm) >= {_SHINGLE}
+      GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           {sql_hex_int('n.norm', 15)} AS fp_doc,
+           s.fp_shingle_min
+    FROM norm n JOIN shingled s USING (doc_id)
+    ORDER BY n.doc_id
+    """,
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    norm = d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
+        F.length("norm") >= _SHINGLE
+    )
+    # Explode shingle start positions, hash each char-gram, min per doc.
+    # The min is computed with map-side partial aggregation, so the shuffle
+    # carries one row per doc — the explode never crosses the network.
+    shingled = (
+        norm.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("norm") - (_SHINGLE - 1))).alias("i"),
+            "norm",
+        )
+        .select("doc_id", hex_int(F.expr(f"substring(norm, i, {_SHINGLE})")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fp_shingle_min"))
+    )
+    return (
+        norm.select("doc_id", hex_int(F.col("norm"), 15).alias("fp_doc"))
+        .join(shingled, "doc_id")
+        .orderBy("doc_id")
+    )
