@@ -1,0 +1,148 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Driver-mandated extension (SURVEY.md §2 "Driver-mandated extensions"; the
+reference's closest concept is the BYTES type it accepts but degrades to
+STRING, ``etl.py:1115-1117``).
+
+Design: media are opaque ``BinaryType`` columns carried alongside a typed
+metadata struct (kind/byte_len/content hash).  All per-item compute goes
+through ``mapInPandas`` so payloads move as Arrow record batches — one
+Python hop per *batch*, never per row — and each batch is processed by a
+vectorized pandas function.  Partitioning: payload rows are independent, so
+the operator preserves the upstream partitioning; at 100 TB the input would
+be a ``binaryFile`` scan whose partition size is governed by
+``spark.sql.files.maxPartitionBytes``.
+
+The actual image/audio/video codecs are NOT present in this environment, so
+``decode_media`` is an explicit stub: with a real codec library installed it
+would decode; here it raises ``NotImplementedError`` unless the caller opts
+into the deterministic fake used by the test/oracle path.  The Spark-side
+plumbing (schemas, Arrow batching, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # codec libraries are optional; absent in this container
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+MEDIA_KINDS = ["image", "audio", "video"]
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach an opaque binary payload + metadata struct to each row.
+
+    In production the payload comes from a ``binaryFile`` scan; the testbed
+    derives a deterministic payload from the text column so the oracle can
+    recompute every downstream feature.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+        (F.col(id_col) % len(MEDIA_KINDS) + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            F.length(payload).cast("long").alias("byte_len"),
+            F.md5(payload).alias("content_md5"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(payload: bytes, kind: str) -> Any:
+    """Decode one media payload. STUB — real codecs are not installed here.
+
+    With Pillow/librosa/pyav available this dispatches to the real decoder;
+    in this container it always raises so callers fall back to
+    ``extract_features_fake`` (deterministic, oracle-checkable).
+    """
+    if kind == "image" and _HAS_PIL:
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    raise NotImplementedError(
+        f"no codec for kind={kind!r} in this environment; "
+        "use extract_features (deterministic fake) for the tested path"
+    )
+
+
+def _fake_features(doc_id: int, kind: str, payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for decode+feature-extract (arithmetic on the
+    payload bytes/hash only, so the SQL oracle can recompute it exactly)."""
+    h = hashlib.md5(payload).hexdigest()
+    byte_len = len(payload)
+    return {
+        "doc_id": doc_id,
+        "kind": kind,
+        "byte_len": byte_len,
+        "content_md5": h,
+        "n_frames": byte_len // 64 + 1,
+        "width": 32 * (1 + doc_id % 4),
+        "height": 24 * (1 + doc_id % 3),
+        "mean_luma": round((int(h[:8], 16) % 1_000_000) / 1_000_000.0, 6),
+    }
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, payload, media_meta).
+
+    Real Arrow-batched plumbing; the per-item "decode" is the deterministic
+    fake (decode_media raises without codecs — see module docstring).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                _fake_features(int(r.doc_id), r.media_meta["kind"], bytes(r.payload))
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+__all__ = [
+    "MEDIA_KINDS",
+    "FEATURE_SCHEMA",
+    "attach_payload",
+    "decode_media",
+    "extract_features",
+    "BinaryType",
+]

@@ -1,1 +1,67 @@
-"""Placeholder — filled in as the corresponding operators land."""
+"""Multimodal-column queries: binary payloads + typed metadata + features.
+
+m01 is the pure-JVM metadata path (payload attach + struct projection); m02
+drives the Arrow/mapInPandas feature-extraction plumbing end-to-end.  The
+"decode" inside m02 is the deterministic fake (real codecs absent — see
+operators/multimodal.py), which is precisely what makes the whole pandas-UDF
+pipeline verifiable against the DuckDB oracle: every feature is arithmetic
+on the payload bytes/hash, so a hash mismatch would expose any Arrow
+round-trip or schema bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_etl_spark.operators.multimodal import attach_payload, extract_features
+from worker_etl_spark.queries import register
+from worker_etl_spark.sources.tables import read_table
+
+_SQL_KIND = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+
+# --- m01: payload attach + metadata projection -------------------------------
+@register(
+    "m01_media_metadata",
+    oracle=f"""
+    SELECT doc_id,
+           {_SQL_KIND}                        AS kind,
+           octet_length(encode(text))         AS byte_len,
+           md5(text)                          AS content_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    p = attach_payload(d)
+    return p.select(
+        "doc_id",
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.content_md5").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+# --- m02: Arrow-batched feature extraction (mapInPandas) ---------------------
+@register(
+    "m02_media_features",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             {_SQL_KIND}                AS kind,
+             octet_length(encode(text)) AS byte_len,
+             md5(text)                  AS content_md5
+      FROM documents
+    )
+    SELECT doc_id, kind, byte_len, content_md5,
+           (byte_len // 64 + 1)::INT                                   AS n_frames,
+           (32 * (1 + doc_id % 4))::INT                                AS width,
+           (24 * (1 + doc_id % 3))::INT                                AS height,
+           round(((('0x' || substring(content_md5, 1, 8))::BIGINT) % 1000000) / 1000000.0, 6) AS mean_luma
+    FROM meta ORDER BY doc_id
+    """,
+)
+def m02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return extract_features(attach_payload(d)).orderBy("doc_id")
