@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity_q,
         text_q,
         multimodal_q,
+        grid_q,
     )
 
     return REGISTRY
