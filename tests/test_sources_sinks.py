@@ -1,0 +1,125 @@
+"""CSV/Excel sources, sink naming, and writer tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from worker_etl_spark.sinks.writer import sink_table_name, write_table
+from worker_etl_spark.sources.excel import read_excel_grids
+from worker_etl_spark.sources.files import (
+    read_csv_grid,
+    require_exists,
+    sniff_delimiter,
+    widen_grid,
+)
+
+
+# --- delimiter sniffing ------------------------------------------------------
+def test_sniff_comma():
+    assert sniff_delimiter("a,b,c\n1,2,3\n4,5,6\n") == ","
+
+
+def test_sniff_semicolon_with_commas_in_values():
+    sample = "a;b;c\nx,y;2;3\nz;4,5;6\n"
+    assert sniff_delimiter(sample) == ";"
+
+
+def test_sniff_tab():
+    assert sniff_delimiter("a\tb\n1\t2\n") == "\t"
+
+
+def test_sniff_empty_falls_back():
+    assert sniff_delimiter("") == ","
+
+
+# --- CSV grid source ---------------------------------------------------------
+def test_read_csv_grid(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("name;qty\nwidget;3\ngadget;5\n")
+    g = read_csv_grid(spark, str(p))
+    assert set(g.columns) == {"file", "sheet", "row_idx", "0", "1"}
+    rows = [tuple(r) for r in g.orderBy("row_idx").select("0", "1").collect()]
+    assert rows == [("name", "qty"), ("widget", "3"), ("gadget", "5")]
+    assert g.first().sheet == "_default_"
+    # all cells are strings (untyped scan)
+    assert dict(g.dtypes)["1"] == "string"
+
+
+def test_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        require_exists("/nonexistent/nope.csv")
+
+
+# --- Excel bridge with injected parser ---------------------------------------
+def _make_fake_parser():
+    # Nested so cloudpickle ships it by value (test modules aren't importable
+    # on executors).
+    def fake_parser(content: bytes) -> dict:
+        """Parses 'sheetname:r1c1|r1c2;r2c1|r2c2' test format."""
+        out = {}
+        for sheet_blob in content.decode().strip().split("\n"):
+            name, rows = sheet_blob.split(":", 1)
+            out[name] = [
+                [c if c != "" else None for c in r.split("|")] for r in rows.split(";")
+            ]
+        return out
+
+    return fake_parser
+
+
+def test_read_excel_grids_plumbing(spark, tmp_path):
+    fake_parser = _make_fake_parser()
+    wb = tmp_path / "book.xlsx"
+    wb.write_bytes(b"S1:h1|h2;a|1;b|2\nS2:x|y|z;1|2|3")
+    g = read_excel_grids(spark, str(wb), parser=fake_parser)
+    rows = g.collect()
+    assert {r.sheet for r in rows} == {"S1", "S2"}
+    assert all(r.file == "book.xlsx" for r in rows)
+
+    wide = widen_grid(g)  # max width = 3 (S2)
+    assert set(wide.columns) == {"file", "sheet", "row_idx", "0", "1", "2"}
+    s1 = wide.filter("sheet = 'S1'").orderBy("row_idx").collect()
+    assert [r["2"] for r in s1] == [None, None, None]  # ragged rows padded
+
+
+def test_default_excel_parser_is_gated(spark, tmp_path):
+    wb = tmp_path / "book.xlsx"
+    wb.write_bytes(b"not a real workbook")
+    g = read_excel_grids(spark, str(wb))
+    with pytest.raises(Exception):  # NotImplementedError (no codec) via Py4J
+        g.collect()
+
+
+# --- sink naming -------------------------------------------------------------
+def test_sink_name_single_table():
+    assert sink_table_name("Sales Report.csv".replace(".csv", "")) == "Sales_Report"
+
+
+def test_sink_name_multi():
+    n = sink_table_name("q1 data", "Sheet 1", "table_2", multi_sheet=True, multi_table=True)
+    assert n == "q1_data_Sheet_1_table_2"
+
+
+def test_sink_name_truncates():
+    n = sink_table_name("x" * 3000)
+    assert len(n) <= 1024
+
+
+# --- writer ------------------------------------------------------------------
+def test_write_table_append_and_truncate(spark, tmp_path):
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    loc = write_table(df, str(tmp_path), "ds", "t", "WRITE_APPEND")
+    assert spark.read.parquet(loc).count() == 3
+    write_table(df, str(tmp_path), "ds", "t", "WRITE_APPEND")
+    assert spark.read.parquet(loc).count() == 6
+    write_table(df, str(tmp_path), "ds", "t", "WRITE_TRUNCATE")
+    assert spark.read.parquet(loc).count() == 3
+    assert loc == os.path.join(str(tmp_path), "ds", "t")
+
+
+def test_write_table_bad_disposition(spark, tmp_path):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        write_table(df, str(tmp_path), "ds", "t", "WRITE_NONSENSE")

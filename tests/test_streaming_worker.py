@@ -1,0 +1,83 @@
+"""Streaming worker end-to-end: queue → ingest → warehouse, with
+checkpointed exactly-once-per-message-file and dead-lettering."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from worker_etl_spark.streaming.worker import parse_message, process_object, start_worker
+
+
+def test_parse_message():
+    ok = parse_message('{"object_name": "a.csv", "target_dataset_id": "ds"}')
+    assert ok == ("a.csv", "ds")
+    assert parse_message("not json") is None
+    assert parse_message('{"object_name": "a.csv"}') is None
+    assert parse_message('{"object_name": 5, "target_dataset_id": "ds"}') is None
+
+
+def _write_csv(root, name):
+    p = os.path.join(root, name)
+    with open(p, "w") as fh:
+        fh.write("item,qty,price\nwidget,3,1.5\ngadget,5,2.25\nsprocket,2,0.75\n")
+    return p
+
+
+def test_process_object_csv(spark, tmp_path):
+    src = tmp_path / "src"
+    wh = tmp_path / "wh"
+    src.mkdir()
+    _write_csv(str(src), "inventory.csv")
+    written = process_object(spark, "inventory.csv", "ds1", str(src), str(wh))
+    assert len(written) == 1
+    out = spark.read.parquet(written[0])
+    assert set(out.columns) == {"item", "qty", "price"}
+    types = dict(out.dtypes)
+    assert types["qty"] == "bigint" and types["price"] == "double"
+    assert out.count() == 3
+
+
+def test_process_object_invalid_dataset(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        process_object(spark, "x.csv", "bad-id!", str(tmp_path), str(tmp_path))
+
+
+def test_worker_end_to_end(spark, tmp_path):
+    queue = tmp_path / "queue"
+    src = tmp_path / "src"
+    wh = tmp_path / "wh"
+    ckpt = tmp_path / "ckpt"
+    dl = tmp_path / "dead"
+    for d in (queue, src):
+        d.mkdir()
+    _write_csv(str(src), "inventory.csv")
+
+    msgs = [
+        {"object_name": "inventory.csv", "target_dataset_id": "ds1"},
+        {"object_name": "missing.csv", "target_dataset_id": "ds1"},  # ACK-skip
+    ]
+    (queue / "batch1.jsonl").write_text("\n".join(json.dumps(m) for m in msgs) + "\n")
+
+    q = start_worker(spark, str(queue), str(src), str(wh), str(ckpt), str(dl))
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(wh / "ds1" / "inventory"))
+    assert out.count() == 3
+
+    dead = (dl / "dead_letter.jsonl").read_text().strip().splitlines()
+    assert len(dead) == 1 and "not found" in json.loads(dead[0])["reason"]
+
+    # Second run with a new message file: checkpoint must not re-ingest the
+    # first file (count stays 3 + new object's rows only).
+    _write_csv(str(src), "other.csv")
+    (queue / "batch2.jsonl").write_text(
+        json.dumps({"object_name": "other.csv", "target_dataset_id": "ds1"}) + "\n"
+    )
+    q2 = start_worker(spark, str(queue), str(src), str(wh), str(ckpt), str(dl))
+    q2.awaitTermination(120)
+
+    assert spark.read.parquet(str(wh / "ds1" / "inventory")).count() == 3  # not doubled
+    assert spark.read.parquet(str(wh / "ds1" / "other")).count() == 3

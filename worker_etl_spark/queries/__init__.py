@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         text_q,
         multimodal_q,
         grid_q,
+        sources_q,
     )
 
     return REGISTRY

@@ -1,0 +1,116 @@
+"""Source/sink/streaming queries: the ingestion surface, oracle-checked.
+
+Each query materializes a deterministic file object from one of the driver's
+tables, pushes it through the real source → detect → clean → infer → coerce
+(→ for srm01, streaming worker → warehouse) path, and returns the typed
+result — so the DuckDB oracle can state the expected output directly from
+the source table.  This closes the loop on SURVEY.md §2 A.1 (S1/S2/S3 read
+paths, S6/S7 sink, S8/O1/O3 worker) inside the driver's value-hash gate.
+
+Driver-side file/collect work here is bounded by the *dimension* tables
+(nation=25 rows, region=5) — message- and metadata-scale, never fact-scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_etl_spark.operators.cleaning import ROW_ID, clean_table
+from worker_etl_spark.operators.detection import detect_tables, extract_table
+from worker_etl_spark.operators.inference import align_to_schema, infer_schema
+from worker_etl_spark.queries import register
+from worker_etl_spark.sources.excel import demo_text_parser, read_excel_grids
+from worker_etl_spark.sources.files import read_csv_grid, widen_grid
+from worker_etl_spark.sources.tables import read_table
+
+
+def _grid_to_typed(grid: DataFrame) -> DataFrame:
+    """Shared tail of the ingest path: best table → clean → infer → coerce."""
+    grid = grid.persist()
+    boxes = [r.asDict() for r in detect_tables(grid).collect()]
+    best = max(boxes, key=lambda b: b["score"])
+    block = extract_table(grid, best).withColumnRenamed("row_idx", ROW_ID)
+    cleaned = clean_table(block).drop(ROW_ID)
+    return align_to_schema(cleaned, infer_schema(cleaned))
+
+
+# --- src01: CSV ingest (S2 untyped scan + sniffed ';' delimiter) -------------
+@register(
+    "src01_csv_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           n_regionkey::BIGINT AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def src01_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src01_")
+    path = os.path.join(tmp, "nation.csv")
+    with open(path, "w") as fh:
+        fh.write("n_nationkey;n_name;n_regionkey\n")
+        for r in n:
+            fh.write(f"{r.n_nationkey};{r.n_name};{r.n_regionkey}\n")
+    grid = read_csv_grid(spark, path)  # delimiter sniffed
+    return _grid_to_typed(grid).orderBy("n_nationkey")
+
+
+# --- src02: Excel-bridge ingest (S3 binaryFile + mapInPandas parse) ----------
+@register(
+    "src02_excel_ingest",
+    oracle="""
+    SELECT r_regionkey::BIGINT AS r_regionkey, r_name
+    FROM region ORDER BY r_regionkey
+    """,
+)
+def src02_excel_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    rows = ["r_regionkey|r_name"] + [f"{r.r_regionkey}|{r.r_name}" for r in rg]
+    tmp = tempfile.mkdtemp(prefix="src02_")
+    path = os.path.join(tmp, "regions.xlsx")
+    with open(path, "wb") as fh:
+        fh.write(("Sheet1:" + ";".join(rows)).encode())
+    grid = widen_grid(read_excel_grids(spark, path, parser=demo_text_parser))
+    return _grid_to_typed(grid).orderBy("r_regionkey")
+
+
+# --- srm01: streaming worker end-to-end (S8/O1/O3) ---------------------------
+@register(
+    "srm01_stream_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           n_regionkey::BIGINT AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def srm01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from worker_etl_spark.streaming.worker import start_worker
+
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="srm01_")
+    queue, src, wh = (os.path.join(tmp, d) for d in ("queue", "src", "wh"))
+    os.makedirs(queue), os.makedirs(src)
+    with open(os.path.join(src, "nation.csv"), "w") as fh:
+        fh.write("n_nationkey,n_name,n_regionkey\n")
+        for r in n:
+            fh.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+    with open(os.path.join(queue, "msg.jsonl"), "w") as fh:
+        fh.write(json.dumps({"object_name": "nation.csv", "target_dataset_id": "ds"}) + "\n")
+
+    q = start_worker(
+        spark, queue, src, wh,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        dead_letter_dir=os.path.join(tmp, "dead"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(os.path.join(wh, "ds", "nation"))
+    return out.select(
+        F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
+    ).orderBy("n_nationkey")

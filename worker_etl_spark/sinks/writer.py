@@ -1,0 +1,73 @@
+"""Batch sink: naming rules + typed parquet/table writes.
+
+Reference semantics (SURVEY.md §2 A.1 S6/S7):
+- S7 naming: target table = ``sanitize(file_base)[_sheet][_table_N]``, parts
+  sanitized individually, joined with '_', truncated to 1024
+  (``etl.py:1265, 1302-1313``).
+- S6 write: explicit schema (cast-before-write — the engine's
+  ``align_to_schema`` plays the role of ``autodetect=False``), Parquet wire
+  format, disposition ``WRITE_APPEND``/``WRITE_TRUNCATE`` mapping to Spark
+  ``append``/``overwrite`` (``etl.py:1156-1232``).
+
+Scale posture: writes go through the normal distributed parquet committer;
+``partition_by`` lets callers lay out big tables for partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from worker_etl_spark.operators.cleaning import sanitize_identifier
+
+MAX_TABLE_NAME = 1024
+
+_DISPOSITION_TO_MODE = {
+    "WRITE_APPEND": "append",
+    "WRITE_TRUNCATE": "overwrite",
+    "append": "append",
+    "overwrite": "overwrite",
+}
+
+
+def sink_table_name(
+    file_base: str,
+    sheet: str | None = None,
+    table_id: str | None = None,
+    multi_sheet: bool = False,
+    multi_table: bool = False,
+) -> str:
+    """Target table name from (file, sheet, detected-table) parts.
+
+    Sheet/table suffixes appear only when the file actually has multiple
+    sheets / detected tables, matching the reference's naming
+    (``etl.py:1302-1313``).
+    """
+    parts = [sanitize_identifier(file_base)]
+    if sheet and multi_sheet:
+        parts.append(sanitize_identifier(sheet))
+    if table_id and multi_table:
+        parts.append(sanitize_identifier(table_id))
+    return "_".join(parts)[:MAX_TABLE_NAME]
+
+
+def write_table(
+    df: DataFrame,
+    warehouse_root: str,
+    dataset: str,
+    table: str,
+    disposition: str = "WRITE_APPEND",
+    partition_by: list[str] | None = None,
+) -> str:
+    """Write a typed DataFrame to ``<warehouse_root>/<dataset>/<table>`` as
+    parquet; returns the location.  Disposition maps to Spark save modes."""
+    mode = _DISPOSITION_TO_MODE.get(disposition)
+    if mode is None:
+        raise ValueError(f"unsupported write disposition: {disposition!r}")
+    location = os.path.join(warehouse_root, dataset, table)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(location)
+    return location

@@ -1,0 +1,177 @@
+"""Streaming ingest worker: the reference's Pub/Sub loop as Structured
+Streaming (SURVEY.md §2 S8/O1-O3; reference ``etl.py:1238-1459``).
+
+Model: the work queue is a landing directory of JSON-lines message files —
+each line ``{"object_name": ..., "target_dataset_id": ...}`` is one work
+item, exactly the reference's message payload (``etl.py:1374-1383``).  A
+``readStream.text`` file source discovers new message files per micro-batch;
+``foreachBatch`` processes each message through the batch ingest pipeline
+(read → detect → clean → infer → coerce → write).
+
+Delivery semantics: the file source + checkpoint give at-least-once per
+micro-batch — the moral equivalent of the reference's ack/nack
+(``etl.py:1392-1407``) with one deliberate improvement: a message whose
+processing fails goes to a dead-letter file instead of poisoning batch
+retries forever (the reference nacks → redelivers forever; SURVEY.md §7
+notes this divergence as intentional).  A missing source object is
+ACK-equivalent: logged + dead-lettered with reason, never retried
+(``etl.py:1346-1348``).
+
+Scale posture: messages are tiny (a path + a dataset id), so collecting a
+micro-batch of them to the driver is O(messages), never O(data); each
+object's actual data flows through distributed scans/writes.  Independent
+objects in one batch could be processed by concurrent jobs; kept sequential
+here for deterministic tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from worker_etl_spark.config import EngineConfig
+from worker_etl_spark.operators.cleaning import ROW_ID, clean_table
+from worker_etl_spark.operators.detection import detect_tables, extract_table
+from worker_etl_spark.operators.inference import align_to_schema, infer_schema
+from worker_etl_spark.sinks.writer import sink_table_name, write_table
+from worker_etl_spark.sources.files import read_csv_grid
+from worker_etl_spark.sources.tables import ALL_TABLES  # noqa: F401  (re-export convenience)
+
+_DATASET_RE = re.compile(r"^[a-zA-Z0-9_]+$")  # O2 validation (etl.py:1242-1244)
+
+
+def parse_message(raw: str) -> tuple[str, str] | None:
+    """JSON message → (object_name, target_dataset_id); None if malformed."""
+    try:
+        msg = json.loads(raw)
+        obj, ds = msg["object_name"], msg["target_dataset_id"]
+    except (json.JSONDecodeError, KeyError, TypeError):
+        return None
+    if not isinstance(obj, str) or not isinstance(ds, str):
+        return None
+    return obj, ds
+
+
+def process_object(
+    spark: SparkSession,
+    object_name: str,
+    dataset_id: str,
+    source_root: str,
+    warehouse_root: str,
+    cfg: EngineConfig | None = None,
+) -> list[str]:
+    """O1 per-object pipeline; returns locations written.
+
+    CSV objects go through the full grid pipeline (untyped scan → detection
+    → per-table clean/infer/coerce); parquet objects are already typed, so
+    cleaning skips header promotion and inference maps the existing types.
+    Per-table failures skip that table but keep the object going
+    (``etl.py:1298-1300, 1318-1320``); zero tables written raises.
+    """
+    cfg = cfg or EngineConfig()
+    if not _DATASET_RE.match(dataset_id):
+        raise ValueError(f"invalid dataset id: {dataset_id!r}")
+    path = os.path.join(source_root, object_name)
+    base, ext = os.path.splitext(os.path.basename(object_name))
+    ext = ext.lower()
+
+    written: list[str] = []
+    errors: list[str] = []
+
+    if ext == ".parquet":
+        df = spark.read.parquet(path)  # FileNotFound surfaces as AnalysisException
+        cleaned = clean_table(df)
+        typed = align_to_schema(cleaned, infer_schema(cleaned))
+        written.append(
+            write_table(typed, warehouse_root, dataset_id,
+                        sink_table_name(base), cfg.write_disposition)
+        )
+        return written
+
+    if ext != ".csv":
+        raise ValueError(f"unsupported object type: {object_name!r}")
+
+    grid = read_csv_grid(spark, path).persist()
+    try:
+        boxes = [r.asDict() for r in detect_tables(
+            grid,
+            min_rows=cfg.min_table_rows,
+            min_cols=cfg.min_table_cols,
+            density_threshold=cfg.block_density_threshold,
+            header_confidence=cfg.min_header_confidence,
+            detect_components=cfg.multi_table_detection,
+        ).collect()]
+        multi = len(boxes) > 1
+        for bbox in boxes:
+            try:
+                block = extract_table(grid, bbox).withColumnRenamed("row_idx", ROW_ID)
+                cleaned = clean_table(block).drop(ROW_ID)
+                if not cleaned.columns or cleaned.isEmpty():
+                    continue
+                typed = align_to_schema(cleaned, infer_schema(cleaned))
+                table = sink_table_name(base, bbox["sheet"], bbox["table_id"],
+                                        multi_sheet=False, multi_table=multi)
+                written.append(
+                    write_table(typed, warehouse_root, dataset_id, table,
+                                cfg.write_disposition)
+                )
+            except Exception as exc:  # noqa: BLE001 — per-table isolation (O1)
+                errors.append(f"{bbox.get('table_id')}: {exc}")
+    finally:
+        grid.unpersist()
+
+    if not written and errors:
+        raise RuntimeError(f"no tables loaded from {object_name}: {errors}")
+    return written
+
+
+def start_worker(
+    spark: SparkSession,
+    queue_dir: str,
+    source_root: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    dead_letter_dir: str,
+    available_now: bool = True,
+):
+    """Start the streaming worker; returns the StreamingQuery.
+
+    ``available_now=True`` drains the current queue and stops (deterministic
+    for tests/backfills); ``False`` runs continuously, picking up new message
+    files as they land.
+    """
+    os.makedirs(dead_letter_dir, exist_ok=True)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():  # messages are tiny — O(messages)
+            raw = row["value"]
+            parsed = parse_message(raw)
+            if parsed is None:
+                _dead_letter(dead_letter_dir, raw, "malformed message")
+                continue
+            obj, ds = parsed
+            try:
+                process_object(spark, obj, ds, source_root, warehouse_root)
+            except FileNotFoundError:
+                _dead_letter(dead_letter_dir, raw, "object not found")  # ACK-skip
+            except Exception as exc:  # noqa: BLE001
+                _dead_letter(dead_letter_dir, raw, f"failed: {exc}")
+
+    reader = spark.readStream.format("text").load(queue_dir)
+    writer = (
+        reader.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _dead_letter(dead_letter_dir: str, raw: str, reason: str) -> None:
+    rec = json.dumps({"message": raw, "reason": reason, "ts": time.time()})
+    with open(os.path.join(dead_letter_dir, "dead_letter.jsonl"), "a") as fh:
+        fh.write(rec + "\n")
