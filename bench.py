@@ -28,9 +28,12 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session bootstrap.
+    # Warm the JVM + parquet footers + Python UDF workers once so per-query
+    # numbers measure the query, not session/worker bootstrap (the first
+    # Arrow-batched UDF stage in a session pays ~20 s of worker spin-up).
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    warm = spark.range(64).selectExpr("id", "CAST(id AS double) AS v")
+    warm.mapInPandas(lambda it: it, schema="id long, v double").count()
 
     timings: dict[str, float] = {}
     for name, spec in registry.items():

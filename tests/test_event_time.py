@@ -1,0 +1,120 @@
+"""Event-time streaming: watermarked windows and stateful sessionization."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from worker_etl_spark.sources.tables import read_table
+from worker_etl_spark.streaming.event_time import (
+    sessionize_stateful,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_stream(spark, tmp_path, n: int = 500):
+    """Materialize a slice of events as a parquet dir and open it as a
+    file stream (micro-batched one file at a time)."""
+    ev = read_table(spark, SF, "events").orderBy("event_id").limit(n)
+    src = str(tmp_path / "stream_src")
+    ev.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return ev, stream
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    ev, stream = _events_stream(spark, tmp_path)
+
+    batch_out = {
+        (r.win_start, r.event_type): (r.n, r.total_value)
+        for r in windowed_event_counts(ev).collect()
+    }
+
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_out = {
+        (r.win_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert stream_out == batch_out
+    assert len(stream_out) > 0
+
+
+def test_watermark_present_in_stream_plan(spark, tmp_path):
+    _, stream = _events_stream(spark, tmp_path, n=50)
+    out = windowed_event_counts(stream, watermark="10 minutes")
+    assert out.isStreaming
+    assert "watermark" in out._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    ev, stream = _events_stream(spark, tmp_path)
+    gap = 1800
+
+    q = (
+        sessionize_stateful(stream, gap_seconds=gap)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = spark.sql("SELECT * FROM sessions").collect()
+
+    # availableNow ends the query before quiet-key timeouts fire, so only
+    # sessions *closed by a later event* are emitted; every emitted session
+    # must match the batch-computed gap sessionization exactly.
+    batch = (
+        ev.select("user_id", "ts", "value")
+        .withColumn(
+            "prev_ts",
+            F.lag("ts").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy("ts")
+            ),
+        )
+        .withColumn(
+            "new_sess",
+            (F.col("prev_ts").isNull())
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > gap),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum(F.col("new_sess").cast("int")).over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy("ts")
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    batch_sessions = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        key = (r.user_id, r.session_start, r.session_end)
+        assert key in batch_sessions
+        assert batch_sessions[key] == (r.n_events, r.total_value)

@@ -126,16 +126,28 @@ class ColumnStats:
         return "STRING"
 
 
+# Timestamp detection domain: ISO-date-prefixed strings only.  The regex
+# gate costs far less than a full timestamp parse on every cell (numeric
+# columns would otherwise pay the parser's failure path 600k× per column),
+# and it pins the detector to a format both Spark and DuckDB parse
+# identically — engine-specific parser quirks on odd strings ('2019',
+# '12:30') can't skew the counter.  The reference's digit-guard already
+# excludes bare numbers from datehood (etl.py:884); this is the same idea
+# made explicit and cheap.
+TS_GATE_RE = r"^\d{4}-\d{2}-\d{2}"
+
+
 def _counter_exprs(c: str) -> list[Column]:
     col = F.col(f"`{c}`")
     d = col.try_cast("double")
     integral = d.isNotNull() & ~F.isnan(d) & (d == F.floor(d))
+    ts_gated = F.when(col.rlike(TS_GATE_RE), F.try_to_timestamp(col))
     return [
         F.count(col).alias(f"{c}\x00nn"),
         F.count(d).alias(f"{c}\x00num"),
         F.sum(integral.cast("long")).alias(f"{c}\x00int"),
         F.sum(col.rlike(r"^\d+$").cast("long")).alias(f"{c}\x00dig"),
-        F.count(F.try_to_timestamp(col)).alias(f"{c}\x00ts"),
+        F.count(ts_gated).alias(f"{c}\x00ts"),
         F.sum(F.lower(col).isin(*_BOOL_TOKENS).cast("long")).alias(f"{c}\x00bool"),
     ]
 

@@ -109,6 +109,7 @@ _G02_LAYOUT = [
 
 @register(
     "g02_grid_detection",
+    headline=True,
     oracle="""
     SELECT * FROM (VALUES
       ('multi.xlsx', 'Sheet1', 'table_1', 0::BIGINT, 3::BIGINT, 0::BIGINT, 1::BIGINT,

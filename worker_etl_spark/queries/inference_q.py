@@ -50,7 +50,8 @@ def _infer_oracle_sql() -> str:
              count(CASE WHEN TRY_CAST(s AS DOUBLE) = floor(TRY_CAST(s AS DOUBLE))
                          AND NOT isnan(TRY_CAST(s AS DOUBLE)) THEN 1 END) AS intk,
              count(CASE WHEN regexp_full_match(s, '\\d+') THEN 1 END) AS dig,
-             count(TRY_CAST(s AS TIMESTAMP)) AS ts,
+             count(CASE WHEN regexp_matches(s, '^\\d{{4}}-\\d{{2}}-\\d{{2}}')
+                        THEN TRY_CAST(s AS TIMESTAMP) END) AS ts,
              count(CASE WHEN lower(s) IN ({_BOOL_SQL}) THEN 1 END) AS boolk
       FROM (SELECT CAST({c} AS VARCHAR) AS s FROM lineitem)
     )"""
@@ -58,7 +59,7 @@ def _infer_oracle_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY column_name"
 
 
-@register("i01_infer_types", oracle=_infer_oracle_sql())
+@register("i01_infer_types", oracle=_infer_oracle_sql(), headline=True)
 def i01_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem")
     stringified = l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])

@@ -46,6 +46,7 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- m02: Arrow-batched feature extraction (mapInPandas) ---------------------
 @register(
     "m02_media_features",
+    headline=True,
     oracle=f"""
     WITH meta AS (
       SELECT doc_id,

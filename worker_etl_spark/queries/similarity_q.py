@@ -73,6 +73,7 @@ def _bucket_sql(col: str) -> str:
 # --- s01: brute-force exact top-k cosine -------------------------------------
 @register(
     "s01_topk_bruteforce",
+    headline=True,
     oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings

@@ -174,6 +174,7 @@ _SHINGLE = 8  # char-gram width for the rolling min-hash fingerprint
 
 @register(
     "t04_fingerprint",
+    headline=True,
     oracle=f"""
     WITH norm AS (
       SELECT doc_id, {sql_norm_text('text')} AS norm FROM documents

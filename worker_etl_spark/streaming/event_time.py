@@ -1,0 +1,159 @@
+"""Event-time streaming operators: watermarked windows + stateful sessions.
+
+The reference has no event-time semantics (its "streaming" is a work queue —
+SURVEY.md §2 Part B, streaming row), so these are Spark-native extensions:
+the standard building blocks a 100 TB event pipeline needs on top of the
+ingest worker.
+
+- Watermarked tumbling/sliding aggregation: pure built-ins
+  (``withWatermark`` + ``window()``/``F.window``), so state eviction is
+  handled by the engine and late rows beyond the watermark are dropped
+  deterministically.
+- Stateful sessionization via ``applyInPandasWithState``: a custom
+  gap-based session operator (the reference-free equivalent of q14's batch
+  sessionization) with explicit per-key state and processing-time timeouts.
+
+Scale posture: state is partitioned by key (user), watermarks bound state
+size; both operators run identically over ``readStream`` micro-batches and
+the same code path powers the batch-mode tests (window() is stream/batch
+agnostic; the stateful op is exercised by a true streaming test).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, when *slide* is given) counts+sums
+    per (window, event_type).  Works identically on a batch DataFrame and a
+    ``readStream`` source; on a stream the watermark bounds state and drops
+    late rows past the threshold."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful session operator over a stream grouped by user.
+
+    State per user = the open session (start, last-seen, counts).  Each
+    micro-batch folds its events into the open session, emitting every
+    session that closed (gap exceeded inside the batch).  A processing-time
+    timeout flushes the final open session when a key goes quiet — so every
+    event is eventually attributed to exactly one emitted session.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, float]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                s0, s1, n, tv = state.get
+                closed.append((s0, s1, n, tv))
+                state.remove()
+        else:
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values(ts_col)
+            for ts_val, value in zip(rows[ts_col], rows["value"]):
+                us = int(ts_val.value // 1_000)  # pandas ns → µs
+                v = float(value)
+                if cur is None:
+                    cur = [us, us, 1, v]
+                elif us - cur[1] > gap_us:
+                    closed.append(tuple(cur))
+                    cur = [us, us, 1, v]
+                else:
+                    cur[1] = us
+                    cur[2] += 1
+                    cur[3] += v
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutDuration(gap_seconds * 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [round(c[3], 2) for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
