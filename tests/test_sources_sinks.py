@@ -47,6 +47,46 @@ def test_read_csv_grid(spark, tmp_path):
     assert dict(g.dtypes)["1"] == "string"
 
 
+def test_read_csv_grid_multipartition_row_idx(spark, tmp_path):
+    """row_idx must be the contiguous 0-based file position even when Spark
+    splits the file into many partitions (regression: monotonically
+    increasing id left gaps across partitions, so positional bbox slicing
+    in extract_table cut the wrong rows)."""
+    p = tmp_path / "big.csv"
+    n = 5000
+    p.write_text("\n".join(f"r{i:05d},{i}" for i in range(n)) + "\n")
+    # Force many small splits so the file spans multiple partitions.
+    tiny = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        # the scenario under test: the raw scan really is split
+        assert spark.read.csv(str(p)).rdd.getNumPartitions() > 1
+        g = read_csv_grid(spark, str(p))
+        rows = g.select("row_idx", "0").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", tiny)
+    assert sorted(r.row_idx for r in rows) == list(range(n))
+    by_idx = {r.row_idx: r["0"] for r in rows}
+    # spot-check positions line up with file order
+    for i in (0, 1, 2499, 4998, 4999):
+        assert by_idx[i] == f"r{i:05d}"
+
+
+def test_read_csv_grid_glob_per_file_index(spark, tmp_path):
+    """A glob matching several files gives each file its own name and its own
+    contiguous 0-based row_idx space."""
+    (tmp_path / "a.csv").write_text("a0,x\na1,y\n")
+    (tmp_path / "b.csv").write_text("b0,x\nb1,y\nb2,z\n")
+    g = read_csv_grid(spark, str(tmp_path / "*.csv"), delimiter=",")
+    rows = g.select("file", "row_idx", "0").collect()
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r.file, []).append((r.row_idx, r["0"]))
+    assert set(per_file) == {"a.csv", "b.csv"}
+    assert sorted(per_file["a.csv"]) == [(0, "a0"), (1, "a1")]
+    assert sorted(per_file["b.csv"]) == [(0, "b0"), (1, "b1"), (2, "b2")]
+
+
 def test_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         require_exists("/nonexistent/nope.csv")

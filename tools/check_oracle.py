@@ -28,10 +28,33 @@ TABLES = [
 ]
 
 
+def _kind(s: pd.Series) -> str:
+    """Normalized dtype kind — the driver's compare is type-aware, so an
+    int64-vs-float64 divergence (e.g. DuckDB HUGEINT/DOUBLE vs Spark BIGINT)
+    must fail locally too, even when the stringified values agree."""
+    k = s.dtype.kind
+    if k == "u":
+        return "i"
+    if k == "O":  # object column: sniff the first non-null value
+        for v in s:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue
+            if isinstance(v, bool):
+                return "b"
+            if isinstance(v, int):
+                return "i"
+            if isinstance(v, float):
+                return "f"
+            break
+        return "O"
+    return k
+
+
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str, pd.DataFrame]:
     df = df.copy()
     df.columns = [str(c) for c in df.columns]
     df = df[sorted(df.columns)]
+    kinds = [_kind(df[c]) for c in df.columns]
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
@@ -42,7 +65,8 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str, pd.DataFrame]:
             df[c] = s.map(lambda v: "NULL" if pd.isna(v) else str(v))
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     payload = "\n".join("\x1f".join(row) for row in df.itertuples(index=False))
-    return len(df), list(df.columns), hashlib.md5(payload.encode()).hexdigest(), df
+    cols = [f"{c}:{k}" for c, k in zip(df.columns, kinds)]
+    return len(df), cols, hashlib.md5(payload.encode()).hexdigest(), df
 
 
 def main() -> int:

@@ -76,7 +76,7 @@ def _lineitem_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT {_N_SAMPLE}
     )
     SELECT l_orderkey                                    AS order_key,
-           l_quantity                                    AS qty,
+           CAST(l_quantity AS BIGINT)                    AS qty,
            CAST(strftime(l_shipdate, '%Y-%m-%d') AS TIMESTAMP) AS ship_date
     FROM sample ORDER BY order_key, qty, ship_date
     """,

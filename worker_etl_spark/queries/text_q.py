@@ -45,7 +45,7 @@ from worker_etl_spark.sources.tables import read_table
     )
     SELECT lang,
            count(*)                    AS n_docs,
-           sum(n_tokens)               AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(n_tokens)               AS min_tokens,
            max(n_tokens)               AS max_tokens,
            round(avg(n_tokens), 4)     AS avg_tokens

@@ -14,9 +14,17 @@ Reference semantics reproduced (SURVEY.md §2 A.1):
   scan with the chosen separator.
 
 Scale posture: the distributed read is a plain ``spark.read.csv`` (splittable,
-no UDFs); ``row_idx`` comes from ``monotonically_increasing_id`` which is
-file-order-monotonic (partition ordinal in the high bits), which is all the
-downstream header-promotion needs (it only cares about the minimum row).
+no UDFs).  ``row_idx`` must be the CONTIGUOUS 0-based file position per
+(file, sheet) — detection bboxes are positional and ``extract_table`` slices
+by ``row_idx`` range — so it is derived with ``row_number()`` per file,
+ordered by ``(_metadata.file_block_start, monotonically_increasing_id)``:
+the split's byte offset orders splits within a file even when Spark packs
+splits into partitions out of file order (it sorts splits by size), and the
+monotonic id orders rows within a split.  The per-file window shuffles each
+file into one task — acceptable because every downstream grid consumer
+(``detect_tables``'s per-sheet ``applyInPandas``) already requires the whole
+sheet in one group; sheet-shaped files are human-scale, and the 100 TB path
+is typed parquet, not untyped grids.
 """
 
 from __future__ import annotations
@@ -24,7 +32,7 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SHEET = "_default_"  # CSV/Parquet become this synthetic sheet (etl.py:1256-1258)
@@ -81,11 +89,19 @@ def read_csv_grid(
         .csv(path)
     )
     cells = [F.col(c).alias(str(i)) for i, c in enumerate(df.columns)]
-    return df.select(
-        F.lit(os.path.basename(path)).alias("file"),
-        F.lit(sheet).alias("sheet"),
-        F.monotonically_increasing_id().alias("row_idx"),
-        *cells,
+    # Exact in-file row order: split byte-offset first (partition packing may
+    # reorder splits), then the monotonic id (row order within a split).
+    order_window = Window.partitionBy("file").orderBy("_blk", "_mid")
+    return (
+        df.select(
+            F.col("_metadata.file_name").alias("file"),
+            F.lit(sheet).alias("sheet"),
+            F.col("_metadata.file_block_start").alias("_blk"),
+            F.monotonically_increasing_id().alias("_mid"),
+            *cells,
+        )
+        .withColumn("row_idx", (F.row_number().over(order_window) - 1).cast("long"))
+        .select("file", "sheet", "row_idx", *[str(i) for i in range(len(cells))])
     )
 
 
