@@ -183,18 +183,96 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> dict[str, C
     }
 
 
+def _decide_types(df: DataFrame, str_cols: list[str]) -> dict[str, str]:
+    """Two-phase counter scan → ``{column: logical type}``.
+
+    Phase 1 computes only the cheap numeric counters (non-null / double-cast /
+    integral) for every column; the reference precedence (etl.py:860-913)
+    decides INTEGER / FLOAT / fully-null-STRING from those alone.  Only the
+    columns still undecided — typically the handful of genuinely textual ones —
+    pay the expensive counters (digit regex, gated timestamp parse, boolean
+    token probe) in a second scan over just those columns.
+
+    Besides skipping work, the split keeps each aggregate well under
+    ``spark.sql.codegen.maxFields``: the previous single 6-counters-per-column
+    aggregate fell out of whole-stage codegen entirely on wide frames
+    (interpreted eval, no common-subexpression elimination → every
+    ``try_cast`` re-parsed 4×/row), which cost ~7× on an 11-column scan.
+    """
+    decisions: dict[str, str] = {}
+    if not str_cols:
+        return decisions
+    # The counter scan is CPU-heavy per row (casts, regex, timestamp parse).
+    # A file with fewer splits than cores — e.g. a single giant row group —
+    # would run it effectively single-threaded, so spread the rows first.
+    # With well-laid-out data (splits >= cores, the 100 TB case) this branch
+    # never fires and no shuffle is added.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    exprs = [F.count(F.lit(1)).alias("\x00total")]
+    for c in str_cols:
+        col = F.col(f"`{c}`")
+        d = col.try_cast("double")
+        integral = d.isNotNull() & ~F.isnan(d) & (d == F.floor(d))
+        exprs.append(F.count(col).alias(f"{c}\x00nn"))
+        exprs.append(F.count(d).alias(f"{c}\x00num"))
+        exprs.append(F.sum(integral.cast("long")).alias(f"{c}\x00int"))
+    row = df.agg(*exprs).first()
+    total = row["\x00total"]
+    undecided: list[tuple[str, int]] = []
+    for c in str_cols:
+        nn = int(row[f"{c}\x00nn"] or 0)
+        num = int(row[f"{c}\x00num"] or 0)
+        intk = int(row[f"{c}\x00int"] or 0)
+        if nn == 0:
+            decisions[c] = "STRING"
+        elif num == nn and intk == nn:
+            decisions[c] = "INTEGER"
+        elif num == nn:
+            decisions[c] = "FLOAT"
+        else:
+            undecided.append((c, nn))
+    if undecided:
+        # The reference's digit guard ("every cell all-digits → not a date",
+        # etl.py:884) is a tautology here: an undecided column has num < nn,
+        # i.e. some cell failed the double cast, and every all-digit string
+        # casts — so dig <= num < nn <= total and the guard always passes.
+        # No digit counter needed.
+        exprs2 = []
+        for c, _ in undecided:
+            col = F.col(f"`{c}`")
+            ts_gated = F.when(col.rlike(TS_GATE_RE), F.try_to_timestamp(col))
+            exprs2.append(F.count(ts_gated).alias(f"{c}\x00ts"))
+            exprs2.append(
+                F.sum(F.lower(col).isin(*_BOOL_TOKENS).cast("long")).alias(f"{c}\x00bool")
+            )
+        row2 = df.agg(*exprs2).first()
+        for c, nn in undecided:
+            ts = int(row2[f"{c}\x00ts"] or 0)
+            boolk = int(row2[f"{c}\x00bool"] or 0)
+            if ts == nn:
+                decisions[c] = "TIMESTAMP"
+            elif boolk == nn:
+                decisions[c] = "BOOLEAN"
+            else:
+                decisions[c] = "STRING"
+    return decisions
+
+
 def infer_schema(df: DataFrame) -> list[dict]:
     """I4: ``[{'name', 'type'}]`` for every column, reference precedence.
 
-    String columns go through the counter scan; already-typed columns map
+    String columns go through the two-phase counter scan (same decisions as
+    ``ColumnStats.decide`` — see ``_decide_types``); already-typed columns map
     directly (parquet is the reference's only typed read, etl.py:541-543).
     """
     str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
-    stats = column_stats(df, str_cols)
+    decisions = _decide_types(df, str_cols)
     out = []
     for f in df.schema.fields:
-        if f.name in stats:
-            out.append({"name": f.name, "type": stats[f.name].decide()})
+        if f.name in decisions:
+            out.append({"name": f.name, "type": decisions[f.name]})
         else:
             out.append({"name": f.name, "type": spark_type_to_logical(f.dataType)})
     return out

@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Wide counter aggregates (schema inference, coercion metrics) exceed
+        # the 100-field default and silently fall out of whole-stage codegen
+        # into interpreted eval with no subexpression elimination — ~7× slower
+        # on an 11-column scan.  Codegen compiles once per stage; at 100 TB
+        # that's noise, interpreted eval is not.
+        .config("spark.sql.codegen.maxFields", "200")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.getenv("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
