@@ -11,11 +11,12 @@ and notably 0/1 columns become INTEGER (int wins before the boolean check,
 ``etl.py:864-871``) and "1.0"-style strings become INTEGER (pandas safe-casts
 integral floats).
 
-Spark-first re-expression: ONE aggregate pass computes, for all columns at
-once, the ``try_cast`` success counters the precedence needs — a single
-column-pruned, whole-stage-codegen'd scan instead of pandas' N per-column
-passes.  At 100 TB this is the difference between one job and dozens; the
-counters are also partial-aggregatable so the scan combines map-side.
+Spark-first re-expression: a single column-pruned scan computes, for all
+columns at once, the cast-success counters the precedence needs — via an
+Arrow-batched numpy kernel (``_counter_scan``) that emits one tiny
+partial-counter row per (batch, column), so only counters (never cells)
+cross the shuffle.  At 100 TB this is one map-shaped job instead of pandas'
+N per-column passes, and parallelism equals input splits.
 
 Coercion (``align_dataframe_to_schema``, ``etl.py:1012-1152``) becomes a
 single projection of ``try_cast``-style expressions: bad cell → NULL, never a
@@ -137,126 +138,166 @@ class ColumnStats:
 TS_GATE_RE = r"^\d{4}-\d{2}-\d{2}"
 
 
-def _counter_exprs(c: str) -> list[Column]:
-    col = F.col(f"`{c}`")
-    d = col.try_cast("double")
-    integral = d.isNotNull() & ~F.isnan(d) & (d == F.floor(d))
-    ts_gated = F.when(col.rlike(TS_GATE_RE), F.try_to_timestamp(col))
-    return [
-        F.count(col).alias(f"{c}\x00nn"),
-        F.count(d).alias(f"{c}\x00num"),
-        F.sum(integral.cast("long")).alias(f"{c}\x00int"),
-        F.sum(col.rlike(r"^\d+$").cast("long")).alias(f"{c}\x00dig"),
-        F.count(ts_gated).alias(f"{c}\x00ts"),
-        F.sum(F.lower(col).isin(*_BOOL_TOKENS).cast("long")).alias(f"{c}\x00bool"),
-    ]
+#: counter families a scan can compute; "cheap" ones use only C-vectorized
+#: pandas kernels, the rest pay a per-cell regex / parse on SOME cells.
+_ALL_FAMILIES = ("nn", "num", "int", "dig", "ts", "bool")
+
+
+def _counter_scan(
+    df: DataFrame, cols: list[str], families: tuple[str, ...]
+) -> dict[str, dict[str, int]]:
+    """One Arrow-batched scan → requested counters for *cols*.
+
+    Per-cell type probing is scalar computation with no relational structure —
+    exactly the shape where interpreted Catalyst expressions lose to numpy
+    (the expression-bundle formulation paid ~1 µs/cell/probe; ``pd.to_numeric``
+    is ~0.1 µs/cell).  The kernel emits one partial-counter row per
+    (batch, column); only those tiny rows cross the shuffle into the final
+    sum — the scan itself is map-shaped, so at 100 TB parallelism equals
+    input splits and nothing re-partitions raw strings.
+
+    Semantics pinned to the oracle pair (Spark ``try_cast``/DuckDB
+    ``TRY_CAST``): 'nan'-literal strings count as numeric-cast successes but
+    never as integral; ``inf == floor(inf)`` so infinities count as integral
+    (the same quirk the expression formulation had); the digit and
+    timestamp-gate regexes are ASCII classes ([0-9]) to match Java/DuckDB
+    ``\\d``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not cols:
+        return {}
+    fams = families
+    bool_tokens = list(_BOOL_TOKENS)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"col": [], "total": []}
+            for f in fams:
+                out[f] = []
+            for c in cols:
+                s = pdf[c]
+                notna = s.notna()
+                rec = {"nn": int(notna.sum())}
+                v = pd.to_numeric(s, errors="coerce").astype("float64")
+                ok = v.notna()
+                fail = s[notna & ~ok]
+                if "num" in fams:
+                    # to_numeric conflates a 'nan' literal (cast success
+                    # in both engines) with parse failure — recover it
+                    # from the failure subset only.
+                    nanlike = (
+                        int(fail.str.lower().isin(["nan", "+nan", "-nan"]).sum())
+                        if len(fail)
+                        else 0
+                    )
+                    rec["num"] = int(ok.sum()) + nanlike
+                if "int" in fams:
+                    arr = v.to_numpy()
+                    rec["int"] = int((arr == np.floor(arr)).sum())
+                if "dig" in fams:
+                    rec["dig"] = int(s.str.fullmatch("[0-9]+").eq(True).sum())
+                if "ts" in fams:
+                    # The gate only ever fires on double-cast FAILURES: a
+                    # castable string (sign, digits, '.', exponent) can never
+                    # contain '-' after four leading digits, so probing the
+                    # failure subset is exactly the full-column counter — and
+                    # costs nothing on numeric columns.
+                    rec["ts"] = 0
+                    if len(fail):
+                        gated = fail[
+                            fail.str.match("[0-9]{4}-[0-9]{2}-[0-9]{2}").eq(True)
+                        ]
+                        if len(gated):
+                            rec["ts"] = int(
+                                pd.to_datetime(gated, errors="coerce", format="mixed")
+                                .notna()
+                                .sum()
+                            )
+                if "bool" in fams:
+                    rec["bool"] = int(s.str.lower().isin(bool_tokens).sum())
+                out["col"].append(c)
+                out["total"].append(len(pdf))
+                for f in fams:
+                    out[f].append(rec.get(f, 0))
+            yield pd.DataFrame(out)
+
+    schema = "col string, total long, " + ", ".join(f"{f} long" for f in fams)
+    partial = df.select(*[F.col(f"`{c}`") for c in cols]).mapInPandas(kernel, schema=schema)
+    agg = partial.groupBy("col").agg(
+        F.sum("total").alias("total"), *[F.sum(f).alias(f) for f in fams]
+    )
+    res: dict[str, dict[str, int]] = {
+        c: {"total": 0, **{f: 0 for f in fams}} for c in cols
+    }
+    for row in agg.collect():
+        res[row["col"]] = {
+            "total": int(row["total"]),
+            **{f: int(row[f] or 0) for f in fams},
+        }
+    return res
 
 
 def column_stats(df: DataFrame, columns: list[str] | None = None) -> dict[str, ColumnStats]:
-    """One aggregate job → counters for every string column."""
+    """One scan → full counters for every string column."""
     str_cols = columns or [
         f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
     ]
-    if not str_cols:
-        return {}
-    exprs = [F.count(F.lit(1)).alias("\x00total")]
-    for c in str_cols:
-        exprs.extend(_counter_exprs(c))
-    row = df.agg(*exprs).first()
-    total = row["\x00total"]
-
-    def g(c: str, k: str) -> int:
-        v = row[f"{c}\x00{k}"]
-        return int(v) if v is not None else 0
-
+    counts = _counter_scan(df, str_cols, _ALL_FAMILIES)
     return {
         c: ColumnStats(
-            total=total,
-            non_null=g(c, "nn"),
-            num_ok=g(c, "num"),
-            int_ok=g(c, "int"),
-            digits=g(c, "dig"),
-            ts_ok=g(c, "ts"),
-            bool_ok=g(c, "bool"),
+            total=k["total"],
+            non_null=k["nn"],
+            num_ok=k["num"],
+            int_ok=k["int"],
+            digits=k["dig"],
+            ts_ok=k["ts"],
+            bool_ok=k["bool"],
         )
-        for c in str_cols
+        for c, k in counts.items()
     }
 
 
 def _decide_types(df: DataFrame, str_cols: list[str]) -> dict[str, str]:
-    """Two-phase counter scan → ``{column: logical type}``.
+    """Single counter scan → ``{column: logical type}``.
 
-    Phase 1 computes only the cheap numeric counters (non-null / double-cast /
-    integral) for every column; the reference precedence (etl.py:860-913)
-    decides INTEGER / FLOAT / fully-null-STRING from those alone.  Only the
-    columns still undecided — typically the handful of genuinely textual ones —
-    pay the expensive counters (digit regex, gated timestamp parse, boolean
-    token probe) in a second scan over just those columns.
-
-    Besides skipping work, the split keeps each aggregate well under
-    ``spark.sql.codegen.maxFields``: the previous single 6-counters-per-column
-    aggregate fell out of whole-stage codegen entirely on wide frames
-    (interpreted eval, no common-subexpression elimination → every
-    ``try_cast`` re-parsed 4×/row), which cost ~7× on an 11-column scan.
+    One Arrow-batched ``_counter_scan`` pass computes every counter the
+    reference precedence (etl.py:860-913) needs.  The expensive probes are
+    self-gating inside the kernel: the timestamp parse touches only
+    double-cast-failure cells (zero on numeric columns), so a second
+    phase-restricted scan would only re-pay the dominant cost — the scan +
+    stringify itself — to save work that is already near-free.  (The earlier
+    Catalyst-expression formulation, 6 counters × N columns in one aggregate,
+    paid interpreted per-cell cast/regex cost — ~65 s at sf0.1 — where the
+    vectorized kernel is bounded by the parquet scan.)
     """
     decisions: dict[str, str] = {}
     if not str_cols:
         return decisions
-    # The counter scan is CPU-heavy per row (casts, regex, timestamp parse).
-    # A file with fewer splits than cores — e.g. a single giant row group —
-    # would run it effectively single-threaded, so spread the rows first.
-    # With well-laid-out data (splits >= cores, the 100 TB case) this branch
-    # never fires and no shuffle is added.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    exprs = [F.count(F.lit(1)).alias("\x00total")]
+    # The reference's digit guard ("every cell all-digits → not a date",
+    # etl.py:884) is a tautology in counter form: a column reaching the
+    # timestamp branch has num < nn, i.e. some cell failed the double cast,
+    # and every all-digit string casts — so dig <= num < nn <= total and the
+    # guard always passes.  No digit counter needed.
+    counts = _counter_scan(df, str_cols, ("nn", "num", "int", "ts", "bool"))
     for c in str_cols:
-        col = F.col(f"`{c}`")
-        d = col.try_cast("double")
-        integral = d.isNotNull() & ~F.isnan(d) & (d == F.floor(d))
-        exprs.append(F.count(col).alias(f"{c}\x00nn"))
-        exprs.append(F.count(d).alias(f"{c}\x00num"))
-        exprs.append(F.sum(integral.cast("long")).alias(f"{c}\x00int"))
-    row = df.agg(*exprs).first()
-    total = row["\x00total"]
-    undecided: list[tuple[str, int]] = []
-    for c in str_cols:
-        nn = int(row[f"{c}\x00nn"] or 0)
-        num = int(row[f"{c}\x00num"] or 0)
-        intk = int(row[f"{c}\x00int"] or 0)
+        k = counts[c]
+        nn, num = k["nn"], k["num"]
         if nn == 0:
             decisions[c] = "STRING"
-        elif num == nn and intk == nn:
+        elif num == nn and k["int"] == nn:
             decisions[c] = "INTEGER"
         elif num == nn:
             decisions[c] = "FLOAT"
+        elif k["ts"] == nn:
+            decisions[c] = "TIMESTAMP"
+        elif k["bool"] == nn:
+            decisions[c] = "BOOLEAN"
         else:
-            undecided.append((c, nn))
-    if undecided:
-        # The reference's digit guard ("every cell all-digits → not a date",
-        # etl.py:884) is a tautology here: an undecided column has num < nn,
-        # i.e. some cell failed the double cast, and every all-digit string
-        # casts — so dig <= num < nn <= total and the guard always passes.
-        # No digit counter needed.
-        exprs2 = []
-        for c, _ in undecided:
-            col = F.col(f"`{c}`")
-            ts_gated = F.when(col.rlike(TS_GATE_RE), F.try_to_timestamp(col))
-            exprs2.append(F.count(ts_gated).alias(f"{c}\x00ts"))
-            exprs2.append(
-                F.sum(F.lower(col).isin(*_BOOL_TOKENS).cast("long")).alias(f"{c}\x00bool")
-            )
-        row2 = df.agg(*exprs2).first()
-        for c, nn in undecided:
-            ts = int(row2[f"{c}\x00ts"] or 0)
-            boolk = int(row2[f"{c}\x00bool"] or 0)
-            if ts == nn:
-                decisions[c] = "TIMESTAMP"
-            elif boolk == nn:
-                decisions[c] = "BOOLEAN"
-            else:
-                decisions[c] = "STRING"
+            decisions[c] = "STRING"
     return decisions
 
 

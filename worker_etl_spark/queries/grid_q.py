@@ -65,7 +65,10 @@ def _lineitem_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="file string, sheet string, row_idx long, "
         "`0` string, `1` string, `2` string, `3` string, `4` string",
     )
-    return fixed.unionByName(data)
+    # A sheet grid is small by nature (bounded by spreadsheet limits); one
+    # partition keeps every downstream Python stage (detection, counter scan)
+    # at one real task instead of ~33 near-empty ones.
+    return fixed.unionByName(data).coalesce(1)
 
 
 @register(
@@ -129,5 +132,5 @@ def g02_grid_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         schema="file string, sheet string, row_idx long, "
         + ", ".join(f"`{i}` string" for i in range(7)),
-    )
+    ).coalesce(1)
     return detect_tables(grid).orderBy("table_id")
