@@ -31,9 +31,12 @@ def main() -> None:
     # Warm the JVM + parquet footers + Python UDF workers once so per-query
     # numbers measure the query, not session/worker bootstrap (the first
     # Arrow-batched UDF stage in a session pays ~20 s of worker spin-up).
+    # Both Python paths need their own warm-up: mapInPandas and the
+    # grouped-map (applyInPandas) runner spin up workers independently.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     warm = spark.range(64).selectExpr("id", "CAST(id AS double) AS v")
     warm.mapInPandas(lambda it: it, schema="id long, v double").count()
+    warm.groupBy("id").applyInPandas(lambda p: p, schema="id long, v double").count()
 
     timings: dict[str, float] = {}
     for name, spec in registry.items():
@@ -42,7 +45,9 @@ def main() -> None:
         t0 = time.time()
         try:
             df = spec.fn(spark, sf_dir)
-            df.count()
+            # noop sink: materializes every output column (count() would let
+            # Catalyst prune final-projection expressions entirely).
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench error in {name}: {exc}", file=sys.stderr)

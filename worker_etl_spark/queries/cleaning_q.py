@@ -49,7 +49,7 @@ _MESSY_SQL = """
 # --- C6 + C7: trim then null-token normalize -------------------------------------
 @register(
     "c01_trim_null_normalize",
-    oracle=f"""
+    oracle=rf"""
     WITH messy AS ({_MESSY_SQL}),
     cleaned AS (
       SELECT doc_id,
@@ -76,7 +76,7 @@ def c01_trim_null_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- C5: drop all-null rows -------------------------------------------------------
 @register(
     "c02_drop_all_null_rows",
-    oracle=f"""
+    oracle=rf"""
     WITH messy AS ({_MESSY_SQL}),
     nulled AS (
       SELECT doc_id,

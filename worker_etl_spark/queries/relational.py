@@ -422,7 +422,7 @@ def q13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_sessionize",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -431,7 +431,7 @@ def q13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM flagged
@@ -449,6 +449,7 @@ def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = e.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -460,7 +461,14 @@ def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_session"),
     )
-    w2 = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # event_id tiebreak matches the flag window's order — without it, tied
+    # timestamps at a session boundary could cumulative-sum in a different
+    # row order than the oracle and split sessions nondeterministically.
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     sessions = flagged.select(
         "user_id", "ts", F.sum("new_session").over(w2).alias("session_id")
     )
@@ -608,8 +616,7 @@ def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark has no native ASOF JOIN; the scalable pattern is an equi-join on the
     user key + range predicate, then a per-key window keeping the latest row.
-    AQE handles skewed user keys.  (An ``applyInPandas`` + ``merge_asof``
-    variant is provided in operators/asof.py for the sorted-partition path.)
+    AQE handles skewed user keys.
     """
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     e = _t(spark, sf_dir, "events")
