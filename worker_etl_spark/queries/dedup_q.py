@@ -326,6 +326,26 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- d06: embedding cosine near-dup (brute-force baseline) -------------------
+#: Ceiling for d06's driver-side catalog materialization: 250k rows × 64-dim
+#: float64 ≈ 128 MB — comfortably broadcastable, loudly NOT 100 TB.
+MAX_BROADCAST_CATALOG_ROWS = 250_000
+
+
+def _check_catalog_size(n_rows: int, limit: int = MAX_BROADCAST_CATALOG_ROWS) -> None:
+    """Enforce d06's small-catalog contract before ``toPandas``.
+
+    Without this, a larger scale factor turns the documented 'catalog-sized
+    candidate set' assumption into a silent driver OOM.  Large catalogs
+    belong on the LSH-bucketed path (s02_topk_lsh / d03_lsh_buckets), which
+    never materializes the table."""
+    if n_rows > limit:
+        raise ValueError(
+            f"embedding catalog has {n_rows} rows, above the {limit}-row "
+            "broadcast contract for the exact brute-force path; use the "
+            "LSH-bucketed near-dup path (s02_topk_lsh) for large catalogs"
+        )
+
+
 @register(
     "d06_embedding_neardup",
     oracle=f"""
@@ -351,7 +371,8 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = e.toPandas()  # candidate catalog: small by contract (broadcast side)
+    _check_catalog_size(e.count())
+    pdf = e.toPandas()  # candidate catalog: small by contract (enforced above)
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
