@@ -163,3 +163,23 @@ def test_write_table_bad_disposition(spark, tmp_path):
     df = spark.range(1)
     with pytest.raises(ValueError):
         write_table(df, str(tmp_path), "ds", "t", "WRITE_NONSENSE")
+
+
+def test_write_catalog_table_registers_and_schema_lookup_wins(spark, tmp_path):
+    from worker_etl_spark.operators import inference
+    from worker_etl_spark.sinks.writer import write_catalog_table
+
+    typed = spark.createDataFrame([(1, 1.5)], "k long, v double")
+    ident = write_catalog_table(typed, "ingest_ws", "t_catalog_ut", "WRITE_TRUNCATE")
+    assert spark.catalog.tableExists(ident)
+    # I2 lookup returns logical types from the catalog
+    schema = inference.get_existing_schema(spark, ident)
+    assert {f["name"]: f["type"] for f in schema} == {"k": "INTEGER", "v": "FLOAT"}
+    # I1 chain: catalog wins over what inference would say for string input
+    src = spark.createDataFrame([("1", "2")], "k string, v string")
+    chain = inference.determine_schema(spark, src, ident, "existing_or_pandas")
+    assert {f["name"]: f["type"] for f in chain} == {"k": "INTEGER", "v": "FLOAT"}
+    # overwrite twice is idempotent (drop + recreate)
+    write_catalog_table(typed, "ingest_ws", "t_catalog_ut", "WRITE_TRUNCATE")
+    assert spark.table(ident).count() == 1
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")

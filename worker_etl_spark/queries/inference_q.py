@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from worker_etl_spark.config import BOOL_FALSE_TOKENS, BOOL_TRUE_TOKENS
 from worker_etl_spark.operators import inference
 from worker_etl_spark.queries import register
+from worker_etl_spark.sinks.writer import write_catalog_table
 from worker_etl_spark.sources.tables import read_table
 
 _LINEITEM_COLS = [
@@ -154,4 +155,62 @@ def i02_align_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("flag"), 1)).alias("n_true"),
         F.count("disc").alias("n_disc"),
         F.count("missing_col").alias("n_missing"),
+    )
+
+
+# --- I1+I2: catalog-schema precedence over re-inference --------------------------
+@register(
+    "i03_catalog_schema_reingest",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS order_key,
+             CAST(l_quantity AS VARCHAR) AS qty,
+             CAST(l_shipdate AS VARCHAR) AS ship_date
+      FROM lineitem WHERE l_orderkey <= 500
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_rows,
+           CAST(sum(CAST(order_key AS BIGINT)) AS BIGINT) AS sum_order_key,
+           round(sum(CAST(qty AS DOUBLE)), 2)             AS sum_qty,
+           min(CAST(ship_date AS TIMESTAMP))              AS min_ship
+    FROM src
+    """,
+)
+def i03_catalog_schema_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``existing_or_*`` chain end-to-end (etl.py:934-948):
+    a sink table's schema wins over re-inference on the next ingest.
+
+    First load: the stringified source is aligned to a target where ``qty``
+    is FLOAT and written with ``saveAsTable`` (catalog-registered).  Second
+    load of the SAME strings uses ``determine_schema(existing_or_pandas)``:
+    the schema must come from the catalog lookup (I2) — heuristic inference
+    (I4) would type integral-string ``qty`` as INTEGER, so ``sum_qty``
+    arriving as DOUBLE in the result schema is the proof the catalog won.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    src = l.filter(F.col("l_orderkey") <= 500).select(
+        F.col("l_orderkey").cast("string").alias("order_key"),
+        F.col("l_quantity").cast("string").alias("qty"),
+        F.col("l_shipdate").cast("string").alias("ship_date"),
+    )
+    first_load = inference.align_to_schema(
+        src,
+        [
+            {"name": "order_key", "type": "INTEGER"},
+            {"name": "qty", "type": "FLOAT"},
+            {"name": "ship_date", "type": "TIMESTAMP"},
+        ],
+    )
+    ident = write_catalog_table(
+        first_load, "ingest_ws", "reingest_demo", "WRITE_TRUNCATE"
+    )
+    schema = inference.determine_schema(spark, src, ident, "existing_or_pandas")
+    assert {f["name"]: f["type"] for f in schema} == {
+        "order_key": "INTEGER", "qty": "FLOAT", "ship_date": "TIMESTAMP",
+    }, "catalog lookup (I2) must supply the schema, not re-inference"
+    aligned = inference.align_to_schema(src, schema)
+    return aligned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("order_key").cast("long").alias("sum_order_key"),
+        F.round(F.sum("qty"), 2).alias("sum_qty"),
+        F.min("ship_date").alias("min_ship"),
     )

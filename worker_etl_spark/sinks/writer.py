@@ -16,6 +16,8 @@ Scale posture: writes go through the normal distributed parquet committer;
 from __future__ import annotations
 
 import os
+import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame
 
@@ -71,3 +73,42 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(location)
     return location
+
+
+def write_catalog_table(
+    df: DataFrame,
+    dataset: str,
+    table: str,
+    disposition: str = "WRITE_APPEND",
+    partition_by: list[str] | None = None,
+) -> str:
+    """S6 catalog mode: write ``<dataset>.<table>`` via ``saveAsTable``.
+
+    Registering the sink table in the session catalog is what makes the
+    reference's ``existing_or_*`` schema chain reachable end-to-end: a later
+    ingest of the same source resolves its schema from the catalog (I2,
+    ``inference.get_existing_schema``) instead of re-inferring — sink-table
+    schema wins over inference, matching reference ``etl.py:934-948``.
+
+    Returns the fully-qualified table identifier.
+    """
+    mode = _DISPOSITION_TO_MODE.get(disposition)
+    if mode is None:
+        raise ValueError(f"unsupported write disposition: {disposition!r}")
+    spark = df.sparkSession
+    ident = f"{dataset}.{table}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {dataset}")
+    if mode == "overwrite":
+        # In-memory catalogs forget managed-table locations across sessions;
+        # clear any orphaned directory so the recreate doesn't trip over it.
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        if warehouse:
+            shutil.rmtree(
+                os.path.join(warehouse, f"{dataset}.db", table), ignore_errors=True
+            )
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(ident)
+    return ident
