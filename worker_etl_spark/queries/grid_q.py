@@ -134,3 +134,30 @@ def g02_grid_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"`{i}` string" for i in range(7)),
     ).coalesce(1)
     return detect_tables(grid).orderBy("table_id")
+
+
+# --- D7: no-detection fallback (whole-sheet single candidate) --------------------
+@register(
+    "g03_grid_fallback_whole_sheet",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('multi.xlsx', 'Sheet1', 'table_1', 0::BIGINT, 6::BIGINT, 0::BIGINT, 6::BIGINT,
+       7::BIGINT, 7::BIGINT, 0.44898::DOUBLE, 0.47013::DOUBLE)
+    ) AS t(file, sheet, table_id, min_row, max_row, min_col, max_col,
+           n_rows, n_cols, density, score)
+    """,
+)
+def g03_grid_fallback_whole_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 fallback mode (``detect_components=False``, reference
+    ``etl.py:204`` path): the whole sheet's content bbox is scored as ONE
+    candidate — same multi-block layout as g02, which in component mode
+    yields two tables but here one spanning block (density 22/49)."""
+    rows = [
+        ("multi.xlsx", "Sheet1", i, *r) for i, r in enumerate(_G02_LAYOUT)
+    ]
+    grid = spark.createDataFrame(
+        rows,
+        schema="file string, sheet string, row_idx long, "
+        + ", ".join(f"`{i}` string" for i in range(7)),
+    ).coalesce(1)
+    return detect_tables(grid, detect_components=False).orderBy("table_id")

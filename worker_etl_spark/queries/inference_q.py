@@ -81,6 +81,26 @@ _I02_TARGET = [
 ]
 
 
+def _i02_messy_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic garbage-injected stringification of lineitem (i02/i04)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return l.select(
+        F.when(k % 97 == 0, "garbage").otherwise(F.col("l_quantity").cast("string")).alias("qty"),
+        F.when(k % 89 == 0, "").otherwise(F.col("l_extendedprice").cast("string")).alias("price"),
+        F.when(k % 83 == 0, "not-a-date").otherwise(F.col("l_shipdate").cast("string")).alias("ship"),
+        F.when(k % 5 == 0, "yes")
+        .when(k % 5 == 1, "NO")
+        .when(k % 5 == 2, "1.0")
+        .when(k % 5 == 3, "junk")
+        .otherwise("TRUE")
+        .alias("flag"),
+        F.col("l_discount").cast("string").alias("disc"),
+        # extra column NOT in the target schema → must be dropped (I5)
+        F.col("l_returnflag").alias("extra_col"),
+    )
+
+
 @register(
     "i02_align_coerce",
     oracle=f"""
@@ -126,22 +146,7 @@ _I02_TARGET = [
     """,
 )
 def i02_align_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = read_table(spark, sf_dir, "lineitem")
-    k = F.col("l_orderkey")
-    messy = l.select(
-        F.when(k % 97 == 0, "garbage").otherwise(F.col("l_quantity").cast("string")).alias("qty"),
-        F.when(k % 89 == 0, "").otherwise(F.col("l_extendedprice").cast("string")).alias("price"),
-        F.when(k % 83 == 0, "not-a-date").otherwise(F.col("l_shipdate").cast("string")).alias("ship"),
-        F.when(k % 5 == 0, "yes")
-        .when(k % 5 == 1, "NO")
-        .when(k % 5 == 2, "1.0")
-        .when(k % 5 == 3, "junk")
-        .otherwise("TRUE")
-        .alias("flag"),
-        F.col("l_discount").cast("string").alias("disc"),
-        # extra column NOT in the target schema → must be dropped (I5)
-        F.col("l_returnflag").alias("extra_col"),
-    )
+    messy = _i02_messy_frame(spark, sf_dir)
     aligned = inference.align_to_schema(messy, _I02_TARGET)
     return aligned.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -214,3 +219,47 @@ def i03_catalog_schema_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("qty"), 2).alias("sum_qty"),
         F.min("ship_date").alias("min_ship"),
     )
+
+
+# --- I7: coercion-quality metrics -------------------------------------------------
+@register(
+    "i04_coercion_metrics",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN l_orderkey % 97 = 0 THEN 1 END) AS BIGINT) AS qty_new,
+             CAST(count(CASE WHEN l_orderkey % 89 = 0 THEN 1 END) AS BIGINT) AS price_new,
+             CAST(count(CASE WHEN l_orderkey % 83 = 0 THEN 1 END) AS BIGINT) AS ship_new,
+             CAST(count(CASE WHEN l_orderkey % 5 = 3 THEN 1 END) AS BIGINT) AS flag_new,
+             CAST(count(CASE WHEN l_discount <> floor(l_discount) THEN 1 END) AS BIGINT) AS disc_new
+      FROM lineitem
+    )
+    SELECT name, CAST(0 AS BIGINT) AS original_nulls, new_nulls, n_rows,
+           (new_nulls > 0.1 * n_rows AND new_nulls > 5) AS warn
+    FROM (
+      SELECT 'qty' AS name, qty_new AS new_nulls, n_rows FROM base
+      UNION ALL SELECT 'price', price_new, n_rows FROM base
+      UNION ALL SELECT 'ship', ship_new, n_rows FROM base
+      UNION ALL SELECT 'flag', flag_new, n_rows FROM base
+      UNION ALL SELECT 'disc', disc_new, n_rows FROM base
+    )
+    ORDER BY name
+    """,
+)
+def i04_coercion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7: per-column new-NULL accounting for a coercion, one scan
+    (reference warn rule: >10% and >5 new NULLs, etl.py:1121-1126).
+
+    The i02 messy frame is the fixture: 'junk' booleans null ~20% of
+    ``flag`` and fractional discounts bulk-null under the INTEGER target
+    (both warn); qty/price/ship garbage stays ~1% (no warn).
+    """
+    messy = _i02_messy_frame(spark, sf_dir)
+    metrics = inference.coercion_metrics(messy, _I02_TARGET)
+    return spark.createDataFrame(
+        [
+            (m["name"], m["original_nulls"], m["new_nulls"], m["rows"], m["warn"])
+            for m in metrics
+        ],
+        "name string, original_nulls long, new_nulls long, n_rows long, warn boolean",
+    ).orderBy("name")
