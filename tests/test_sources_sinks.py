@@ -183,3 +183,36 @@ def test_write_catalog_table_registers_and_schema_lookup_wins(spark, tmp_path):
     write_catalog_table(typed, "ingest_ws", "t_catalog_ut", "WRITE_TRUNCATE")
     assert spark.table(ident).count() == 1
     spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def test_stdlib_xlsx_roundtrip(tmp_path):
+    from worker_etl_spark.sources.excel import (
+        default_xlsx_parser,
+        stdlib_xlsx_parser,
+        write_minimal_xlsx,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    write_minimal_xlsx(
+        p,
+        {
+            "S1": [["h1", "h2", "h3"], [1, 2.5, None], [None, True, "x & <y>"]],
+            "Sheet Two": [[], ["only", None, "row2"]],
+        },
+    )
+    parsed = stdlib_xlsx_parser(open(p, "rb").read())
+    assert parsed["S1"][0] == ["h1", "h2", "h3"]
+    assert parsed["S1"][1] == ["1", "2.5"]          # numeric cells keep raw text
+    assert parsed["S1"][2] == [None, "True", "x & <y>"]  # gap, bool, escaping
+    assert parsed["Sheet Two"] == [[], ["only", None, "row2"]]
+    # default chain falls back to the stdlib reader when no codec exists
+    assert default_xlsx_parser(open(p, "rb").read()) == parsed
+
+
+def test_stdlib_xlsx_rejects_non_ooxml():
+    import pytest
+
+    from worker_etl_spark.sources.excel import stdlib_xlsx_parser
+
+    with pytest.raises(NotImplementedError, match="xls"):
+        stdlib_xlsx_parser(b"\xd0\xcf\x11\xe0 legacy xls magic")

@@ -114,3 +114,31 @@ def srm01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
     ).orderBy("n_nationkey")
+
+
+# --- src03: native .xlsx ingest (S3, stdlib OOXML reader, no codec) ----------
+@register(
+    "src03_excel_native_ingest",
+    oracle="""
+    SELECT r_regionkey::BIGINT AS r_regionkey, r_name
+    FROM region ORDER BY r_regionkey
+    """,
+)
+def src03_excel_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Drop an .xlsx on the queue' — the reference's core case — with a REAL
+    workbook binary: numeric cells + shared strings written by
+    ``write_minimal_xlsx``, decoded by the default parser chain (pandas when
+    a codec exists, stdlib OOXML reader here), then the standard
+    detect → clean → infer → coerce tail."""
+    from worker_etl_spark.sources.excel import write_minimal_xlsx
+
+    rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src03_")
+    path = os.path.join(tmp, "regions_native.xlsx")
+    write_minimal_xlsx(
+        path,
+        {"Regions": [["r_regionkey", "r_name"]]
+                    + [[int(r.r_regionkey), str(r.r_name)] for r in rg]},
+    )
+    grid = widen_grid(read_excel_grids(spark, path))  # default parser chain
+    return _grid_to_typed(grid).orderBy("r_regionkey")

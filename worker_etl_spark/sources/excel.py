@@ -14,18 +14,24 @@ envelope as the reference's whole-file materialization (``etl.py:537-617``);
 workbooks parallelize across executors.  Partition size is governed by
 ``spark.sql.files.maxPartitionBytes`` on the binaryFile scan.
 
-The actual xlsx codec (openpyxl/xlrd) is NOT installed in this container, so
-the default parser raises a clear error; tests inject a plain-bytes parser
-to drive the full distributed plumbing.  With openpyxl present the default
-parser is pandas ``read_excel(sheet_name=None, dtype=str, header=None)`` —
-exactly the reference's untyped multi-sheet read.
+The default parser chain matches the reference where possible and degrades
+gracefully: pandas ``read_excel(sheet_name=None, dtype=str, header=None)``
+(exactly the reference's untyped multi-sheet read, ``etl.py:242-263``) when
+an Excel codec is installed, else a self-contained stdlib reader — .xlsx is
+just a zip of OOXML worksheets (ECMA-376, a public format), so
+``stdlib_xlsx_parser`` reads shared strings, inline strings, numbers and
+booleans with ``zipfile`` + ``ElementTree`` and no third-party codec.
+Legacy binary ``.xls`` still requires xlrd.  A parser stays injectable for
+custom formats.
 """
 
 from __future__ import annotations
 
 import io
 import os
+import zipfile
 from collections.abc import Callable, Iterator
+from xml.etree import ElementTree as ET
 
 import pandas as pd
 
@@ -52,19 +58,222 @@ GRID_SCHEMA = StructType(
 
 
 def pandas_xlsx_parser(content: bytes) -> dict[str, list[list[object]]]:
-    """Default parser: pandas read_excel, untyped, all sheets.  Requires
-    openpyxl (xlsx) / xlrd (xls) — absent in this container."""
-    try:
-        sheets = pd.read_excel(
-            io.BytesIO(content), sheet_name=None, dtype=str, header=None
-        )
-    except ImportError as exc:
-        raise NotImplementedError(
-            "no Excel codec (openpyxl/xlrd) installed; inject a SheetParser"
-        ) from exc
+    """Reference-exact parser: pandas read_excel, untyped, all sheets.
+    Requires openpyxl (xlsx) / xlrd (xls)."""
+    sheets = pd.read_excel(
+        io.BytesIO(content), sheet_name=None, dtype=str, header=None
+    )
     return {
         name: df.where(df.notna(), None).values.tolist() for name, df in sheets.items()
     }
+
+
+# --- stdlib OOXML reader (no codec dependency) ------------------------------------
+_M = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_R = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_RID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'BC12' → 0-based column 54."""
+    n = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _text_runs(el) -> str:
+    """Concatenated <t> text under an <si>/<is> (plain or rich-text runs)."""
+    return "".join(t.text or "" for t in el.iter(f"{_M}t"))
+
+
+def stdlib_xlsx_parser(content: bytes) -> dict[str, list[list[object]]]:
+    """Self-contained .xlsx reader: zipfile + ElementTree over ECMA-376 XML.
+
+    Covers the untyped-scan semantics the reference needs
+    (``pd.read_excel(dtype=str, header=None)``, ``etl.py:242-263``): shared
+    strings (incl. rich-text runs), inline strings, formula-string and
+    numeric cells (raw stored text, so '1' stays '1' and '1.5' stays
+    '1.5'), booleans as 'True'/'False', skipped rows/cells as None gaps.
+    Documented divergence: date-styled numeric cells stay raw serial
+    numbers (style-table date conversion needs a full codec).
+    """
+    if not zipfile.is_zipfile(io.BytesIO(content)):
+        raise NotImplementedError(
+            "not an OOXML (.xlsx) workbook — legacy .xls needs xlrd; "
+            "inject a SheetParser"
+        )
+    zf = zipfile.ZipFile(io.BytesIO(content))
+    names = set(zf.namelist())
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        shared = [_text_runs(si) for si in sst.findall(f"{_M}si")]
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    target_by_rid = {
+        r.get("Id"): r.get("Target") for r in rels.findall(f"{_R}Relationship")
+    }
+    out: dict[str, list[list[object]]] = {}
+    for sh in wb.find(f"{_M}sheets").findall(f"{_M}sheet"):
+        target = target_by_rid.get(sh.get(_RID)) or ""
+        target = target.lstrip("/")
+        if not target.startswith("xl/"):
+            target = "xl/" + target
+        ws = ET.fromstring(zf.read(target))
+        sheet_data = ws.find(f"{_M}sheetData")
+        rows_out: list[list[object]] = []
+        for row in [] if sheet_data is None else sheet_data.findall(f"{_M}row"):
+            r_attr = row.get("r")
+            r_idx = int(r_attr) - 1 if r_attr else len(rows_out)
+            while len(rows_out) < r_idx:  # skipped rows → empty (all-None)
+                rows_out.append([])
+            cells: list[object] = []
+            next_col = 0
+            for c in row.findall(f"{_M}c"):
+                ref = c.get("r")
+                ci = _col_index(ref) if ref else next_col
+                next_col = ci + 1
+                while len(cells) < ci:  # skipped cells → None gaps
+                    cells.append(None)
+                t = c.get("t", "n")
+                val: object
+                if t == "inlineStr":
+                    is_el = c.find(f"{_M}is")
+                    val = _text_runs(is_el) if is_el is not None else None
+                else:
+                    v = c.find(f"{_M}v")
+                    if v is None or v.text is None:
+                        val = None
+                    elif t == "s":
+                        val = shared[int(v.text)]
+                    elif t == "b":
+                        val = "True" if v.text.strip() == "1" else "False"
+                    else:  # numeric / formula-string / error: raw stored text
+                        val = v.text
+                cells.append(val)
+            rows_out.append(cells)
+        out[sh.get("name")] = rows_out
+    return out
+
+
+def default_xlsx_parser(content: bytes) -> dict[str, list[list[object]]]:
+    """Parser chain: reference-exact pandas read when a codec is installed,
+    stdlib OOXML reader otherwise."""
+    try:
+        return pandas_xlsx_parser(content)
+    except ImportError:
+        return stdlib_xlsx_parser(content)
+
+
+# --- minimal OOXML writer (fixtures/demos) ----------------------------------------
+def _col_ref(ci: int) -> str:
+    """0-based column → letters ('A', …, 'AA', …)."""
+    ci += 1
+    ref = ""
+    while ci:
+        ci, rem = divmod(ci - 1, 26)
+        ref = chr(65 + rem) + ref
+    return ref
+
+
+def write_minimal_xlsx(path: str, sheets: dict[str, list[list[object]]]) -> str:
+    """Write a minimal real .xlsx (fixtures/demos — the reference only reads
+    Excel).  str cells go through the shared-strings table, int/float become
+    numeric cells, bools boolean cells, None is skipped — exercising every
+    branch of ``stdlib_xlsx_parser``."""
+    shared: list[str] = []
+    shared_idx: dict[str, int] = {}
+
+    def sst_id(s: str) -> int:
+        if s not in shared_idx:
+            shared_idx[s] = len(shared)
+            shared.append(s)
+        return shared_idx[s]
+
+    sheet_xml: list[str] = []
+    for rows in sheets.values():
+        body = []
+        for ri, row in enumerate(rows, start=1):
+            cs = []
+            for ci, val in enumerate(row):
+                if val is None:
+                    continue
+                ref = f"{_col_ref(ci)}{ri}"
+                if isinstance(val, bool):
+                    cs.append(f'<c r="{ref}" t="b"><v>{1 if val else 0}</v></c>')
+                elif isinstance(val, (int, float)):
+                    cs.append(f'<c r="{ref}"><v>{val}</v></c>')
+                else:
+                    cs.append(f'<c r="{ref}" t="s"><v>{sst_id(str(val))}</v></c>')
+            body.append(f'<row r="{ri}">{"".join(cs)}</row>')
+        sheet_xml.append(
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData>{"".join(body)}</sheetData></worksheet>'
+        )
+
+    def esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    n = len(sheets)
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(n)
+        )
+        + '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        + "".join(
+            f'<sheet name="{esc(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, name in enumerate(sheets)
+        )
+        + "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(n)
+        )
+        + f'<Relationship Id="rId{n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{esc(s)}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        for i, xml in enumerate(sheet_xml):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
+    return path
 
 
 def demo_text_parser(content: bytes) -> dict[str, list[list[object]]]:
@@ -86,7 +295,7 @@ def read_excel_grids(
     parser: SheetParser | None = None,
 ) -> DataFrame:
     """Distributed Excel read → long grid (file, sheet, row_idx, cells)."""
-    parse = parser or pandas_xlsx_parser
+    parse = parser or default_xlsx_parser
     binaries = spark.read.format("binaryFile").load(path_glob).select("path", "content")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
