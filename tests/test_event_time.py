@@ -109,12 +109,29 @@ def test_sessionize_stateful(spark, tmp_path):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+    batch_rows = batch.collect()
     batch_sessions = {
         (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
-        for r in batch.collect()
+        for r in batch_rows
     }
     assert len(got) > 0
     for r in got:
         key = (r.user_id, r.session_start, r.session_end)
         assert key in batch_sessions
         assert batch_sessions[key] == (r.n_events, r.total_value)
+
+    # Completeness on the decidable subset: every batch session that is NOT
+    # the user's last (i.e. a later event closed it) must have been emitted —
+    # so stream output EQUALS batch sessionization up to the open tails.
+    last_end = {}
+    for r in batch_rows:
+        if r.user_id not in last_end or r.session_end > last_end[r.user_id]:
+            last_end[r.user_id] = r.session_end
+    emitted = {(r.user_id, r.session_start, r.session_end) for r in got}
+    closed_batch = {
+        (r.user_id, r.session_start, r.session_end)
+        for r in batch_rows
+        if r.session_end < last_end[r.user_id]
+    }
+    assert closed_batch <= emitted
+    assert len(closed_batch) > 0

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal_q,
         grid_q,
         sources_q,
+        streaming_q,
     )
 
     return REGISTRY

@@ -1,0 +1,39 @@
+"""Oracle-checked queries for the event-time streaming operators.
+
+``windowed_event_counts`` is stream/batch agnostic (``F.window`` +
+watermark), so the SAME code path the streaming tests drive over
+``readStream`` micro-batches runs here in batch mode against the DuckDB
+bucket oracle — closing the CORRECTNESS gap on the operator itself (q15/q16
+verify arithmetic bucketing, not ``F.window``).  The stateful sessionizer is
+not SQL-expressible; its equivalence to q14's batch sessions is asserted by
+a true streaming test (tests/test_event_time.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from worker_etl_spark.queries import register
+from worker_etl_spark.sources.tables import read_table
+from worker_etl_spark.streaming.event_time import windowed_event_counts
+
+
+@register(
+    "evt01_watermarked_windows",
+    oracle="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS win_start,
+           to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT))::TIMESTAMP AS win_end,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+)
+def evt01_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return windowed_event_counts(e, window="1 hour", watermark="30 minutes").orderBy(
+        "win_start", "event_type"
+    )
