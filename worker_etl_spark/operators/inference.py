@@ -435,20 +435,25 @@ def get_existing_schema(spark, table_ident: str) -> list[dict] | None:
 
 
 def validate_llm_schema(raw: object, df_columns: list[str]) -> list[dict] | None:
-    """I3's validation gate (etl.py:786-848): list-shaped, names must exist in
-    the DataFrame (hallucinated names skipped), types whitelisted else STRING.
+    """I3's validation gate (etl.py:786-848): list-shaped; a malformed item
+    (non-dict, or missing/empty/non-string name or type) aborts the whole
+    schema (etl.py:805-813); hallucinated names are skipped; off-whitelist
+    types degrade to STRING.
     """
     if not isinstance(raw, list) or not raw:
         return None
     cols = set(df_columns)
     out = []
     for item in raw:
-        if not isinstance(item, dict):
-            continue
-        name, t = item.get("name"), str(item.get("type", "")).upper()
+        if not isinstance(item, dict) or "name" not in item or "type" not in item:
+            return None
+        name, t = item.get("name"), item.get("type")
+        if not isinstance(name, str) or not isinstance(t, str) or not name or not t:
+            return None
         if name not in cols:
-            continue  # hallucinated column → skipped (etl.py:813-816)
-        out.append({"name": name, "type": t if t in TYPE_WHITELIST else "STRING"})
+            continue  # hallucinated column → skipped (etl.py:816-820)
+        tu = t.upper()
+        out.append({"name": name, "type": tu if tu in TYPE_WHITELIST else "STRING"})
     return out or None
 
 
