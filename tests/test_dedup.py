@@ -25,3 +25,23 @@ def test_d06_runs_under_guard(spark):
 
     out = d06_embedding_neardup(spark, "/root/testdata/sf0.001").collect()
     assert len(out) == 10
+
+
+def test_connected_components_two_chains(spark):
+    from worker_etl_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.lbl) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_no_edges(spark):
+    from worker_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0

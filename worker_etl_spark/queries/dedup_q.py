@@ -263,34 +263,9 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- d05: n-gram Jaccard with rare-shingle blocking --------------------------
-@register(
-    "d05_ngram_jaccard",
-    oracle=f"""
-    WITH {_SQL_SHINGLES},
-    rare AS (
-      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
-    ),
-    rs AS (
-      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
-    ),
-    card AS (
-      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
-    ),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT i.doc_a, i.doc_b,
-           round(i.c / CAST(ca.n + cb.n - i.c AS DOUBLE), 6) AS jaccard
-    FROM inter i
-    JOIN card ca ON ca.doc_id = i.doc_a
-    JOIN card cb ON cb.doc_id = i.doc_b
-    ORDER BY jaccard DESC, i.doc_a, i.doc_b
-    LIMIT 10
-    """,
-)
-def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every rare-shingle-blocked candidate pair
+    (d05's pair program, shared with d07's cluster resolution)."""
     sh = _shingles(spark, sf_dir)
     rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _DF_CAP
@@ -320,6 +295,39 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double"), 6
             ).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "d05_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.c / CAST(ca.n + cb.n - i.c AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN card ca ON ca.doc_id = i.doc_a
+    JOIN card cb ON cb.doc_id = i.doc_b
+    ORDER BY jaccard DESC, i.doc_a, i.doc_b
+    LIMIT 10
+    """,
+)
+def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _jaccard_pairs(spark, sf_dir)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(10)
     )
@@ -406,3 +414,75 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches, schema="vec_a long, vec_b long, cosine double"
     )
     return out.orderBy(F.desc("cosine"), "vec_a", "vec_b").limit(10)
+
+
+# --- d07: duplicate-cluster resolution (connected components) ----------------
+_CLUSTER_JACCARD = 0.9
+
+
+@register(
+    "d07_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a AS a, i.doc_b AS b
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.doc_a
+      JOIN card cb ON cb.doc_id = i.doc_b
+      WHERE i.c / CAST(ca.n + cb.n - i.c AS DOUBLE) >= {_CLUSTER_JACCARD}
+    ),
+    und AS (
+      SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    lbl AS (
+      SELECT src AS node, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(node)                AS max_doc
+    FROM lbl GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: d05's verified pairs (Jaccard >= 0.9) resolved into
+    connected components by iterative min-label propagation
+    (``operators/graph.py``) — the closing step of a dedup pipeline (keep
+    ``cluster_id``, drop the rest).  The oracle re-derives the components
+    with a recursive transitive-closure CTE, so the distributed fixpoint is
+    value-hash-checked against an independent sequential formulation."""
+    from worker_etl_spark.operators.graph import connected_components
+
+    edges = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= _CLUSTER_JACCARD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = connected_components(edges)
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_doc"),
+        )
+        .orderBy("cluster_id")
+    )
