@@ -217,3 +217,137 @@ def s02_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --- s03: IVF-style ANN (coarse quantizer -> probed cells -> exact re-rank) --
+_IVF_STRIDE = 31  # vec_id % stride == 0 -> centroid (deterministic quantizer)
+_IVF_PROBES = 2   # nearest cells probed per query
+
+
+@register(
+    "s03_topk_ivf",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, embedding, nrm FROM v WHERE vec_id % {_IVF_STRIDE} = 0),
+    q AS (SELECT vec_id AS qid, embedding, nrm FROM v WHERE vec_id % {_QUERY_STRIDE} = 0),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round({sql_dot('v.embedding', 'c.embedding')} / (v.nrm * c.nrm), 6) DESC,
+                        c.cid
+             ) AS rn
+      FROM v CROSS JOIN c
+    ),
+    cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    probe AS (
+      SELECT q.qid, c.cid,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round({sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) DESC,
+                        c.cid
+             ) AS rn
+      FROM q CROSS JOIN c
+    ),
+    probes AS (SELECT qid, cid AS cell FROM probe WHERE rn <= {_IVF_PROBES}),
+    cand AS (
+      SELECT p.qid, ce.vec_id AS cand_id
+      FROM probes p JOIN cell ce ON ce.cell = p.cell
+      WHERE ce.vec_id <> p.qid
+    ),
+    scored AS (
+      SELECT cand.qid AS query_id, cand.cand_id,
+             round({sql_dot('q.embedding', 'v.embedding')} / (q.nrm * v.nrm), 6) AS cosine
+      FROM cand
+      JOIN q ON q.qid = cand.qid
+      JOIN v ON v.vec_id = cand.cand_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def s03_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: strided deterministic centroids form the coarse
+    quantizer; every vector is assigned to its nearest cell in one streamed
+    pass; each query probes its ``_IVF_PROBES`` nearest cells and re-ranks
+    exactly within them.
+
+    Scale shape: centroid and query matrices are broadcast (both o(n): the
+    quantizer is catalog-sized by construction), the candidate side streams
+    batch-wise through one BLAS kernel per Arrow batch computing assignment
+    AND probed-cell cosines together — scan-shaped, no shuffle beyond the
+    final (queries x k)-row re-rank, no O(n^2) anywhere.  Cosines are
+    rounded to 6 dp BEFORE every argmax/rank on both engines, with id
+    tiebreaks, so cell boundaries and rankings are cross-engine stable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def collect_mat(df):
+        pdf = df.orderBy("vec_id").toPandas()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        return ids, mat, np.linalg.norm(mat, axis=1)
+
+    c_ids, c_mat, c_nrm = collect_mat(e.filter(F.col("vec_id") % _IVF_STRIDE == 0))
+    q_ids, q_mat, q_nrm = collect_mat(e.filter(F.col("vec_id") % _QUERY_STRIDE == 0))
+
+    # Driver-side probe selection (queries x centroids is o(n) x o(n)):
+    # rounded cosine, first-max argpick = smallest cid on ties (c_ids sorted).
+    q_sims = np.round((q_mat @ c_mat.T) / np.outer(q_nrm, c_nrm), 6)
+    order = np.lexsort((np.arange(len(c_ids))[None, :].repeat(len(q_ids), 0), -q_sims))
+    probed = order[:, :_IVF_PROBES]  # (n_q, P) centroid indices
+    # probe matrix: P_qc[q, cell] = query q probes that cell
+    probe_mask = np.zeros((len(q_ids), len(c_ids)), dtype=bool)
+    for qi in range(len(q_ids)):
+        probe_mask[qi, probed[qi]] = True
+    bc = spark.sparkContext.broadcast((c_mat, c_nrm, q_ids, q_mat, q_nrm, probe_mask))
+
+    def batches(it):
+        cm, cn, qi, qm, qn, pm = bc.value
+        for batch in it:
+            if not len(batch):
+                continue
+            x_ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            x = np.array(batch["embedding"].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            cell_sims = np.round((cm @ x.T) / np.outer(cn, xn), 6)  # (n_c, n_batch)
+            cells = np.argmax(cell_sims, axis=0)  # first max = smallest cid
+            sims = np.round((qm @ x.T) / np.outer(qn, xn), 6)  # (n_q, n_batch)
+            in_probe = pm[:, cells]  # (n_q, n_batch)
+            sims = np.where(in_probe & (qi[:, None] != x_ids[None, :]), sims, -np.inf)
+            k = min(_TOP_K, sims.shape[1])
+            out_q, out_c, out_s = [], [], []
+            for row in range(sims.shape[0]):
+                top = np.lexsort((x_ids, -sims[row]))[:k]
+                keep = np.isfinite(sims[row][top])
+                top = top[keep]
+                out_q.append(np.full(top.size, qi[row], dtype=np.int64))
+                out_c.append(x_ids[top])
+                out_s.append(sims[row][top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = e.mapInPandas(batches, schema="query_id long, cand_id long, cosine double")
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
