@@ -37,3 +37,44 @@ def evt01_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(e, window="1 hour", watermark="30 minutes").orderBy(
         "win_start", "event_type"
     )
+
+
+@register(
+    "evt02_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                                  AS session_start,
+           max(ts) + INTERVAL 30 MINUTE             AS session_end,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           round(sum(value), 2)                     AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def evt02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session windows (F.session_window) pinned against an
+    independent gap-sessionization derivation: new session when the gap is
+    >= 30 min (half-open [start, last+gap) window), session_end =
+    last event + gap."""
+    from worker_etl_spark.streaming.event_time import session_window_aggregate
+
+    e = read_table(spark, sf_dir, "events")
+    return session_window_aggregate(e, gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )

@@ -68,6 +68,39 @@ def windowed_event_counts(
     )
 
 
+def session_window_aggregate(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Spark-native session windows (``F.session_window``): per-key sessions
+    that merge events closer than *gap* and close at last-event + gap.
+
+    Stream/batch agnostic like ``windowed_event_counts``; on a stream the
+    watermark bounds session state.  Boundary semantics (a gap EXACTLY equal
+    to the threshold starts a new session — the window is half-open
+    [start, last+gap)) differ from the batch q14 formulation (strictly
+    greater), which is why this operator gets its own oracle.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 SESSION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
