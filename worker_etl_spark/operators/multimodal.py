@@ -138,11 +138,67 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame sampling for video-kind payloads: one output row per sampled
+    frame (every *stride*-th fixed-size byte window of the payload).
+
+    The explode-shaped mapInPandas plumbing is real: payloads arrive as
+    Arrow batches, frames are byte-sliced from the actual binary, and
+    offsets/lengths come from that slicing.  The per-frame FINGERPRINT is
+    the codec stub (``md5(content_md5 ':' frame_idx)`` — a real decoder
+    would hash decoded pixels), which keeps every emitted value
+    recomputable by the SQL oracle while the batch shapes, schema, and
+    slicing stay production-real.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[dict[str, Any]] = []
+            for r in pdf.itertuples():
+                if r.media_meta["kind"] != "video":
+                    continue
+                payload = bytes(r.payload)
+                content_md5 = r.media_meta["content_md5"]
+                n_frames = len(payload) // frame_bytes + 1
+                for idx in range(0, n_frames, stride):
+                    off = idx * frame_bytes
+                    frame = payload[off : off + frame_bytes]
+                    out.append(
+                        {
+                            "doc_id": int(r.doc_id),
+                            "frame_idx": idx,
+                            "frame_offset": off,
+                            "frame_len": len(frame),
+                            "frame_md5": hashlib.md5(
+                                f"{content_md5}:{idx}".encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 __all__ = [
     "MEDIA_KINDS",
     "FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
     "attach_payload",
     "decode_media",
     "extract_features",
+    "sample_frames",
     "BinaryType",
 ]

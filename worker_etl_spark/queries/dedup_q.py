@@ -422,6 +422,7 @@ _CLUSTER_JACCARD = 0.9
 
 @register(
     "d07_dup_clusters",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE {_SQL_SHINGLES},
     rare AS (

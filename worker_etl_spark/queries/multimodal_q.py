@@ -66,3 +66,35 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m02_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return extract_features(attach_payload(d)).orderBy("doc_id")
+
+
+# --- m03: frame sampling (explode-shaped mapInPandas plumbing) ---------------
+@register(
+    "m03_frame_samples",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             md5(text)                  AS content_md5
+      FROM documents
+      WHERE doc_id % 3 = 2  -- video kind
+    ),
+    frames AS (
+      SELECT doc_id, content_md5, byte_len,
+             unnest(range(0, byte_len // 64 + 1, 4)) AS frame_idx
+      FROM meta
+    )
+    SELECT doc_id,
+           frame_idx::INT                                   AS frame_idx,
+           (frame_idx * 64)::BIGINT                         AS frame_offset,
+           least(64, byte_len - frame_idx * 64)::INT        AS frame_len,
+           md5(content_md5 || ':' || frame_idx)             AS frame_md5
+    FROM frames
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_etl_spark.operators.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(d)).orderBy("doc_id", "frame_idx")

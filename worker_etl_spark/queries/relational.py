@@ -665,3 +665,44 @@ def q20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("band_name")
     )
+
+
+# --- q21: exact interpolated quantiles + IQR per group ---------------------------
+@register(
+    "q21_price_quantiles",
+    oracle="""
+    WITH c AS (SELECT l_returnflag, round(l_extendedprice * 100) AS cents FROM lineitem)
+    SELECT l_returnflag,
+           round(quantile_cont(cents, 0.25) / 100.0, 2) AS p25,
+           round(quantile_cont(cents, 0.50) / 100.0, 2) AS median,
+           round(quantile_cont(cents, 0.75) / 100.0, 2) AS p75,
+           round((quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25)) / 100.0, 2) AS iqr
+    FROM c
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q21_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, type-7) — the exact-sort aggregate, as
+    opposed to the sketch-based ``percentile_approx`` scale path whose
+    output is engine-specific and can't be hash-oracled.
+
+    Quantiles run over EXACT integer cents (``round(price*100)``): the
+    .25-step interpolation between integers is then exact in float64, so
+    neither engine's summation/rounding noise can flip a half-cent
+    boundary (raw doubles did: 52724.245 ± 1 ulp → .24 vs .25)."""
+    l = _t(spark, sf_dir, "lineitem")
+    c = l.select("l_returnflag", F.round(F.col("l_extendedprice") * 100, 0).alias("cents"))
+    p25 = F.expr("percentile(cents, 0.25)")
+    p75 = F.expr("percentile(cents, 0.75)")
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.round(p25 / 100.0, 2).alias("p25"),
+            F.round(F.expr("percentile(cents, 0.5)") / 100.0, 2).alias("median"),
+            F.round(p75 / 100.0, 2).alias("p75"),
+            F.round((p75 - p25) / 100.0, 2).alias("iqr"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -226,6 +226,7 @@ _IVF_PROBES = 2   # nearest cells probed per query
 
 @register(
     "s03_topk_ivf",
+    headline=True,
     oracle=f"""
     WITH v AS (
       SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings

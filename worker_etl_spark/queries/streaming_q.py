@@ -41,6 +41,7 @@ def evt01_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "evt02_session_windows",
+    headline=True,
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from worker_etl_spark.functions.text import (
     LANG_MARKERS,
@@ -215,4 +216,77 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.select("doc_id", hex_int(F.col("norm"), 15).alias("fp_doc"))
         .join(shingled, "doc_id")
         .orderBy("doc_id")
+    )
+
+
+# --- t05: TF-IDF top terms per document --------------------------------------
+@register(
+    "t05_tfidf_topterms",
+    headline=True,
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({sql_tokens(sql_norm_text('text'))}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, score, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def t05_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF (``tf * (ln((N+1)/(df+1)) + 1)``), top-3 terms/doc.
+
+    Scale shape: one explode that re-aggregates map-side into (doc, term)
+    counts; document frequency is a second map-side-combined aggregate of
+    those counts; the tf-df join is key-equi on term (shuffle-partitionable,
+    vocab-sized); the corpus size joins in as a broadcast single row.
+    Scores round to 6 dp before ranking with a term tiebreak, so the top-3
+    cut is cross-engine stable."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
     )
