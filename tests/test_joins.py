@@ -1,0 +1,39 @@
+"""Salted-join equivalence: salting must be semantics-invisible."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from worker_etl_spark.operators.joins import salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed big side: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, float(i)) for i in range(1000)], "k long, v double"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(0, 1000, 7)],
+                                  "k long, name string")
+    plain = big.join(small, ["k"]).groupBy("k", "name").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("sv")
+    )
+    salted = salted_join(big, small, ["k"], salt=8).groupBy("k", "name").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("sv")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k long, x string")
+    small = spark.createDataFrame([(1, "dim")], "k long, name string")
+    rows = sorted(
+        map(tuple, salted_join(big, small, ["k"], how="left", salt=4).collect())
+    )
+    assert rows == [(1, "a", "dim"), (2, "b", None)]
+
+
+def test_salted_join_rejects_bad_salt(spark):
+    df = spark.range(1).selectExpr("id AS k")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], salt=0)

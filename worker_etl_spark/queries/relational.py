@@ -706,3 +706,102 @@ def q21_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q22: salted skew join (semantics == plain join, verified by the oracle) ----
+@register(
+    "q22_salted_skew_join",
+    oracle="""
+    SELECT n_name,
+           round(sum(o_totalprice), 2) AS total_revenue,
+           count(*)                    AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q22_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salt-spread join (operators/joins.py) on the orders→customer
+    key: the salt spreads any hot customer over 8 shuffle buckets while the
+    oracle — a PLAIN SQL join — proves the salting is semantics-invisible."""
+    from worker_etl_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation")
+    j = salted_join(o.select("o_custkey", "o_totalprice"), c, on=["o_custkey"])
+    return (
+        j.join(F.broadcast(n), j.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- q23: CUBE (all grouping-set combinations) ----------------------------------
+@register(
+    "q23_cube_flags",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(l_quantity), 2)     AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q23_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: every grouping-set combination in one pass (q12 covers ROLLUP;
+    this is the full lattice)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --- q24: statistical aggregates (corr / covar / stddev) ------------------------
+@register(
+    "q24_price_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 2)            AS price_stddev,
+           round(var_samp(l_quantity), 4)                    AS qty_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q24_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates — all single-pass partial-aggregatable."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        )
+        .orderBy("l_returnflag")
+    )
