@@ -37,3 +37,26 @@ def test_salted_join_rejects_bad_salt(spark):
     df = spark.range(1).selectExpr("id AS k")
     with pytest.raises(ValueError):
         salted_join(df, df, ["k"], salt=0)
+
+
+def test_bucketed_join_has_no_shuffle_before_join(spark):
+    from worker_etl_spark.queries.relational import q25_bucketed_join
+
+    # force a shuffle-family join (tiny test tables would broadcast) so the
+    # bucketing claim is visible in the plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q25_bucketed_join(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucketed scans feed the join directly: no hash-partition exchange
+        # on either join key (the only exchanges are the post-join agg on
+        # o_orderpriority and the final range sort)
+        assert "hashpartitioning(l_orderkey" not in plan, plan[:2000]
+        assert "hashpartitioning(o_orderkey" not in plan, plan[:2000]
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        rows = df.collect()
+        assert len(rows) == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

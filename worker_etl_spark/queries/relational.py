@@ -805,3 +805,54 @@ def q24_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q25: bucketed co-located join (no shuffle on the fact-fact join) -----------
+@register(
+    "q25_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q25_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over tables BUCKETED on the join key: both sides are
+    written with ``bucketBy(8, orderkey)`` into the session catalog, so the
+    join reads co-located buckets and the physical plan carries NO shuffle
+    exchange on either join side (asserted in tests/test_joins.py).  This is
+    the 100 TB pattern for repeated joins on one key: pay the partitioned
+    write once, skip the fact shuffle on every later query."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_ws")
+    for name, df, key in (
+        ("lineitem_b", l, "l_orderkey"),
+        ("orders_b", o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS bucketed_ws.{name}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        if wh:
+            shutil.rmtree(f"{wh}/bucketed_ws.db/{name}", ignore_errors=True)
+        df.write.bucketBy(8, key).sortBy(key).saveAsTable(f"bucketed_ws.{name}")
+    lb = spark.table("bucketed_ws.lineitem_b")
+    ob = spark.table("bucketed_ws.orders_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
