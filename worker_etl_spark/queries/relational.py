@@ -856,3 +856,120 @@ def q25_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- q26: explicit GROUPING SETS (arbitrary lattice subsets) --------------------
+@register(
+    "q26_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping-set lattice — an asymmetric subset ((f,s), (s), ())
+    that neither ROLLUP (q12) nor CUBE (q23) can express.  Single-pass
+    Expand-based plan: one scan, partial aggregation per set, one shuffle."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [[F.col("l_returnflag"), F.col("l_linestatus")], [F.col("l_linestatus")], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --- q27: lag/lead month-over-month revenue momentum ----------------------------
+@register(
+    "q27_revenue_momentum",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             round(sum(o_totalprice), 2)      AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(revenue - lag(revenue)  OVER (ORDER BY month), 2) AS mom_delta,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 4)          AS mom_pct,
+           round(lead(revenue) OVER (ORDER BY month), 2)           AS next_revenue
+    FROM monthly ORDER BY month
+    """,
+)
+def q27_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offset windows over a monthly revenue rollup.  The window
+    runs over month-grain rows (one per month — trivially driver-safe at any
+    SF since months, not orders, bound the cardinality); the heavy lifting is
+    the partial-aggregated groupBy underneath."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+        F.round(F.lead("revenue").over(w), 2).alias("next_revenue"),
+    ).orderBy("month")
+
+
+# --- q28: deterministic hash-based stratified sample ----------------------------
+@register(
+    "q28_hash_sample",
+    oracle="""
+    WITH sampled AS (
+      SELECT l_returnflag, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE (('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                   CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT) % 100 < 10
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)       AS n_sampled,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM sampled GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q28_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via a content hash of the row key — the
+    100 TB-reproducible alternative to seeded ``sample()``: no RNG state, no
+    partition-order dependence, the same rows survive on any cluster layout
+    or engine (the oracle literally re-derives the identical sample).  The
+    hash predicate is a pure projection, so sampling costs one scan with
+    column pruning and never shuffles; the post-sample agg shuffles only the
+    10% survivors."""
+    from worker_etl_spark.functions.text import hex_int
+
+    l = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    return (
+        l.filter(hex_int(key) % 100 < 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
