@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup_q,
         similarity_q,
         text_q,
+        curation_q,
         multimodal_q,
         grid_q,
         sources_q,

@@ -290,3 +290,126 @@ def t05_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("doc_id", "rank")
     )
+
+
+# --- t06: PII redaction (regex email/phone masking) --------------------------
+# Patterns kept to constructs with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded/greedy quantifiers — no
+# backrefs, no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+@register(
+    "t06_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+      -- documents.text carries no PII, so each doc is seeded with a
+      -- deterministic email + phone derived from its id; the redactor then
+      -- has real matches to find and the count columns pin the regexes.
+      SELECT doc_id,
+             text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))            AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}'))            AS n_phones,
+           length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                 '{_PHONE_RE}', '[PHONE]', 'g'))   AS redacted_len,
+           substring(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                    '{_PHONE_RE}', '[PHONE]', 'g'),
+                     length(text) - 40, 41)                        AS redacted_tail
+    FROM seeded ORDER BY doc_id
+    """,
+)
+def t06_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII masking — the scrub step of a training-data pipeline.
+
+    Pure JVM-side projection (``regexp_replace`` / ``regexp_extract_all``
+    inside whole-stage codegen): no UDF, no shuffle, embarrassingly parallel
+    at any scale.  The patterns are restricted to the Java∩RE2 common subset
+    so the DuckDB oracle replays them byte-identically."""
+    d = read_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    # Patterns go through the Python API (F.lit), never F.expr — Spark SQL
+    # string literals eat backslash escapes, which would corrupt the regexes.
+    return (
+        seeded.select(
+            "doc_id",
+            F.length("text").alias("orig_len"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))
+            ).alias("n_emails"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))
+            ).alias("n_phones"),
+            redacted.alias("redacted"),
+        )
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            F.length("redacted").alias("redacted_len"),
+            F.expr("substring(redacted, orig_len - 40, 41)").alias("redacted_tail"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- t07: corpus bigram statistics -------------------------------------------
+@register(
+    "t07_bigram_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {sql_tokens(sql_norm_text('text'))} AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def t07_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams.  The adjacent-pair construction is a per-row
+    array transform (``F.transform`` over an index sequence — no shuffle, no
+    positional self-join), and the explode re-aggregates map-side, so the
+    shuffle carries one row per distinct bigram, not per token pair.  The
+    final top-k is a total order (count DESC, bigram ASC) so the cut is
+    cross-engine stable."""
+    d = read_table(spark, sf_dir, "documents")
+    t = tokens(norm_text(F.col("text")))
+    bigrams = (
+        d.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
