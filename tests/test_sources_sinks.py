@@ -216,3 +216,26 @@ def test_stdlib_xlsx_rejects_non_ooxml():
 
     with pytest.raises(NotImplementedError, match="xls"):
         stdlib_xlsx_parser(b"\xd0\xcf\x11\xe0 legacy xls magic")
+
+
+# --- partitioned write → pruned read-back ------------------------------------
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["hi", "lo"][i % 2], float(i)) for i in range(20)],
+        "id long, prio string, amount double",
+    )
+    loc = write_table(
+        df, str(tmp_path), "ds", "t",
+        disposition="WRITE_TRUNCATE", partition_by=["prio"],
+    )
+    # One subdirectory per partition value on disk.
+    assert sorted(
+        d for d in os.listdir(loc) if d.startswith("prio=")
+    ) == ["prio=hi", "prio=lo"]
+    back = spark.read.parquet(loc).filter("prio = 'hi'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # The partition-column predicate must land in PartitionFilters (directory
+    # pruning), not in the row-level data filters.
+    assert "PartitionFilters" in plan
+    assert "prio" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert back.count() == 10

@@ -142,3 +142,41 @@ def src03_excel_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = widen_grid(read_excel_grids(spark, path))  # default parser chain
     return _grid_to_typed(grid).orderBy("r_regionkey")
+
+
+# --- w01: partitioned sink + pruned read-back (S6 partition_by at scale) -----
+@register(
+    "w01_partitioned_sink",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def w01_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6's ``partition_by`` exercised end-to-end: write ``orders`` hive-
+    partitioned on ``o_orderpriority``, then read it back with a filter on
+    the partition column.  The read-back scan lists ONE directory of five —
+    partition pruning, asserted on the physical plan in
+    tests/test_sources_sinks.py.  This is the 100 TB sink layout: queries
+    keyed on the partition column never touch the other partitions' files."""
+    from worker_etl_spark.sinks.writer import write_table
+
+    o = read_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="w01_")
+    loc = write_table(
+        o, tmp, "ds", "orders_part",
+        disposition="WRITE_TRUNCATE", partition_by=["o_orderpriority"],
+    )
+    back = spark.read.parquet(loc).filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
