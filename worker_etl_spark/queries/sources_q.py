@@ -144,6 +144,39 @@ def src03_excel_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _grid_to_typed(grid).orderBy("r_regionkey")
 
 
+# --- src04: JSONL ingest (schema-on-read strings → infer → coerce) -----------
+@register(
+    "src04_jsonl_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           n_regionkey::BIGINT AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def src04_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON through the same untyped-scan contract as CSV
+    (S2): ``primitivesAsString`` keeps every field a string — schema decisions
+    belong to the engine's inference (I4), not the JSON reader's — then the
+    standard infer → align/coerce tail types the frame.  Distributed scan:
+    JSONL splits by line across executors like CSV; no grid detection needed
+    because JSON records are already keyed."""
+    import json
+
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src04_")
+    path = os.path.join(tmp, "nation.jsonl")
+    with open(path, "w") as fh:
+        for r in n:
+            fh.write(json.dumps({
+                "n_nationkey": str(r.n_nationkey),
+                "n_name": r.n_name,
+                "n_regionkey": str(r.n_regionkey),
+            }) + "\n")
+    raw = spark.read.option("primitivesAsString", "true").json(path)
+    raw = raw.select("n_nationkey", "n_name", "n_regionkey")
+    return align_to_schema(raw, infer_schema(raw)).orderBy("n_nationkey")
+
+
 # --- w01: partitioned sink + pruned read-back (S6 partition_by at scale) -----
 @register(
     "w01_partitioned_sink",
