@@ -135,3 +135,53 @@ def test_sessionize_stateful(spark, tmp_path):
     }
     assert closed_batch <= emitted
     assert len(closed_batch) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    from worker_etl_spark.streaming.event_time import interval_join
+
+    ev = read_table(spark, SF, "events").orderBy("event_id").limit(800)
+    src = str(tmp_path / "ij_src")
+    ev.coalesce(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+        )
+        return clicks, buys
+
+    batch_pairs = {
+        (r.click_id, r.buy_id)
+        for r in interval_join(
+            *split(ev), key_col="user_id",
+            left_ts="click_ts", right_ts="buy_ts", upper="1 hour",
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sc, sb = split(stream)
+    q = (
+        interval_join(
+            sc, sb, key_col="user_id",
+            left_ts="click_ts", right_ts="buy_ts", upper="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("ij_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    stream_pairs = {
+        (r.click_id, r.buy_id) for r in spark.sql("SELECT * FROM ij_pairs").collect()
+    }
+    # Inner stream-stream joins emit every match once both sides arrive, so
+    # the full pair set must equal the batch join exactly.
+    assert stream_pairs == batch_pairs
+    assert len(batch_pairs) > 0

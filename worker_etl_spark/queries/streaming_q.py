@@ -79,3 +79,47 @@ def evt02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_aggregate(e, gap="30 minutes").orderBy(
         "user_id", "session_start"
     )
+
+
+@register(
+    "evt03_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT)                 AS n_pairs,
+           CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks_converted,
+           round(sum(p.value), 2)                   AS attributed_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def evt03_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution inside a 1-hour window via the
+    stream-stream ``interval_join`` operator, run here in batch mode (the
+    operator is stream/batch agnostic; tests/test_event_time.py drives the
+    SAME code path over two readStream sources and asserts pair-for-pair
+    equality with this batch output)."""
+    from worker_etl_spark.streaming.event_time import interval_join
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value")
+    )
+    pairs = interval_join(
+        clicks, purchases, key_col="user_id",
+        left_ts="click_ts", right_ts="purchase_ts", upper="1 hour",
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks_converted"),
+            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )

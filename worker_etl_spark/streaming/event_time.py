@@ -101,6 +101,38 @@ def session_window_aggregate(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair each left row with every
+    right row of the same key whose timestamp falls in
+    ``[left_ts, left_ts + upper]``.
+
+    On streams both sides carry watermarks and the join condition is
+    event-time-bounded, which is exactly what lets Spark evict join state:
+    a buffered left row can be dropped once the right watermark passes
+    ``left_ts + upper``.  In batch the same plan is a key-equi sort-merge
+    join with a residual range predicate — no cartesian.
+
+    Column names must be disjoint apart from *key_col* (rename before
+    joining); the right timestamp may be named differently via *right_ts*.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key_col] == rw[key_col])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond).drop(rw[key_col])
+
+
 SESSION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
