@@ -45,6 +45,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .persist()
     )
+    prev = labels
     for _ in range(max_iterations):
         nbr_min = (
             und.join(
@@ -55,25 +56,22 @@ def connected_components(
             .agg(F.min("b_lbl").alias("nbr_min"))
             .select(F.col("a").alias("node"), "nbr_min")
         )
-        new_labels = (
+        # One joined frame carries both the old and the propagated label, so
+        # the convergence count reuses the cached join instead of re-joining
+        # new labels against old (one equi-join per round, not two).
+        joined = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("lbl").alias("old_lbl"),
                 F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
             )
             .persist()
         )
-        changed = (
-            new_labels.select(F.col("node").alias("n"), F.col("lbl").alias("new_lbl"))
-            .join(
-                labels.select(F.col("node").alias("n"), F.col("lbl").alias("old_lbl")),
-                "n",
-            )
-            .filter(F.col("new_lbl") != F.col("old_lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = joined.filter(F.col("lbl") != F.col("old_lbl")).count()
+        prev.unpersist()
+        prev = joined
+        labels = joined.select("node", "lbl")
         if changed == 0:
             break
     und.unpersist()
