@@ -161,3 +161,46 @@ def g03_grid_fallback_whole_sheet(spark: SparkSession, sf_dir: str) -> DataFrame
         + ", ".join(f"`{i}` string" for i in range(7)),
     ).coalesce(1)
     return detect_tables(grid, detect_components=False).orderBy("table_id")
+
+
+# --- O4: env-knob config surface drives detection end-to-end ---------------------
+@register(
+    "g04_detection_config_knobs",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('multi.xlsx', 'Sheet1', 'table_1', 0::BIGINT, 4::BIGINT, 4::BIGINT, 6::BIGINT,
+       5::BIGINT, 3::BIGINT, 0.866667::DOUBLE, 0.759724::DOUBLE)
+    ) AS t(file, sheet, table_id, min_row, max_row, min_col, max_col,
+           n_rows, n_cols, density, score)
+    """,
+)
+def g04_detection_config_knobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 live-knob surface: ``WORKER_MIN_TABLE_ROWS=5`` read through
+    ``EngineConfig`` (same env names/defaults as reference ``etl.py:72-75``)
+    rejects g02's 4-row block, so the SAME sheet yields ONE table — the
+    5-row block, renumbered table_1.  Pins env → config → operator wiring,
+    not just the dataclass defaults."""
+    import os as _os
+
+    from worker_etl_spark.config import EngineConfig
+
+    _os.environ["WORKER_MIN_TABLE_ROWS"] = "5"
+    try:
+        cfg = EngineConfig()
+    finally:
+        del _os.environ["WORKER_MIN_TABLE_ROWS"]
+    rows = [
+        ("multi.xlsx", "Sheet1", i, *r) for i, r in enumerate(_G02_LAYOUT)
+    ]
+    grid = spark.createDataFrame(
+        rows,
+        schema="file string, sheet string, row_idx long, "
+        + ", ".join(f"`{i}` string" for i in range(7)),
+    ).coalesce(1)
+    return detect_tables(
+        grid,
+        min_rows=cfg.min_table_rows,
+        min_cols=cfg.min_table_cols,
+        density_threshold=cfg.block_density_threshold,
+        header_confidence=cfg.min_header_confidence,
+    ).orderBy("table_id")
