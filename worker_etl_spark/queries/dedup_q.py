@@ -487,3 +487,84 @@ def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- d08: edit-distance verification of blocked candidate pairs --------------
+_EDIT_JACCARD_FLOOR = 0.3  # only verify pairs the blocking already ranks close
+
+
+@register(
+    "d08_edit_distance_neardup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             round(i.c / CAST(ca.n + cb.n - i.c AS DOUBLE), 6) AS jaccard
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.doc_a
+      JOIN card cb ON cb.doc_id = i.doc_b
+      WHERE i.c / CAST(ca.n + cb.n - i.c AS DOUBLE) >= {_EDIT_JACCARD_FLOOR}
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS edit_dist,
+           round(1.0 - levenshtein(na.norm, nb.norm)
+                 / CAST(greatest(length(na.norm), length(nb.norm)) AS DOUBLE), 6)
+             AS edit_sim
+    FROM pairs p
+    JOIN norm na ON na.doc_id = p.doc_a
+    JOIN norm nb ON nb.doc_id = p.doc_b
+    ORDER BY edit_sim DESC, p.doc_a, p.doc_b
+    LIMIT 10
+    """,
+)
+def d08_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance verification on TOP of the rare-shingle blocking:
+    candidate pairs the cheap Jaccard stage ranks close get the expensive
+    O(len²) ``levenshtein`` check, top-10 by normalized edit similarity.
+
+    This is the canonical verify-stage shape at 100 TB: the quadratic-cost
+    comparator only ever runs on the blocked candidate set (bounded by
+    C(DF_CAP, 2) per rare shingle), never on the corpus cross-product; the
+    two text-side joins are doc-keyed equi joins against the (small)
+    surviving pair list."""
+    pairs = _jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= _EDIT_JACCARD_FLOOR
+    )
+    norm = read_table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") >= _SHINGLE_W)
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    lev = F.levenshtein("norm_a", "norm_b")
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            lev.cast("long").alias("edit_dist"),
+            F.round(
+                1.0
+                - lev
+                / F.greatest(F.length("norm_a"), F.length("norm_b")).cast("double"),
+                6,
+            ).alias("edit_sim"),
+        )
+        .orderBy(F.desc("edit_sim"), "doc_a", "doc_b")
+        .limit(10)
+    )

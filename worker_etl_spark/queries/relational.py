@@ -973,3 +973,35 @@ def q28_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q29: sketch aggregates (HLL distinct + quantile sketch) --------------------
+@register(
+    "q29_approx_stats",
+    # No SQL oracle ON PURPOSE: HyperLogLog++ and the Greenwald-Khanna
+    # quantile sketch are engine-specific estimators — DuckDB's approx_*
+    # functions use different sketches, so cross-engine value equality is
+    # undefined.  The driver records a rows-only check; the REAL gate is
+    # tests/test_approx.py, which bounds the estimates against the exact
+    # aggregates (q09/q21 cover the exact siblings with full hash oracles).
+    oracle=None,
+)
+def q29_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path for distinct counts and quantiles: one-pass,
+    fixed-memory sketches (HLL++ rsd=0.01, percentile_approx accuracy=10000)
+    next to their exact siblings so error is measurable.  At scale the exact
+    versions need a full shuffle (distinct) or sort (percentile); the
+    sketches are partial-aggregatable with constant state."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+                "approx_median_price"
+            ),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
