@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the scale properties the 100 TB posture
+depends on, pinned so a refactor can't silently lose them.
+
+These assert on the pre-execution physical plan (planning only — no job
+runs), so the whole sweep is cheap at sf0.001.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from worker_etl_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = load_all()[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q02_filters_reach_the_scan(spark):
+    plan = _plan(spark, "q02_forecast_revenue")
+    scan = plan[plan.index("FileScan") :]
+    pushed = scan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed down: {pushed}"
+
+
+def test_q05_star_dims_are_broadcast(spark):
+    plan = _plan(spark, "q05_region_revenue")
+    # customer, nation, region all broadcast; only the fact-fact join shuffles.
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q03_scan_prunes_columns(spark):
+    plan = _plan(spark, "q03_top_orders")
+    li_scan = next(s for s in plan.split("FileScan") if "lineitem" in s)
+    schema = li_scan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in schema
+    # Untouched columns must not be read.
+    for col in ("l_tax", "l_returnflag", "l_shipdate", "l_comment"):
+        assert col not in schema, f"{col} read but unused"
+
+
+def test_q20_range_join_is_broadcast_not_cartesian(spark):
+    plan = _plan(spark, "q20_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_w01_oracle_shape_no_join(spark):
+    # Pure scan→agg queries must stay join-free end to end.
+    for name in ("q01_pricing_summary", "t01_token_stats", "d04_simhash"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, f"{name} grew an unexpected join"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q22_salted_skew_join",
+        "t05_tfidf_topterms",
+        "p01_curation_pipeline",
+        "d08_edit_distance_neardup",
+        "evt03_interval_join",
+        "q28_hash_sample",
+    ],
+)
+def test_no_accidental_cross_products(spark, name):
+    plan = _plan(spark, name)
+    # t05 carries one deliberate 1-row broadcast crossJoin (corpus size);
+    # nothing may plan a CartesianProduct.
+    assert "CartesianProduct" not in plan
