@@ -993,15 +993,64 @@ def q29_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions need a full shuffle (distinct) or sort (percentile); the
     sketches are partial-aggregatable with constant state."""
     l = _t(spark, sf_dir, "lineitem")
+    # countDistinct rides in its OWN aggregate: fused with the percentile
+    # aggregates it forces an Expand (2x rows) through the exact-percentile
+    # buffer — 29 s at sf0.1 fused vs ~3 s split.  The two 3-row results
+    # join for free.
+    sketches = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+            "approx_median_price"
+        ),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+    )
+    exact = (
+        l.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
-                "approx_median_price"
-            ),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+        sketches.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            "exact_parts",
+            "approx_median_price",
+            "exact_median_price",
         )
         .orderBy("l_returnflag")
+    )
+
+
+# --- q30: correlated scalar subquery (TPC-H Q17 shape) --------------------------
+@register(
+    "q30_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand LIKE 'Brand%1'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q30_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated scalar subquery decorrelated the way
+    Catalyst itself would: the per-part average is ONE map-side-combinable
+    aggregate over lineitem joined back on the part key, not a re-executed
+    subquery per row.  Both sides of the fact-fact join shuffle once on
+    l_partkey; the brand filter prunes the part dim before it broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand").like("Brand%1")).select(
+        "p_partkey"
+    )
+    part_avg = (
+        l.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_cap"))
+    )
+    return (
+        l.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
