@@ -98,3 +98,73 @@ def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return sample_frames(attach_payload(d)).orderBy("doc_id", "frame_idx")
+
+
+# --- m04: media exact dedup by content hash ----------------------------------
+@register(
+    "m04_media_dedup",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             {_SQL_KIND}                AS kind,
+             octet_length(encode(text)) AS byte_len,
+             md5(text)                  AS content_md5
+      FROM documents
+    ),
+    uniq AS (
+      SELECT kind, content_md5, min(byte_len) AS byte_len
+      FROM meta GROUP BY kind, content_md5
+    ),
+    per_kind AS (
+      SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
+             CAST(sum(byte_len) AS BIGINT)  AS total_bytes
+      FROM meta GROUP BY kind
+    ),
+    per_uniq AS (
+      SELECT kind, CAST(count(*) AS BIGINT) AS n_unique,
+             CAST(sum(byte_len) AS BIGINT)  AS unique_bytes
+      FROM uniq GROUP BY kind
+    )
+    SELECT k.kind, k.n_assets, u.n_unique,
+           k.n_assets - u.n_unique   AS n_dups,
+           k.total_bytes - u.unique_bytes AS bytes_saved
+    FROM per_kind k JOIN per_uniq u USING (kind)
+    ORDER BY kind
+    """,
+)
+def m04_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload hash — the storage-dedup step of a
+    multimodal pipeline: per kind, how many assets collapse to how many
+    unique payloads and how many bytes that saves.  Two map-side-combinable
+    aggregates over (kind, md5) metadata — the binary payload itself never
+    crosses a shuffle (hashing happens in the scan stage projection)."""
+    d = read_table(spark, sf_dir, "documents")
+    meta = attach_payload(d).select(
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.content_md5").alias("content_md5"),
+    )
+    per_kind = meta.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("byte_len").alias("total_bytes"),
+    )
+    per_uniq = (
+        meta.groupBy("kind", "content_md5")
+        .agg(F.min("byte_len").alias("byte_len"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("byte_len").alias("unique_bytes"),
+        )
+    )
+    return (
+        per_kind.join(per_uniq, "kind")
+        .select(
+            "kind",
+            "n_assets",
+            "n_unique",
+            (F.col("n_assets") - F.col("n_unique")).alias("n_dups"),
+            (F.col("total_bytes") - F.col("unique_bytes")).alias("bytes_saved"),
+        )
+        .orderBy("kind")
+    )
