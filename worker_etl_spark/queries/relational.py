@@ -1054,3 +1054,98 @@ def q30_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# --- q31: time-RANGE window frame (7-day trailing average) ----------------------
+@register(
+    "q31_moving_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate)               AS day,
+             CAST(round(sum(o_totalprice * 100)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           round(cents / 100.0, 2) AS revenue,
+           round(avg(cents) OVER w / 100.0, 4) AS ma7,
+           CAST(count(*) OVER w AS BIGINT)     AS n_days
+    FROM daily
+    WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                        AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q31_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame keyed on TIME (trailing 7 calendar days), not row
+    count — gap days shrink the frame, which a ROWS frame can't express.
+    The daily rollup runs in integer cents so the windowed average is a
+    ratio of exact integers — bit-identical across engines (the q21
+    half-cent lesson).  Day-grain rows bound the global window's input at
+    any SF (same posture as q27)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice") * 100), 0).cast("long").alias("cents")
+    )
+    w = (
+        W.orderBy(F.col("day").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.avg("cents").over(w) / 100.0, 4).alias("ma7"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    ).orderBy("day")
+
+
+# --- q32: ranking-function family (rank / percent_rank / ntile / cume_dist) -----
+@register(
+    "q32_rank_family",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             ntile(4)       OVER w AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist()    OVER w AS cd
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_returnflag
+                   ORDER BY l_quantity, l_orderkey, l_linenumber)
+    )
+    SELECT l_returnflag, quartile,
+           CAST(count(*) AS BIGINT)   AS n,
+           round(min(l_quantity), 2)  AS min_qty,
+           round(max(l_quantity), 2)  AS max_qty,
+           round(avg(pr), 6)          AS avg_pct_rank,
+           round(max(cd), 6)          AS max_cume_dist
+    FROM ranked GROUP BY l_returnflag, quartile
+    ORDER BY l_returnflag, quartile
+    """,
+)
+def q32_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family beyond row_number (q07): ntile quartiles,
+    percent_rank, cume_dist.  The window ORDER BY is made a total order
+    (qty, orderkey, linenumber) because ntile assigns ties arbitrarily —
+    with a unique ordering both engines bucket identically.  One shuffle on
+    the partition key; the quartile summary re-aggregates map-side."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    ranked = l.select(
+        "l_returnflag",
+        "l_quantity",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("l_returnflag", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+        .orderBy("l_returnflag", "quartile")
+    )
