@@ -263,3 +263,43 @@ def i04_coercion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "name string, original_nulls long, new_nulls long, n_rows long, warn boolean",
     ).orderBy("name")
+
+
+# --- i05: schema evolution across file batches (mergeSchema + align) ---------
+@register(
+    "i05_schema_evolution",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           CASE WHEN n_nationkey < 10 THEN NULL
+                ELSE n_regionkey END::BIGINT AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def i05_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DRIFT between ingest batches: batch 1 lands without
+    ``n_regionkey``, batch 2 adds it.  ``mergeSchema`` unions the file
+    footers (old rows read as NULL for the new column), then I5 alignment
+    pins the evolved frame to the declared target — the standard
+    append-only evolution path a long-lived warehouse table needs.  Footer
+    merging is metadata-scale work; no data pass happens until the scan."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from worker_etl_spark.operators.inference import align_to_schema
+
+    n = read_table(spark, sf_dir, "nation")
+    tmp = _tempfile.mkdtemp(prefix="i05_")
+    loc = _os.path.join(tmp, "evolving")
+    n.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(loc)
+    n.filter(F.col("n_nationkey") >= 10).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("append").parquet(loc)
+    merged = spark.read.option("mergeSchema", "true").parquet(loc)
+    target = [
+        {"name": "n_nationkey", "type": "INTEGER"},
+        {"name": "n_name", "type": "STRING"},
+        {"name": "n_regionkey", "type": "INTEGER"},
+    ]
+    return align_to_schema(merged, target).orderBy("n_nationkey")
