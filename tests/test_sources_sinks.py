@@ -239,3 +239,30 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "prio" in plan.split("PartitionFilters")[1].split("]")[0]
     assert back.count() == 10
+
+
+# --- upsert sink -------------------------------------------------------------
+def test_upsert_last_writer_wins_and_tie_prefers_incoming(spark, tmp_path):
+    from worker_etl_spark.sinks.writer import upsert_table
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 5), (3, "c", 1)], "id long, v string, ver long"
+    )
+    upsert_table(base, str(tmp_path), "ds", "t", key_cols=["id"], version_col="ver")
+    updates = spark.createDataFrame(
+        [
+            (1, "a2", 2),   # higher version wins
+            (2, "b-old", 3),  # lower version loses to existing 5
+            (3, "c-tie", 1),  # equal version: incoming wins
+            (4, "d", 1),    # new key inserts
+        ],
+        "id long, v string, ver long",
+    )
+    loc = upsert_table(
+        updates, str(tmp_path), "ds", "t", key_cols=["id"], version_col="ver"
+    )
+    got = {r.id: (r.v, r.ver) for r in spark.read.parquet(loc).collect()}
+    assert got == {1: ("a2", 2), 2: ("b", 5), 3: ("c-tie", 1), 4: ("d", 1)}
+    # No staging/backup dirs left behind.
+    import glob
+    assert not glob.glob(str(tmp_path / "ds" / "*__*"))

@@ -144,6 +144,53 @@ def src03_excel_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _grid_to_typed(grid).orderBy("r_regionkey")
 
 
+# --- w02: merge/upsert sink (last-writer-wins by key) ------------------------
+@register(
+    "w02_upsert_sink",
+    oracle="""
+    SELECT c_custkey::BIGINT AS id,
+           CASE WHEN c_custkey % 2 = 0 THEN 'v2:' || c_name
+                ELSE 'v1:' || c_name END              AS payload,
+           CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 1 END::BIGINT AS version
+    FROM customer
+    UNION ALL
+    SELECT (c_custkey + 1000000)::BIGINT, 'new:' || c_name, 1::BIGINT
+    FROM customer WHERE c_custkey % 100 = 0
+    ORDER BY id
+    """,
+)
+def w02_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE: base snapshot (v1 for every customer), then an
+    update batch (v2 for even keys + brand-new keys) upserted with
+    last-writer-wins per key.  The read-back is the final table state —
+    the oracle restates it closed-form from ``customer``."""
+    from worker_etl_spark.sinks.writer import upsert_table
+
+    c = read_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="w02_")
+    base = c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("v1:"), F.col("c_name")).alias("payload"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    upsert_table(base, tmp, "ds", "state", key_cols=["id"], version_col="version")
+    updates = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("v2:"), F.col("c_name")).alias("payload"),
+        F.lit(2).cast("long").alias("version"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("id"),
+            F.concat(F.lit("new:"), F.col("c_name")).alias("payload"),
+            F.lit(1).cast("long").alias("version"),
+        )
+    )
+    loc = upsert_table(
+        updates, tmp, "ds", "state", key_cols=["id"], version_col="version"
+    )
+    return spark.read.parquet(loc).select("id", "payload", "version").orderBy("id")
+
+
 # --- src04: JSONL ingest (schema-on-read strings → infer → coerce) -----------
 @register(
     "src04_jsonl_ingest",

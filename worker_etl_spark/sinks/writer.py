@@ -75,6 +75,58 @@ def write_table(
     return location
 
 
+def upsert_table(
+    updates: DataFrame,
+    warehouse_root: str,
+    dataset: str,
+    table: str,
+    key_cols: list[str],
+    version_col: str,
+) -> str:
+    """Merge *updates* into the warehouse table: last-writer-wins per key.
+
+    Semantics: for every key, keep the row with the highest *version_col*
+    (existing or incoming); ties prefer the incoming row.  This is the
+    CDC-style maintenance write (BigQuery MERGE / Delta upsert) the plain
+    append/truncate dispositions can't express.
+
+    Implementation is a distributed read-modify-write: union existing rows
+    with updates, rank per key (one shuffle on the key — exactly the
+    partitioning the table's consumers use), keep rank 1, rewrite.  The
+    rewrite goes through a staging directory so a failed job never leaves a
+    half-written table behind (the swap is a directory rename, not an
+    in-place overwrite).  At 100 TB the same plan applies per partition;
+    pair with ``partition_by`` so only touched partitions rewrite.
+    """
+    from pyspark.sql import Window, functions as F
+
+    location = os.path.join(warehouse_root, dataset, table)
+    spark = updates.sparkSession
+    incoming = updates.withColumn("__is_update", F.lit(1))
+    if os.path.exists(location):
+        existing = spark.read.parquet(location).withColumn("__is_update", F.lit(0))
+        merged = existing.unionByName(incoming)
+    else:
+        merged = incoming
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("__is_update")
+    )
+    resolved = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__is_update")
+    )
+    staging = location + ".__staging__"
+    resolved.write.mode("overwrite").parquet(staging)
+    old = location + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(location):
+        os.rename(location, old)
+    os.rename(staging, location)
+    shutil.rmtree(old, ignore_errors=True)
+    return location
+
+
 def write_catalog_table(
     df: DataFrame,
     dataset: str,
