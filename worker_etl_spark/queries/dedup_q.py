@@ -568,3 +568,85 @@ def d08_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("edit_sim"), "doc_a", "doc_b")
         .limit(10)
     )
+
+
+# --- d09: MinHash Jaccard estimate vs exact ----------------------------------
+_D09_SIG_EQ = " + ".join(
+    f"(CASE WHEN a.m{j:02d} = b.m{j:02d} THEN 1 ELSE 0 END)"
+    for j in range(len(_PERMS))
+)
+
+
+@register(
+    "d09_minhash_estimate",
+    oracle=_SQL_SIGNATURES
+    + f"""
+    , rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             round(i.c / CAST(ca.n + cb.n - i.c AS DOUBLE), 6) AS jaccard_exact
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.doc_a
+      JOIN card cb ON cb.doc_id = i.doc_b
+      WHERE i.c / CAST(ca.n + cb.n - i.c AS DOUBLE) >= 0.3
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard_exact,
+           round(({_D09_SIG_EQ}) / {len(_PERMS)}.0, 6) AS jaccard_est,
+           round(abs(p.jaccard_exact
+                     - ({_D09_SIG_EQ}) / {len(_PERMS)}.0), 6) AS abs_err
+    FROM pairs p
+    JOIN sigs a ON a.doc_id = p.doc_a
+    JOIN sigs b ON b.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def d09_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-quality audit: the Jaccard ESTIMATE the banding stage
+    implicitly relies on (fraction of agreeing MinHash positions) next to
+    the exact blocked Jaccard, with per-pair absolute error.  Joins are all
+    key-equi against the (small) surviving pair list; the 16-term position
+    comparison is a flat JVM expression over the signature columns."""
+    pairs = _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.3).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jaccard_exact")
+    )
+    sigs = _signatures(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{j:02d}").alias(f"a{j:02d}") for j in range(len(_PERMS))],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{j:02d}").alias(f"b{j:02d}") for j in range(len(_PERMS))],
+    )
+    agree = sum(
+        F.when(F.col(f"a{j:02d}") == F.col(f"b{j:02d}"), 1).otherwise(0)
+        for j in range(len(_PERMS))
+    )
+    est = F.round(agree / float(len(_PERMS)), 6)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_exact",
+            est.alias("jaccard_est"),
+            F.round(F.abs(F.col("jaccard_exact") - agree / float(len(_PERMS))), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
