@@ -495,6 +495,7 @@ _EDIT_JACCARD_FLOOR = 0.3  # only verify pairs the blocking already ranks close
 
 @register(
     "d08_edit_distance_neardup",
+    headline=True,
     oracle=f"""
     WITH {_SQL_SHINGLES},
     rare AS (

@@ -103,6 +103,7 @@ def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- m04: media exact dedup by content hash ----------------------------------
 @register(
     "m04_media_dedup",
+    headline=True,
     oracle=f"""
     WITH meta AS (
       SELECT doc_id,

@@ -1059,6 +1059,7 @@ def q30_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q31: time-RANGE window frame (7-day trailing average) ----------------------
 @register(
     "q31_moving_revenue",
+    headline=True,
     oracle="""
     WITH daily AS (
       SELECT date_trunc('day', o_orderdate)               AS day,

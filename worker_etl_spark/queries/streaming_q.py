@@ -83,6 +83,7 @@ def evt02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "evt03_interval_join",
+    headline=True,
     oracle="""
     SELECT c.user_id,
            CAST(count(*) AS BIGINT)                 AS n_pairs,

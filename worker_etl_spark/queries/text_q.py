@@ -301,6 +301,7 @@ _PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
 
 @register(
     "t06_pii_redaction",
+    headline=True,
     oracle=f"""
     WITH seeded AS (
       -- documents.text carries no PII, so each doc is seeded with a
