@@ -901,7 +901,7 @@ def q26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_revenue_momentum",
     oracle="""
     WITH monthly AS (
-      SELECT date_trunc('month', o_orderdate) AS month,
+      SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
              round(sum(o_totalprice), 2)      AS revenue
       FROM orders GROUP BY 1
     )
@@ -1062,7 +1062,7 @@ def q30_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     WITH daily AS (
-      SELECT date_trunc('day', o_orderdate)               AS day,
+      SELECT date_trunc('day', o_orderdate)::TIMESTAMP    AS day,
              CAST(round(sum(o_totalprice * 100)) AS BIGINT) AS cents
       FROM orders GROUP BY 1
     )
