@@ -1150,3 +1150,49 @@ def q32_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "quartile")
     )
+
+
+# --- q33: complex-type aggregation (collect_set → sort_array → join) ------------
+@register(
+    "q33_collected_arrays",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')    AS statuses,
+           CAST(len(list(DISTINCT l_linestatus)) AS INT)                   AS n_statuses,
+           array_to_string(list_sort(list(DISTINCT l_shipmode_bucket)), ',') AS qty_buckets
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CASE WHEN l_quantity < 10 THEN 'low'
+                  WHEN l_quantity < 40 THEN 'mid'
+                  ELSE 'high' END AS l_shipmode_bucket
+      FROM lineitem
+    )
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q33_collected_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation: ``collect_set`` builds per-group arrays
+    distributively (set-union partials combine map-side), ``sort_array``
+    makes the nondeterministic collection order canonical, and the output
+    projects to scalars so the cross-engine hash stays type-stable.  The
+    collected domains are low-cardinality enums — collected arrays stay
+    bounded no matter how many rows feed them (the 100 TB rule for any
+    collect_*: never collect an unbounded key set)."""
+    l = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 40, "mid")
+        .otherwise("high")
+    )
+    return (
+        l.select("l_returnflag", "l_linestatus", bucket.alias("b"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            ),
+            F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
+            F.array_join(F.sort_array(F.collect_set("b")), ",").alias("qty_buckets"),
+        )
+        .orderBy("l_returnflag")
+    )
