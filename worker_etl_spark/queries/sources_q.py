@@ -116,6 +116,64 @@ def srm01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+# --- srm02: multi-object queue batch + poison-message isolation --------------
+@register(
+    "srm02_multi_object_batch",
+    oracle="""
+    SELECT 'dead_letter' AS object, 1::BIGINT AS n_rows
+    UNION ALL
+    SELECT 'nation', count(*)::BIGINT FROM nation
+    UNION ALL
+    SELECT 'region', count(*)::BIGINT FROM region
+    ORDER BY object
+    """,
+)
+def srm02_multi_object_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One queue batch carrying THREE messages — two good objects and one
+    referencing a missing file.  O1 isolation: both good objects land fully
+    typed in the warehouse while the poison message ACK-skips to the
+    dead-letter log (S1 existence gate) without wedging the stream.  The
+    returned frame is the post-batch warehouse + dead-letter census."""
+    import json
+
+    from worker_etl_spark.streaming.worker import start_worker
+
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    tmp = tempfile.mkdtemp(prefix="srm02_")
+    queue, src, wh = (os.path.join(tmp, d) for d in ("queue", "src", "wh"))
+    os.makedirs(queue), os.makedirs(src)
+    with open(os.path.join(src, "nation.csv"), "w") as fh:
+        fh.write("n_nationkey,n_name,n_regionkey\n")
+        for r in n:
+            fh.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+    with open(os.path.join(src, "region.csv"), "w") as fh:
+        fh.write("r_regionkey,r_name\n")
+        for r in rg:
+            fh.write(f"{r.r_regionkey},{r.r_name}\n")
+    with open(os.path.join(queue, "batch.jsonl"), "w") as fh:
+        for obj in ("nation.csv", "missing.csv", "region.csv"):
+            fh.write(json.dumps({"object_name": obj, "target_dataset_id": "ds"}) + "\n")
+
+    q = start_worker(
+        spark, queue, src, wh,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        dead_letter_dir=os.path.join(tmp, "dead"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    with open(os.path.join(tmp, "dead", "dead_letter.jsonl")) as fh:
+        n_dead = sum(1 for _ in fh)
+    census = [("dead_letter", n_dead)]
+    for table in ("nation", "region"):
+        census.append(
+            (table, spark.read.parquet(os.path.join(wh, "ds", table)).count())
+        )
+    return spark.createDataFrame(
+        sorted(census), "object string, n_rows long"
+    ).coalesce(1).orderBy("object")
+
+
 # --- src03: native .xlsx ingest (S3, stdlib OOXML reader, no codec) ----------
 @register(
     "src03_excel_native_ingest",
