@@ -33,10 +33,26 @@ def main() -> None:
     # Arrow-batched UDF stage in a session pays ~20 s of worker spin-up).
     # Both Python paths need their own warm-up: mapInPandas and the
     # grouped-map (applyInPandas) runner spin up workers independently.
+    # The warm-up UDFs also import the engine's kernel modules: a pooled
+    # python worker pays that import (~2.5 s: numpy/pandas) the first time a
+    # task unpickles a UDF referencing them, and a tiny 1-group query lands
+    # on an arbitrary pool worker — so EVERY pool worker must pre-import, or
+    # single-task operators measure a cold import instead of the operator.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    warm = spark.range(64).selectExpr("id", "CAST(id AS double) AS v")
-    warm.mapInPandas(lambda it: it, schema="id long, v double").count()
-    warm.groupBy("id").applyInPandas(lambda p: p, schema="id long, v double").count()
+
+    def _warm_imports(df):
+        import worker_etl_spark.operators.detection  # noqa: F401
+        import worker_etl_spark.operators.inference  # noqa: F401
+        import worker_etl_spark.operators.multimodal  # noqa: F401
+        return df
+
+    warm = spark.range(256).selectExpr("id", "CAST(id AS double) AS v")
+    warm.mapInPandas(
+        lambda it: map(_warm_imports, it), schema="id long, v double"
+    ).count()
+    warm.groupBy("id").applyInPandas(
+        _warm_imports, schema="id long, v double"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, spec in registry.items():

@@ -68,7 +68,7 @@ def _lineitem_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A sheet grid is small by nature (bounded by spreadsheet limits); one
     # partition keeps every downstream Python stage (detection, counter scan)
     # at one real task instead of ~33 near-empty ones.
-    return fixed.unionByName(data).coalesce(1)
+    return fixed.unionByName(data).repartition(1)
 
 
 @register(
@@ -132,7 +132,7 @@ def g02_grid_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         schema="file string, sheet string, row_idx long, "
         + ", ".join(f"`{i}` string" for i in range(7)),
-    ).coalesce(1)
+    ).repartition(1)
     return detect_tables(grid).orderBy("table_id")
 
 
@@ -159,7 +159,7 @@ def g03_grid_fallback_whole_sheet(spark: SparkSession, sf_dir: str) -> DataFrame
         rows,
         schema="file string, sheet string, row_idx long, "
         + ", ".join(f"`{i}` string" for i in range(7)),
-    ).coalesce(1)
+    ).repartition(1)
     return detect_tables(grid, detect_components=False).orderBy("table_id")
 
 
@@ -196,7 +196,7 @@ def g04_detection_config_knobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         schema="file string, sheet string, row_idx long, "
         + ", ".join(f"`{i}` string" for i in range(7)),
-    ).coalesce(1)
+    ).repartition(1)
     return detect_tables(
         grid,
         min_rows=cfg.min_table_rows,
