@@ -352,3 +352,32 @@ def s03_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# --- v01: per-label embedding centroids (vector column analytics) ------------
+@register(
+    "v01_embedding_centroids",
+    oracle="""
+    SELECT label::INT AS label, pos::INT AS pos, round(avg(x), 5) AS centroid
+    FROM (
+      SELECT label, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def v01_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one value per (label,
+    dimension) — the building block of IVF training / cluster drift
+    monitoring.  posexplode multiplies rows 64× but the per-(label, pos)
+    partial averages combine map-side, so the shuffle carries
+    |labels|×|dims| rows regardless of corpus size."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 5).alias("centroid"))
+        .orderBy("label", "pos")
+    )

@@ -414,3 +414,54 @@ def t07_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# --- t08: BPE-ish regex tokenization vs whitespace ---------------------------
+# GPT-2-style pre-tokenizer, restricted to the Java∩RE2 subset (no
+# lookahead): contraction suffixes, space-prefixed letter/digit runs,
+# punctuation runs.  Token COUNT approximates LLM token cost far better than
+# whitespace words (punctuation and numbers split out).
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+_SQL_BPE = _BPE_RE.replace("'", "''")
+
+@register(
+    "t08_bpe_token_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{_SQL_BPE}')) AS n_bpe,
+             len({sql_tokens('text')})                    AS n_ws
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n_bpe) AS BIGINT)          AS total_bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT)           AS total_ws_tokens,
+           round(avg(n_bpe), 4)                AS avg_bpe_tokens,
+           round(sum(n_bpe) / CAST(sum(n_ws) AS DOUBLE), 4) AS bpe_per_word
+    FROM tok GROUP BY lang ORDER BY lang
+    """,
+)
+def t08_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver brief's second token-counting mode: a BPE-ish regex
+    (contractions / letter runs / digit runs / punct runs) next to the
+    whitespace tokenizer (t01), per-lang totals + tokens-per-word ratio.
+    Pure JVM regexp projection — the pattern goes through F.lit, never
+    F.expr (Spark SQL literals eat backslashes)."""
+    d = read_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias("n_bpe"),
+        F.size(tokens(F.col("text"))).alias("n_ws"),
+    )
+    return (
+        feat.groupBy("lang")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe") / F.sum("n_ws").cast("double"), 4
+            ).alias("bpe_per_word"),
+        )
+        .orderBy("lang")
+    )
