@@ -218,11 +218,9 @@ _SQL_SIM_VALUE = " + ".join(
     f"(CASE WHEN s{b:02d} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIM_BITS)
 )
 
-
-@register(
-    "d04_simhash",
-    oracle=f"""
-    WITH tok AS (
+# CTE chain producing sim(doc_id, simhash) — shared by d04 (signatures) and
+# d10 (hamming-blocked near-dup pairs).
+_SQL_SIMHASH_CTES = f"""tok AS (
       SELECT DISTINCT doc_id, unnest({sql_tokens(sql_norm_text('text'))}) AS t
       FROM documents
     ),
@@ -233,12 +231,14 @@ _SQL_SIM_VALUE = " + ".join(
       SELECT doc_id,
              {_SQL_SIM_SUMS}
       FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, ({_SQL_SIM_VALUE})::BIGINT AS simhash
-    FROM sums ORDER BY doc_id
-    """,
-)
-def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ),
+    sim AS (
+      SELECT doc_id, ({_SQL_SIM_VALUE})::BIGINT AS simhash FROM sums
+    )"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 32-bit sign-aggregated token-hash fingerprint."""
     d = read_table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("t"))
@@ -259,7 +259,18 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_SIM_BITS)
         )
     )
-    return sums.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+@register(
+    "d04_simhash",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM sim ORDER BY doc_id
+    """,
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir).orderBy("doc_id")
 
 
 # --- d05: n-gram Jaccard with rare-shingle blocking --------------------------
@@ -651,3 +662,176 @@ def d09_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- d10: SimHash hamming-distance near-dup pairs ----------------------------
+_HAM_BANDS = 4      # 32-bit simhash split into 4 disjoint 8-bit bands
+_HAM_MAX = 3        # pigeonhole: hamming <= bands-1 guarantees a shared band
+
+
+@register(
+    "d10_simhash_hamming",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTES},
+    bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 8)) & 255 AS val
+      FROM sim CROSS JOIN (SELECT unnest(range({_HAM_BANDS})) AS band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_HAM_MAX}
+    ORDER BY hamming, doc_a, doc_b
+    """,
+)
+def d10_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance ``_HAM_MAX``, found by
+    band-blocking rather than an all-pairs scan: the 32-bit fingerprint is
+    split into 4 disjoint 8-bit bands and only pairs agreeing on at least
+    one band are compared.  By pigeonhole, any pair within hamming <= 3
+    differs in at most 3 of the 4 bands, so the blocked join is EXACT for
+    the threshold — the same guarantee Manku et al.'s simhash dedup (WWW'07,
+    public) builds web-scale dedup on.
+
+    Scale shape: the band join is key-equi on (band, val) — 4x row
+    amplification into a shuffle-partitionable join, per-key fan-out bounded
+    by band-bucket occupancy, never O(n^2).  The hamming check itself is one
+    codegen'd xor+bit_count per surviving candidate.  No reference
+    counterpart (dedup is a driver-mandated extension, SURVEY.md §2)."""
+    sim = _simhash_df(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(_HAM_BANDS)])).alias("band"),
+    ).withColumn("val", F.expr("(simhash >> (band * 8)) & 255"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "val"
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(sim_a ^ sim_b)").cast("long")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
+# --- d11: cluster-canonical dedup survivors ----------------------------------
+@register(
+    "d11_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a AS a, i.doc_b AS b
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.doc_a
+      JOIN card cb ON cb.doc_id = i.doc_b
+      WHERE i.c / CAST(ca.n + cb.n - i.c AS DOUBLE) >= {_CLUSTER_JACCARD}
+    ),
+    und AS (
+      SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    lbl AS (
+      SELECT src AS node, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    sized AS (
+      SELECT l.cluster_id, l.node, length(n.norm) AS len
+      FROM lbl l JOIN norm n ON n.doc_id = l.node
+    ),
+    ranked AS (
+      SELECT cluster_id, node, len,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY len DESC, node) AS rn
+      FROM sized
+    ),
+    agg AS (
+      SELECT cluster_id, CAST(count(*) - 1 AS BIGINT) AS n_dropped
+      FROM sized GROUP BY cluster_id
+    )
+    SELECT r.cluster_id, r.node AS keep_doc, CAST(r.len AS BIGINT) AS keep_len,
+           a.n_dropped
+    FROM ranked r JOIN agg a USING (cluster_id)
+    WHERE r.rn = 1
+    ORDER BY r.cluster_id
+    """,
+)
+def d11_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closing act of the dedup pipeline: per near-dup cluster (d07's
+    connected components over Jaccard >= 0.9 edges), keep ONE canonical
+    document — the longest normalized text, doc_id ascending on ties — and
+    account for what was dropped.  This is the "keep-best" policy every
+    production training-data dedup ends with (vs d07 which only labels).
+
+    Scale shape: component labels come from the iterative min-label
+    propagation in ``operators/graph.py`` (edge-linear per round); the
+    canonical pick is one window over |cluster members| rows, partitioned by
+    cluster — no driver-side anything.  The oracle re-derives the whole
+    thing (closure via recursive CTE + the same keep policy) independently."""
+    from pyspark.sql.window import Window as W
+
+    from worker_etl_spark.operators.graph import connected_components
+
+    edges = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= _CLUSTER_JACCARD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = connected_components(edges)
+    d = read_table(spark, sf_dir, "documents")
+    sized = labels.join(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.length(norm_text(F.col("text"))).alias("len"),
+        ),
+        "node",
+    )
+    win = W.partitionBy("lbl").orderBy(F.desc("len"), F.asc("node"))
+    keepers = (
+        sized.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("lbl").alias("cluster_id"),
+            F.col("node").alias("keep_doc"),
+            F.col("len").cast("long").alias("keep_len"),
+        )
+    )
+    counts = sized.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped")
+    )
+    return keepers.join(counts, "cluster_id").orderBy("cluster_id")

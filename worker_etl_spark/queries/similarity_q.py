@@ -381,3 +381,92 @@ def v01_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 5).alias("centroid"))
         .orderBy("label", "pos")
     )
+
+
+# --- s04: ANN recall audit (LSH vs exact ground truth) -----------------------
+@register(
+    "s04_ann_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id % {_QUERY_STRIDE} = 0),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    ex_ranked AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM ex_scored
+    ),
+    ex AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= {_TOP_K}),
+    ann_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ann_ranked AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM ann_scored
+    ),
+    ann AS (SELECT query_id, cand_id FROM ann_ranked WHERE rank <= {_TOP_K}),
+    n_ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM ex GROUP BY query_id),
+    n_ann AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ann
+              FROM ann GROUP BY query_id),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM ex e JOIN ann a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+      GROUP BY e.query_id
+    )
+    SELECT ne.query_id, ne.n_exact,
+           COALESCE(na.n_ann, 0)::BIGINT AS n_ann,
+           COALESCE(h.n_hit, 0)::BIGINT  AS n_hit,
+           round(COALESCE(h.n_hit, 0) / CAST(ne.n_exact AS DOUBLE), 6) AS recall
+    FROM n_ex ne
+    LEFT JOIN n_ann na ON na.query_id = ne.query_id
+    LEFT JOIN hits h   ON h.query_id = ne.query_id
+    ORDER BY ne.query_id
+    """,
+)
+def s04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LSH ANN path against exact ground truth — the
+    accounting every approximate index needs before it replaces the exact
+    scan in production.  Per query: exact-top-k size, ANN result size,
+    overlap, recall = overlap / k_exact.
+
+    Scale shape: both inputs are the already-scale-shaped s01/s02 plans
+    (broadcast query matrix + streamed candidates; bucket-equi join); the
+    audit itself only joins two (queries x k)-row frames — driver never sees
+    data.  At 100 TB you run this on a sampled query panel to pick the plane
+    count; the panel size, not the corpus, bounds the audit cost."""
+    exact = s01_topk_bruteforce(spark, sf_dir).select("query_id", "cand_id")
+    ann = s02_topk_lsh(spark, sf_dir).select("query_id", "cand_id")
+    n_ex = exact.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_ann"))
+    hits = (
+        exact.join(ann, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        n_ex.join(n_ann, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).cast("long").alias("n_ann"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
