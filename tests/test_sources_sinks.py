@@ -266,3 +266,37 @@ def test_upsert_last_writer_wins_and_tie_prefers_incoming(spark, tmp_path):
     # No staging/backup dirs left behind.
     import glob
     assert not glob.glob(str(tmp_path / "ds" / "*__*"))
+
+
+# --- small-file compaction ---------------------------------------------------
+def test_compact_files_reduces_count_losslessly(spark, tmp_path):
+    from worker_etl_spark.sinks.writer import compact_files
+
+    df = spark.range(0, 20_000).selectExpr("id", "id * 2 AS v")
+    loc = str(tmp_path / "frag")
+    df.repartition(40).write.parquet(loc)
+    n_small = len([f for f in os.listdir(loc) if f.endswith(".parquet")])
+    assert n_small == 40
+
+    _, before, after = compact_files(spark, loc, target_file_bytes=64 * 1024 * 1024)
+    assert before == 40
+    assert after < before
+    back = spark.read.parquet(loc)
+    assert back.count() == 20_000
+    assert back.selectExpr("sum(v)").first()[0] == df.selectExpr("sum(v)").first()[0]
+    # no staging/old leftovers from the swap
+    assert not os.path.exists(loc + ".__staging__")
+    assert not os.path.exists(loc + ".__old__")
+
+
+def test_compact_files_respects_target_size(spark, tmp_path):
+    from worker_etl_spark.sinks.writer import compact_files
+
+    df = spark.range(0, 50_000).selectExpr("id", "md5(cast(id as string)) AS pad")
+    loc = str(tmp_path / "frag2")
+    df.repartition(32).write.parquet(loc)
+    # tiny target forces multiple output files: ceil(total/target) > 1
+    _, before, after = compact_files(spark, loc, target_file_bytes=64 * 1024)
+    assert before == 32
+    assert 1 < after < 32
+    assert spark.read.parquet(loc).count() == 50_000

@@ -318,3 +318,55 @@ def w01_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- w03: small-file compaction (sink maintenance) ---------------------------
+@register(
+    "w03_compaction_sink",
+    oracle="""
+    SELECT 'source' AS phase,
+           CAST(count(*) AS BIGINT)                        AS n_rows,
+           CAST(sum(l_orderkey * l_linenumber) AS BIGINT)  AS key_checksum,
+           round(sum(l_extendedprice), 2)                  AS total_price
+    FROM lineitem
+    UNION ALL
+    SELECT 'compacted',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(l_orderkey * l_linenumber) AS BIGINT),
+           round(sum(l_extendedprice), 2)
+    FROM lineitem
+    ORDER BY phase
+    """,
+)
+def w03_compaction_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip: ``lineitem`` deliberately shattered
+    into 64 tiny parquet files (the shape a per-message streaming sink
+    produces), then bin-packed back by ``sinks.writer.compact_files`` — a
+    distributed rewrite sized from Hadoop-FS file listings with a staged
+    directory swap.  The query returns identical (rows, key-checksum, price
+    total) summaries of the pre-shatter source and the compacted read-back:
+    hash-equality across both rows IS the losslessness proof, and the oracle
+    restates both directly from ``lineitem``.  File-count expectations are
+    asserted in ``tests/test_sources_sinks.py`` (counts depend on
+    compression, so they stay out of the cross-engine hash)."""
+    from worker_etl_spark.sinks.writer import compact_files
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="w03_")
+    loc = os.path.join(tmp, "lineitem_frag")
+    li.repartition(64).write.parquet(loc)
+    compact_files(spark, loc, target_file_bytes=256 * 1024)
+
+    def summary(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_orderkey") * F.col("l_linenumber"))
+            .cast("long")
+            .alias("key_checksum"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "key_checksum", "total_price")
+
+    back = spark.read.parquet(loc)
+    return summary(li, "source").unionByName(summary(back, "compacted")).orderBy("phase")

@@ -164,3 +164,53 @@ def write_catalog_table(
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(ident)
     return ident
+
+
+def compact_files(
+    spark,
+    location: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[str, int, int]:
+    """Compact a fragmented parquet directory into ~*target_file_bytes* files.
+
+    The small-files problem is the classic failure mode of streaming /
+    per-message sinks at scale (the reference's one-message-one-load flow,
+    ``etl.py:1156-1232``, produces exactly this shape): thousands of tiny
+    files turn every downstream scan into a listing + task-scheduling
+    bottleneck.  Compaction is the maintenance job that bin-packs them back
+    to scan-friendly sizes.
+
+    Sizes come from the Hadoop FileSystem API (valid on HDFS/S3A/local
+    alike, not just ``os``), the rewrite is one distributed
+    ``repartition(ceil(total/target))`` — a round-robin exchange, no skew by
+    construction — and the swap is staged exactly like ``upsert_table`` so
+    readers never observe a half-compacted directory.  Returns
+    ``(location, files_before, files_after)``.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(location).getFileSystem(conf)
+
+    def _scan(p: str) -> tuple[int, int]:
+        total, n = 0, 0
+        it = fs.listFiles(hpath(p), True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().startswith(("_", ".")):
+                continue
+            total += st.getLen()
+            n += 1
+        return total, n
+
+    total, files_before = _scan(location)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(location)
+    staging, old = location + ".__staging__", location + ".__old__"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    fs.delete(hpath(old), True)
+    fs.rename(hpath(location), hpath(old))
+    fs.rename(hpath(staging), hpath(location))
+    fs.delete(hpath(old), True)
+    _, files_after = _scan(location)
+    return location, files_before, files_after
