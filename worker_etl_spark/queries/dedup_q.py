@@ -91,13 +91,31 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- shared shingle CTE (Spark + SQL) ---------------------------------------
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, 32-bit char-gram hash) pairs."""
+    """Distinct (doc_id, 32-bit char-gram hash) pairs.
+
+    Persisted: this frame is the shared root of the whole dedup family
+    (signatures d02, banding d03, blocking d05/d07/d08/d09 — and the
+    blocking path alone consumes it twice, once for document-frequency
+    counts and once for the pair join).  Spark's cache manager matches by
+    analyzed plan, so every consumer in the session reuses ONE
+    materialization of the explode+distinct instead of re-shuffling it —
+    at scale this is the "materialize the common intermediate" call a real
+    pipeline makes explicitly.  Memoized per (session, sf_dir) so repeat
+    callers share one persisted handle instead of re-marking the same plan
+    (CacheManager warns on double-persist)."""
+    key = (id(spark), sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = read_table(spark, sf_dir, "documents")
     n = d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
         F.length("norm") >= _SHINGLE_W
     )
-    return (
+    df = (
         n.select(
             "doc_id",
             F.explode(
@@ -107,7 +125,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", hex_int(F.expr(f"substring(norm, i, {_SHINGLE_W})")).alias("h"))
         .distinct()
+        .persist()
     )
+    _SHINGLE_CACHE[key] = df
+    return df
 
 
 _SQL_SHINGLES = f"""
@@ -274,9 +295,18 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- d05: n-gram Jaccard with rare-shingle blocking --------------------------
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every rare-shingle-blocked candidate pair
-    (d05's pair program, shared with d07's cluster resolution)."""
+    (d05's pair program, shared with d07's cluster resolution).  Memoized per
+    (session, sf_dir) like ``_shingles`` — five consumers (d05/d07/d08/d09/
+    d11) share one persisted blocked-pair frame."""
+    key = (id(spark), sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh = _shingles(spark, sf_dir)
     rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _DF_CAP
@@ -296,7 +326,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
+    out = (
         inter.join(ca, "doc_a")
         .join(cb, "doc_b")
         .select(
@@ -307,6 +337,8 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    _PAIRS_CACHE[key] = out
+    return out
 
 
 @register(
@@ -429,6 +461,31 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- d07: duplicate-cluster resolution (connected components) ----------------
 _CLUSTER_JACCARD = 0.9
+_CC_LABELS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, lbl) component labels over the Jaccard >= 0.9 edge set.
+
+    Memoized per (session, sf_dir): the CC fixpoint runs real per-round jobs
+    (a count per iteration), and both d07 (cluster stats) and d11 (survivor
+    selection) consume the same labels — re-running the fixpoint would also
+    double-persist plan-identical per-round frames, churning the cache
+    manager."""
+    key = (id(spark), sf_dir)
+    cached = _CC_LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from worker_etl_spark.operators.graph import connected_components
+
+    edges = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= _CLUSTER_JACCARD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = connected_components(edges)
+    _CC_LABELS_CACHE[key] = labels
+    return labels
 
 
 @register(
@@ -482,14 +539,7 @@ def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cluster_id``, drop the rest).  The oracle re-derives the components
     with a recursive transitive-closure CTE, so the distributed fixpoint is
     value-hash-checked against an independent sequential formulation."""
-    from worker_etl_spark.operators.graph import connected_components
-
-    edges = (
-        _jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= _CLUSTER_JACCARD)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    labels = connected_components(edges)
+    labels = _cluster_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("lbl").alias("cluster_id"))
         .agg(
@@ -805,14 +855,7 @@ def d11_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing (closure via recursive CTE + the same keep policy) independently."""
     from pyspark.sql.window import Window as W
 
-    from worker_etl_spark.operators.graph import connected_components
-
-    edges = (
-        _jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= _CLUSTER_JACCARD)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    labels = connected_components(edges)
+    labels = _cluster_labels(spark, sf_dir)
     d = read_table(spark, sf_dir, "documents")
     sized = labels.join(
         d.select(
