@@ -98,3 +98,23 @@ def test_s04_recall_bounds(spark):
         assert r.n_exact <= _TOP_K
         assert r.n_hit <= min(r.n_exact, r.n_ann)
         assert 0.0 <= r.recall <= 1.0
+
+
+def test_p03_no_cluster_spans_splits(spark):
+    """Leakage guard, checked at doc granularity: every member of a d07
+    cluster must land in the same train/eval split as its cluster head."""
+    from worker_etl_spark.functions.text import hex_int
+    from worker_etl_spark.queries.dedup_q import _cluster_labels
+    from pyspark.sql import functions as F
+
+    labels = _cluster_labels(spark, SF001)
+    split = labels.select(
+        "node",
+        "lbl",
+        (hex_int(F.col("lbl").cast("string")) % 10 < 8).alias("is_train"),
+    )
+    per_cluster = split.groupBy("lbl").agg(
+        F.countDistinct("is_train").alias("n_sides")
+    )
+    assert per_cluster.filter(F.col("n_sides") > 1).count() == 0
+    assert per_cluster.count() > 0

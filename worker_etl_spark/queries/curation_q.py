@@ -33,6 +33,12 @@ from worker_etl_spark.functions.text import (
     tokens,
 )
 from worker_etl_spark.queries import register
+from worker_etl_spark.queries.dedup_q import (
+    _CLUSTER_JACCARD,
+    _DF_CAP,
+    _SQL_SHINGLES,
+    _cluster_labels,
+)
 from worker_etl_spark.sources.tables import read_table
 
 # Keep thresholds loose enough that every lang keeps a healthy sample at
@@ -149,4 +155,152 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
         .orderBy("lang")
+    )
+
+
+# --- p02: deterministic per-source quota sampling ----------------------------
+_QUOTA = 18  # max docs kept per source (sources carry ~25 docs at sf0.01, so the cap binds)
+
+
+@register(
+    "p02_source_quota_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT source, doc_id,
+             {sql_hex_int("CAST(doc_id AS VARCHAR)")} AS hk
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hk, doc_id) AS rk
+      FROM hashed
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_QUOTA}
+    ORDER BY source, rk
+    """,
+)
+def p02_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture curation: cap every source at ``_QUOTA`` documents,
+    chosen by content-hash order — the deterministic equivalent of "sample N
+    per source" that reproduces bit-identically on any cluster layout, any
+    engine, any day (no RNG state, no partition-order dependence).
+
+    Scale shape: one window per source partition; the hash rank is computed
+    scan-side, only quota survivors flow on.  Mixture rebalancing at 100 TB
+    is exactly this with per-source quotas from a config table."""
+    d = read_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    hashed = d.select(
+        "source", "doc_id", hex_int(F.col("doc_id").cast("string")).alias("hk")
+    )
+    win = W.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        hashed.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= _QUOTA)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+# --- p03: leakage-safe train/eval split (near-dup clusters stay together) ----
+_TRAIN_BUCKETS = 8  # of 10: 80/20 split
+
+
+@register(
+    "p03_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a AS a, i.doc_b AS b
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.doc_a
+      JOIN card cb ON cb.doc_id = i.doc_b
+      WHERE i.c / CAST(ca.n + cb.n - i.c AS DOUBLE) >= {_CLUSTER_JACCARD}
+    ),
+    und AS (
+      SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    lbl AS (
+      SELECT src AS node, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    grouped AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+    ),
+    split AS (
+      SELECT doc_id, group_id,
+             CASE WHEN {sql_hex_int("CAST(group_id AS VARCHAR)")} % 10
+                       < {_TRAIN_BUCKETS}
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM grouped
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+           min(doc_id)                              AS first_doc
+    FROM split GROUP BY split ORDER BY split
+    """,
+)
+def p03_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split that cannot leak near-duplicates across the
+    boundary: every document is assigned to a GROUP (its d07 connected
+    component if it has one, else itself), and the 80/20 split hashes the
+    group id, not the doc id — so a whole near-dup cluster lands on one side
+    by construction.  Splitting by doc hash is the classic eval-contamination
+    bug in LLM training pipelines; this is the fix, stated as an operator.
+
+    Scale shape: one left equi-join of the corpus against the (sparse)
+    cluster-label table + a portable-hash projection; the split decision
+    never shuffles the corpus.  The oracle re-derives clusters via recursive
+    CTE and must agree on every count."""
+    labels = _cluster_labels(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    grouped = d.join(
+        labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("group_id")
+    )
+    split = grouped.select(
+        "doc_id",
+        "group_id",
+        F.when(
+            hex_int(F.col("group_id").cast("string")) % 10 < _TRAIN_BUCKETS,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
     )
