@@ -129,3 +129,30 @@ def test_determine_schema_no_common_columns_raises(spark):
         inference.determine_schema(spark, df, "t", "gemini_only", llm_infer=fake2) is None
     )
     assert inference.determine_schema(spark, df, "t", "gemini", llm_infer=fake) is not None
+
+
+# --- widening lattice --------------------------------------------------------
+def test_widen_logical_lattice():
+    from worker_etl_spark.operators.inference import widen_logical
+
+    assert widen_logical("INTEGER", "INTEGER") == "INTEGER"
+    assert widen_logical("INTEGER", "FLOAT") == "FLOAT"
+    assert widen_logical("FLOAT", "INTEGER") == "FLOAT"
+    assert widen_logical("INTEGER", "NUMERIC") == "NUMERIC"
+    assert widen_logical("FLOAT", "NUMERIC") == "FLOAT"
+    assert widen_logical("TIMESTAMP", "STRING") == "STRING"
+    assert widen_logical("BOOLEAN", "INTEGER") == "STRING"
+    assert widen_logical("TIMESTAMP", "DATE") == "STRING"
+
+
+def test_widen_schemas_union_and_order():
+    from worker_etl_spark.operators.inference import widen_schemas
+
+    s1 = [{"name": "a", "type": "INTEGER"}, {"name": "b", "type": "TIMESTAMP"}]
+    s2 = [{"name": "b", "type": "STRING"}, {"name": "c", "type": "FLOAT"}]
+    out = widen_schemas(s1, s2)
+    assert out == [
+        {"name": "a", "type": "INTEGER"},
+        {"name": "b", "type": "STRING"},
+        {"name": "c", "type": "FLOAT"},
+    ]

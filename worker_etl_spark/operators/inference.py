@@ -319,6 +319,48 @@ def infer_schema(df: DataFrame) -> list[dict]:
     return out
 
 
+# --- batch type-widening lattice ---------------------------------------------------
+def widen_logical(a: str, b: str) -> str:
+    """Widest common logical type for one column seen with two inferred
+    types across ingest batches.
+
+    The lattice: numerics widen upward (INTEGER ⊂ FLOAT, INTEGER ⊂ NUMERIC;
+    FLOAT wins the FLOAT/NUMERIC mix for range), everything else conflicts
+    to STRING — the only type that loses no information.  No reference
+    counterpart (the reference infers per-object and lets the warehouse
+    reject drift); this is the union-side answer a long-lived 100 TB table
+    needs when two appended batches disagree."""
+    a, b = a.upper(), b.upper()
+    if a == b:
+        return a
+    pair = {a, b}
+    if pair == {"INTEGER", "FLOAT"}:
+        return "FLOAT"
+    if pair == {"INTEGER", "NUMERIC"}:
+        return "NUMERIC"
+    if pair == {"FLOAT", "NUMERIC"}:
+        return "FLOAT"
+    return "STRING"
+
+
+def widen_schemas(s1: list[dict], s2: list[dict]) -> list[dict]:
+    """Widen two inferred schemas column-wise: shared columns take the
+    lattice join, columns unique to either side keep their type (alignment
+    NULL-fills them on the frame that lacks them).  Order: *s1*'s columns,
+    then *s2*-only columns appended."""
+    t2 = {c["name"]: c["type"] for c in s2}
+    out, seen = [], set()
+    for c in s1:
+        name = c["name"]
+        seen.add(name)
+        widened = widen_logical(c["type"], t2[name]) if name in t2 else c["type"]
+        out.append({"name": name, "type": widened})
+    for c in s2:
+        if c["name"] not in seen:
+            out.append({"name": c["name"], "type": c["type"]})
+    return out
+
+
 # --- I6: coercive cast expressions ------------------------------------------------
 def coerce_expr(col: Column, logical_type: str) -> Column:
     """Cast *col* to *logical_type* with coerce semantics (bad cell → NULL).

@@ -303,3 +303,51 @@ def i05_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": "n_regionkey", "type": "INTEGER"},
     ]
     return align_to_schema(merged, target).orderBy("n_nationkey")
+
+
+# --- i06: conflicting-batch type widening ------------------------------------
+@register(
+    "i06_type_widening",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS id,
+           CASE WHEN n_nationkey < 13 THEN n_nationkey::DOUBLE
+                ELSE n_nationkey + 0.5 END AS v,
+           CASE WHEN n_nationkey < 13
+                THEN '2024-01-' || lpad((n_nationkey % 27 + 1)::VARCHAR, 2, '0')
+                ELSE 'n/a-' || n_name END AS w
+    FROM nation ORDER BY id
+    """,
+)
+def i06_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type DRIFT between ingest batches (the case i05's column-add drift
+    doesn't cover): batch 1 infers ``v`` INTEGER and ``w`` TIMESTAMP, batch
+    2 infers ``v`` FLOAT and ``w`` STRING.  The widening lattice
+    (``operators/inference.py:widen_logical``) joins them — numerics widen
+    to FLOAT, TIMESTAMP/STRING conflicts fall back to STRING — and BOTH
+    batches re-align to the widened schema before the union, so the
+    long-lived table's type never depends on batch arrival order.  One
+    inference scan per batch + one union; no data collected."""
+    from worker_etl_spark.operators.inference import (
+        align_to_schema,
+        infer_schema,
+        widen_schemas,
+    )
+
+    n = read_table(spark, sf_dir, "nation")
+    key_s = F.col("n_nationkey").cast("string")
+    a = n.filter(F.col("n_nationkey") < 13).select(
+        key_s.alias("id"),
+        key_s.alias("v"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.col("n_nationkey") % 27 + 1).cast("string"), 2, "0"),
+        ).alias("w"),
+    )
+    b = n.filter(F.col("n_nationkey") >= 13).select(
+        key_s.alias("id"),
+        F.concat(key_s, F.lit(".5")).alias("v"),
+        F.concat(F.lit("n/a-"), F.col("n_name")).alias("w"),
+    )
+    widened = widen_schemas(infer_schema(a), infer_schema(b))
+    out = align_to_schema(a, widened).unionByName(align_to_schema(b, widened))
+    return out.orderBy("id")

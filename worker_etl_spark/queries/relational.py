@@ -1196,3 +1196,102 @@ def q33_collected_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q34: FULL OUTER reconciliation ------------------------------------------
+@register(
+    "q34_full_outer_reconcile",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_orderdate
+    ),
+    s AS (
+      SELECT l_shipdate AS day, CAST(count(*) AS BIGINT) AS n_ships
+      FROM lineitem GROUP BY l_shipdate
+    )
+    SELECT COALESCE(o.day, s.day)          AS day,
+           COALESCE(o.n_orders, 0)::BIGINT AS n_orders,
+           COALESCE(s.n_ships, 0)::BIGINT  AS n_ships,
+           CASE WHEN o.day IS NULL THEN 'ship_only'
+                WHEN s.day IS NULL THEN 'order_only'
+                ELSE 'both' END            AS status
+    FROM o FULL OUTER JOIN s ON o.day = s.day
+    ORDER BY day
+    """,
+)
+def q34_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join as a reconciliation report: per-day order activity vs
+    per-day shipment activity, keeping days present on either side and
+    classifying the mismatch — the audit query every two-system pipeline
+    runs.  Both inputs pre-aggregate to day grain BEFORE the join (map-side
+    combine), so the full-outer shuffle carries |days| rows, not |orders| +
+    |lineitems| — the only full-outer shape that survives 100 TB."""
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    s = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ships"))
+    )
+    oo = o.select(F.col("day").alias("o_day"), "n_orders")
+    ss = s.select(F.col("day").alias("s_day"), "n_ships")
+    j = oo.join(ss, oo.o_day == ss.s_day, "full_outer")
+    return (
+        j.select(
+            F.coalesce("o_day", "s_day").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_ships", F.lit(0)).cast("long").alias("n_ships"),
+            F.when(F.col("o_day").isNull(), "ship_only")
+            .when(F.col("s_day").isNull(), "order_only")
+            .otherwise("both")
+            .alias("status"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- q35: UNPIVOT / melt ------------------------------------------------------
+@register(
+    "q35_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2)      AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    ORDER BY l_returnflag, metric
+    """,
+)
+def q35_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the inverse of q13's pivot — wide per-flag metric
+    columns to long (flag, metric, value) rows via Spark's native
+    ``DataFrame.unpivot`` (an Expand node: rows multiply by the metric
+    count with NO shuffle).  Long-form is what metric stores and plotting /
+    monitoring sinks ingest.  The oracle restates the melt as UNION ALL —
+    engine-independent semantics, same values."""
+    l = read_table(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"],
+            ["sum_qty", "sum_price", "sum_disc"],
+            "metric",
+            "value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
