@@ -169,3 +169,60 @@ def m04_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --- m05: magic-byte validation / corrupt-payload quarantine -----------------
+_MAGIC = {"image": b"\x89PNG", "audio": b"RIFF", "video": b"ftyp"}
+_SQL_DETECT = (
+    "CASE WHEN doc_id % 4 = 3 THEN 'unknown' ELSE " + _SQL_KIND + " END"
+)
+
+
+@register(
+    "m05_magic_byte_quarantine",
+    oracle=f"""
+    WITH classed AS (
+      SELECT doc_id,
+             {_SQL_KIND}   AS kind_claimed,
+             {_SQL_DETECT} AS kind_detected
+      FROM documents
+    )
+    SELECT kind_claimed, kind_detected,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (kind_claimed <> kind_detected) AS quarantined
+    FROM classed
+    GROUP BY kind_claimed, kind_detected
+    ORDER BY kind_claimed, kind_detected
+    """,
+)
+def m05_magic_byte_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload validation by file-signature sniffing: every payload claims a
+    kind in its metadata, but the VALIDATOR trusts only the leading magic
+    bytes (PNG/RIFF/ftyp) — the standard quarantine gate in front of a
+    multimodal decode fleet, because a mislabeled or truncated blob crashes
+    decoders downstream.  The testbed stamps real signatures on 3 of every
+    4 payloads and leaves the 4th raw; detection reads the actual binary
+    prefix via codegen'd hex(substring(payload, 1, 4)) — the JVM-side path a
+    100 TB scan would use, payload bytes never reaching Python — and the
+    oracle restates the expected confusion matrix closed-form."""
+    d = read_table(spark, sf_dir, "documents")
+    p = attach_payload(d)
+    hdr = F.when(F.col("doc_id") % 4 == 3, F.lit(b""))
+    for i, (kind, magic) in enumerate(_MAGIC.items()):
+        hdr = hdr.when(F.col("media_meta.kind") == kind, F.lit(magic))
+    stamped = p.select(
+        "doc_id",
+        F.col("media_meta.kind").alias("kind_claimed"),
+        F.concat(hdr, F.col("payload")).alias("payload"),
+    )
+    prefix = F.hex(F.expr("substring(payload, 1, 4)"))
+    detect = F.lit("unknown")
+    for kind, magic in _MAGIC.items():
+        detect = F.when(prefix == magic.hex().upper(), F.lit(kind)).otherwise(detect)
+    return (
+        stamped.select("kind_claimed", detect.alias("kind_detected"))
+        .groupBy("kind_claimed", "kind_detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("quarantined", F.col("kind_claimed") != F.col("kind_detected"))
+        .orderBy("kind_claimed", "kind_detected")
+    )

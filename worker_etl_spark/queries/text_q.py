@@ -465,3 +465,69 @@ def t08_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- t09: content-defined chunking -------------------------------------------
+_CDC_W = 8       # fingerprint window width
+_CDC_MOD = 32    # boundary gate: windowed hash % mod == 0 (expected chunk ~32)
+
+
+@register(
+    "t09_cdc_chunking",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {sql_norm_text('text')} AS norm FROM documents
+      WHERE length({sql_norm_text('text')}) >= {_CDC_W + 1}
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(length(norm) AS BIGINT) AS doc_len,
+             CAST(len(list_filter(
+               range(2, length(norm) - {_CDC_W - 2}),
+               i -> {sql_hex_int(f'substring(norm, i, {_CDC_W})')} % {_CDC_MOD} = 0
+             )) + 1 AS BIGINT) AS n_chunks
+      FROM norm
+    )
+    SELECT doc_id, doc_len, n_chunks,
+           round(doc_len / CAST(n_chunks AS DOUBLE), 2) AS mean_chunk_len
+    FROM stats ORDER BY doc_id
+    """,
+)
+def t09_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking stats: a boundary falls wherever the
+    windowed fingerprint ``hash(norm[i : i+W]) % MOD == 0`` — boundaries
+    move WITH the content (insert one word and only the neighboring chunk
+    re-cuts), which is what makes CDC the storage/dedup substrate (LBFS,
+    FastCDC — public literature) that fixed-size chunking can't be.
+
+    Scale shape: identical to the shingle pipeline — explode positions,
+    filter on a codegen'd hash gate, re-aggregate map-side to ONE row per
+    doc before the shuffle.  Chunk COUNT and mean length per doc are what a
+    curation pipeline stores; cutting actual chunk text is the same plan
+    with a sequence/slice projection."""
+    d = read_table(spark, sf_dir, "documents")
+    n = d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
+        F.length("norm") >= _CDC_W + 1
+    )
+    pos = n.select(
+        "doc_id",
+        F.length("norm").cast("long").alias("doc_len"),
+        F.explode(F.sequence(F.lit(2), F.length("norm") - (_CDC_W - 1))).alias("i"),
+        "norm",
+    )
+    is_boundary = (
+        hex_int(F.expr(f"substring(norm, i, {_CDC_W})")) % _CDC_MOD == 0
+    ).cast("long")
+    stats = (
+        pos.select("doc_id", "doc_len", is_boundary.alias("b"))
+        .groupBy("doc_id", "doc_len")
+        .agg((F.sum("b") + 1).cast("long").alias("n_chunks"))
+    )
+    return stats.select(
+        "doc_id",
+        "doc_len",
+        "n_chunks",
+        F.round(F.col("doc_len") / F.col("n_chunks").cast("double"), 2).alias(
+            "mean_chunk_len"
+        ),
+    ).orderBy("doc_id")
