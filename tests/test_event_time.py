@@ -232,3 +232,58 @@ def test_windowed_counts_update_mode_incremental(spark, tmp_path):
             n_emissions += 1
     assert final == batch_out
     assert n_emissions > len(final)  # refined groups re-emitted across batches
+
+
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    """The watermark CONTRACT, asserted where Spark makes it strict: in
+    APPEND mode a window is emitted exactly once when the watermark passes
+    its end, and a straggler arriving after that finalization is dropped —
+    it must neither re-emit the window nor change its count.  (Update mode
+    is deliberately looser: a straggler landing in the first batch after
+    the watermark advance still merges, because state eviction runs at
+    batch END — we pin append, the mode with a hard guarantee.)"""
+    import datetime as dt
+    import time
+
+    def mk(ts_list):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, 3, 1, h, m), "a", 1.0) for (h, m) in ts_list],
+            "ts timestamp, event_type string, value double",
+        )
+
+    src = str(tmp_path / "late_src")
+    # b1 advances the watermark to 11:45; b2 (fresh row only) lets the 10:00
+    # window finalize + evict; the b3 straggler then faces the sealed window;
+    # b4 advances far enough to finalize 11:00 and 12:00 as a control.
+    for batch in ([(10, 5), (10, 10), (11, 55)], [(12, 5)], [(10, 30)], [(13, 30)]):
+        mk(batch).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)  # file stream orders batches by modification time
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    emitted = []
+
+    def sink(df, epoch_id):
+        emitted.append((epoch_id, df.collect()))
+
+    q = (
+        windowed_event_counts(stream, watermark="10 minutes")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = [(r.win_start, r.n) for _, rs in emitted for r in rs]
+    ten = dt.datetime(2024, 3, 1, 10, 0)
+    eleven = dt.datetime(2024, 3, 1, 11, 0)
+    # 10:00 finalized once with count 2 — the straggler arriving a batch
+    # after the seal left no trace (no re-emission, no count change)
+    assert rows.count((ten, 2)) == 1
+    assert all(n == 2 for w, n in rows if w == ten)
+    # control: later windows finalize normally with the straggler dropped
+    assert rows.count((eleven, 1)) == 1
+    assert rows.count((dt.datetime(2024, 3, 1, 12, 0), 1)) == 1
