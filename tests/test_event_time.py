@@ -287,3 +287,44 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     # control: later windows finalize normally with the straggler dropped
     assert rows.count((eleven, 1)) == 1
     assert rows.count((dt.datetime(2024, 3, 1, 12, 0), 1)) == 1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once sources re-deliver: dropDuplicatesWithinWatermark must
+    drop a re-delivered event_id arriving in a LATER micro-batch (state
+    remembers ids until the watermark passes), while distinct ids flow."""
+    import datetime as dt
+    import time
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(int(i), dt.datetime(2024, 3, 1, h, m), "a") for (i, h, m) in rows],
+            "event_id long, ts timestamp, event_type string",
+        )
+
+    src = str(tmp_path / "dedup_src")
+    # id 1 delivered in batch 1 and re-delivered in batch 2 (same payload)
+    for batch in ([(1, 10, 0), (2, 10, 5)], [(1, 10, 0), (3, 10, 10)]):
+        mk(batch).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ids = sorted(
+        r.event_id for r in spark.sql("SELECT event_id FROM dedup_stream").collect()
+    )
+    assert ids == [1, 2, 3]  # the re-delivery of id 1 was suppressed

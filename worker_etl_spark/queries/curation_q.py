@@ -211,6 +211,7 @@ _TRAIN_BUCKETS = 8  # of 10: 80/20 split
 
 @register(
     "p03_leakage_safe_split",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE {_SQL_SHINGLES},
     rare AS (

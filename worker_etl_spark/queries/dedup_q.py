@@ -721,6 +721,7 @@ _HAM_MAX = 3        # pigeonhole: hamming <= bands-1 guarantees a shared band
 
 @register(
     "d10_simhash_hamming",
+    headline=True,
     oracle=f"""
     WITH {_SQL_SIMHASH_CTES},
     bands AS (
