@@ -60,10 +60,19 @@ SMOKE_QUERIES = [
     "s03_topk_ivf",          # IVF probe path
     "t04_fingerprint",       # rolling-hash fingerprint
     "t07_bigram_stats",      # array transform + explode
+    "t09_cdc_chunking",      # content-defined chunk boundaries
     "p01_curation_pipeline", # one-scan funnel
+    "p03_leakage_safe_split",  # CC labels + hash split
+    "q34_full_outer_reconcile",  # pre-aggregated full-outer
+    "m05_magic_byte_quarantine",  # binary-prefix projection
     "evt02_session_windows", # native session windows
     "evt03_interval_join",   # time-bounded self-join
 ]
+# NOT in the smoke: d10_simhash_hamming. The key-offset build replicates
+# document TEXT verbatim (only ids shift), so every doc gains `copies`
+# exact twins and hamming-0 pairs grow quadratically in the copy count —
+# a property of the synthetic corpus, not of the band-join plan (real
+# corpora don't 10x their duplicate multiplicity when they 10x in size).
 
 
 def build(spark, out_dir: str, copies: int) -> None:
