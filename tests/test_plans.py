@@ -121,3 +121,36 @@ def test_runtime_bloom_filter_prunes_shuffled_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_w04_layout_prunes_and_skips_shuffle(spark):
+    """The combined layout must carry BOTH axes in one plan: the partition
+    predicate lands in the scan's PartitionFilters (only the l_returnflag=R
+    directory is listed), and the bucketed fact-fact join is a sort-merge
+    over co-located buckets with NO Exchange on either join key.  Broadcast
+    is disabled so fixture-scale data can't mask the bucket property (at
+    warehouse scale neither fact side broadcasts)."""
+    import re as _re
+
+    from worker_etl_spark.queries import load_all
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = load_all()["w04_partitioned_bucketed_layout"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    li_scan = next(s for s in plan.split("FileScan") if "lineitem_pb" in s)
+    pf = li_scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "l_returnflag" in pf and "= R" in pf
+    assert "l_returnflag=R" in li_scan  # only the pruned directory listed
+    assert "SortMergeJoin" in plan
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+    exchanges = _re.findall(
+        r"Exchange hashpartitioning\((?:l_orderkey|o_orderkey)", plan
+    )
+    assert exchanges == [], plan

@@ -370,3 +370,60 @@ def w03_compaction_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     back = spark.read.parquet(loc)
     return summary(li, "source").unionByName(summary(back, "compacted")).orderBy("phase")
+
+
+# --- w04: combined partitioned + bucketed layout -----------------------------
+@register(
+    "w04_partitioned_bucketed_layout",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def w04_partitioned_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB table layout, both axes at once: ``lineitem`` written
+    ``partitionBy(l_returnflag)`` (coarse pruning axis — the scan lists one
+    directory of three) AND ``bucketBy(8, l_orderkey)`` (join axis — the
+    fact-fact join reads co-located buckets, no exchange on either side).
+    q25 and w01 each prove one axis; real warehouse tables need both on the
+    same table, and this query's plan is asserted to carry BOTH properties
+    simultaneously in ``tests/test_plans.py``.  The partition-filtered,
+    bucket-joined aggregate must still match the plain-SQL oracle."""
+    import shutil
+    from urllib.parse import urlparse
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    spark.sql("CREATE DATABASE IF NOT EXISTS layout_ws")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, df, key, parts in (
+        ("lineitem_pb", li, "l_orderkey", ["l_returnflag"]),
+        ("orders_pb", o, "o_orderkey", None),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS layout_ws.{name}")
+        if wh:
+            shutil.rmtree(f"{wh}/layout_ws.db/{name}", ignore_errors=True)
+        w = df.write.bucketBy(8, key).sortBy(key)
+        if parts:
+            w = w.partitionBy(*parts)
+        w.saveAsTable(f"layout_ws.{name}")
+    lb = spark.table("layout_ws.lineitem_pb").filter(F.col("l_returnflag") == "R")
+    ob = spark.table("layout_ws.orders_pb")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
