@@ -18,7 +18,14 @@ SF = "/root/testdata/sf0.001"
 def _events_stream(spark, tmp_path, n: int = 500):
     """Materialize a slice of events as a parquet dir and open it as a
     file stream (micro-batched one file at a time)."""
-    ev = read_table(spark, SF, "events").orderBy("event_id").limit(n)
+    # testdata parquet carries no tz annotation → TIMESTAMP_NTZ; normalize to
+    # TIMESTAMP (session tz = UTC, value-preserving) so watermarks/state work.
+    ev = (
+        read_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .orderBy("event_id")
+        .limit(n)
+    )
     src = str(tmp_path / "stream_src")
     ev.coalesce(2).write.parquet(src)
     schema = spark.read.parquet(src).schema

@@ -450,11 +450,13 @@ def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
+        # Interval comparison (not a numeric cast) so the gap test works for
+        # both TIMESTAMP and TIMESTAMP_NTZ inputs — untagged parquet reads NTZ.
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > 30 * 60
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("INTERVAL 30 MINUTES")
             ),
             1,
         )

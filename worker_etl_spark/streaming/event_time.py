@@ -35,8 +35,23 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
+
+
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize *ts_col* to TIMESTAMP (with local tz) for watermarking.
+
+    Parquet files whose timestamps carry no timezone annotation are read as
+    TIMESTAMP_NTZ, which ``withWatermark`` rejects on a streaming relation.
+    The session timezone is pinned to UTC (session.py), so the cast is
+    value-preserving and batch-oracle parity is unaffected.
+    """
+    field = next((f for f in df.schema.fields if f.name == ts_col), None)
+    if field is not None and isinstance(field.dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
+    return df
 
 
 def windowed_event_counts(
@@ -51,6 +66,7 @@ def windowed_event_counts(
     ``readStream`` source; on a stream the watermark bounds state and drops
     late rows past the threshold."""
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    events = _ensure_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(win.alias("win"), "event_type")
@@ -84,6 +100,7 @@ def session_window_aggregate(
     [start, last+gap)) differ from the batch q14 formulation (strictly
     greater), which is why this operator gets its own oracle.
     """
+    events = _ensure_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
@@ -123,8 +140,8 @@ def interval_join(
     Column names must be disjoint apart from *key_col* (rename before
     joining); the right timestamp may be named differently via *right_ts*.
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
         (lw[key_col] == rw[key_col])
         & (rw[right_ts] >= lw[left_ts])
