@@ -13,6 +13,15 @@ adversarially deep graphs at 100 TB the large-star/small-star
 contraction (Kiveris et al., "Connected Components in MapReduce") halves
 the rounds; the propagation kernel below is the same join+min building
 block.
+
+Iterative-plan hygiene: a naive loop stacks every round's join into ONE
+logical plan, so Catalyst re-analysis grows linearly with rounds — on a
+tiny cached graph the analysis overhead (seconds per round) dwarfs the
+actual work, and on a 1000-executor cluster it serializes on the driver.
+Each round therefore ends with ``localCheckpoint`` to truncate lineage
+(the same strategy GraphFrames uses for its iterative algorithms); on a
+real cluster swap in a reliable ``checkpoint`` dir for executor-loss
+tolerance.
 """
 
 from __future__ import annotations
@@ -30,22 +39,32 @@ def connected_components(
     """(node, component) for every node with at least one edge; the
     component id is the minimum node id in the component.
 
-    Min-label propagation to fixpoint: every round each node takes the
-    minimum of its own label and its neighbors' labels; unchanged-label
-    count 0 ends the loop (one lightweight count job per round).
+    Min-label propagation to fixpoint:
+
+    - round 0 is folded into initialization — ``lbl = min(node, neighbors)``
+      is a single map-side-combinable aggregate over the symmetrized edge
+      list, no join (this alone fully resolves star-shaped components, the
+      common case for duplicate clusters);
+    - each later round joins neighbor labels and takes the elementwise min;
+      an unchanged-label count of 0 ends the loop.  Every round's label
+      frame is lineage-truncated so plan analysis stays O(1) per round.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
+    # Round 0 without a join: label = min over {self} ∪ neighbors.
     labels = (
-        und.select(F.col("a").alias("node")).distinct()
-        .withColumn("lbl", F.col("node"))
-        .persist()
+        und.groupBy("a")
+        .agg(F.min("b").alias("nbr_min"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("nbr_min")).alias("lbl"),
+        )
+        .localCheckpoint()
     )
-    prev = labels
     for _ in range(max_iterations):
         nbr_min = (
             und.join(
@@ -56,9 +75,9 @@ def connected_components(
             .agg(F.min("b_lbl").alias("nbr_min"))
             .select(F.col("a").alias("node"), "nbr_min")
         )
-        # One joined frame carries both the old and the propagated label, so
-        # the convergence count reuses the cached join instead of re-joining
-        # new labels against old (one equi-join per round, not two).
+        # One joined frame carries both the old and the propagated label:
+        # the lineage-truncating materialization and the convergence count
+        # run against the same flat plan (one equi-join per round, not two).
         joined = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -66,13 +85,10 @@ def connected_components(
                 F.col("lbl").alias("old_lbl"),
                 F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = joined.filter(F.col("lbl") != F.col("old_lbl")).count()
-        prev.unpersist()
-        prev = joined
         labels = joined.select("node", "lbl")
         if changed == 0:
             break
-    und.unpersist()
     return labels

@@ -336,6 +336,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double"), 6
             ).alias("jaccard"),
         )
+        # Persisted, not just memoized: d07 alone consumes the pair frame
+        # twice (edge list + its reverse), and d05/d08/d09/d11 re-read it —
+        # without persist each consumer re-runs the rare-shingle self-join.
+        # Post-verification pairs are the SMALL end of the pipeline; this is
+        # the "materialize the verified-pair set" call a 100 TB dedup makes.
+        .persist()
     )
     _PAIRS_CACHE[key] = out
     return out

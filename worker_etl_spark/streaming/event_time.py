@@ -50,6 +50,17 @@ def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """
     field = next((f for f in df.schema.fields if f.name == ts_col), None)
     if field is not None and isinstance(field.dataType, TimestampNTZType):
+        # No default arg: Spark 4 validates defaults for this key, and the
+        # conf always has a value (JVM/system default when unset).
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                "event-time NTZ→TIMESTAMP normalization requires "
+                f"spark.sql.session.timeZone=UTC (got {tz!r}); a non-UTC "
+                "session would silently shift event times and watermarks. "
+                "Build the session via worker_etl_spark.session.get_spark or "
+                "set the conf explicitly."
+            )
         return df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
     return df
 
@@ -183,6 +194,7 @@ def sessionize_stateful(
     timeout flushes the final open session when a key goes quiet — so every
     event is eventually attributed to exactly one emitted session.
     """
+    events = _ensure_event_time(events, ts_col)  # uniform NTZ handling
     gap_us = gap_seconds * 1_000_000
 
     def fold(
