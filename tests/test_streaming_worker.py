@@ -81,3 +81,59 @@ def test_worker_end_to_end(spark, tmp_path):
 
     assert spark.read.parquet(str(wh / "ds1" / "inventory")).count() == 3  # not doubled
     assert spark.read.parquet(str(wh / "ds1" / "other")).count() == 3
+
+
+def test_process_object_excel_multisheet_multitable(spark, tmp_path):
+    """O1 Excel routing: one workbook, two sheets, one sheet carrying TWO
+    tables separated by blank rows — every naming axis at once
+    (multi-sheet suffix + per-sheet multi-table suffix)."""
+    from worker_etl_spark.sources.excel import write_minimal_xlsx
+
+    src = tmp_path / "src"
+    wh = tmp_path / "wh"
+    src.mkdir()
+    write_minimal_xlsx(
+        str(src / "book.xlsx"),
+        {
+            "Inv": [
+                ["item", "qty"],
+                ["widget", 3],
+                ["gadget", 5],
+                [None, None],
+                [None, None],
+                ["city", "pop"],
+                ["lyon", 513000],
+                ["nice", 342000],
+            ],
+            "Prices": [
+                ["sku", "price"],
+                ["a1", 1.5],
+                ["b2", 2.25],
+            ],
+        },
+    )
+    written = process_object(spark, "book.xlsx", "ds1", str(src), str(wh))
+    assert len(written) == 3
+    tables = {os.path.basename(p) for p in written}
+    # multi-sheet → sheet suffix everywhere; Inv has 2 tables → table suffix too
+    assert any(t.startswith("book_Inv_") for t in tables)
+    assert "book_Prices" in tables
+
+    prices = spark.read.parquet(str(wh / "ds1" / "book_Prices"))
+    assert set(prices.columns) == {"sku", "price"}
+    assert dict(prices.dtypes)["price"] == "double"
+    assert prices.count() == 2
+
+    inv_tables = sorted(t for t in tables if t.startswith("book_Inv_"))
+    assert len(inv_tables) == 2
+    cols = set()
+    for t in inv_tables:
+        cols |= set(spark.read.parquet(str(wh / "ds1" / t)).columns)
+    assert {"item", "qty", "city", "pop"} <= cols
+
+
+def test_process_object_excel_missing_file(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        process_object(spark, "nope.xlsx", "ds1", str(tmp_path), str(tmp_path))

@@ -202,6 +202,106 @@ def src03_excel_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _grid_to_typed(grid).orderBy("r_regionkey")
 
 
+# --- src05: legacy .xls ingest (S3, stdlib BIFF8 reader, no codec) -----------
+@register(
+    "src05_xls_ingest",
+    oracle="""
+    SELECT r_regionkey::BIGINT AS r_regionkey, r_name
+    FROM region ORDER BY r_regionkey
+    """,
+)
+def src05_xls_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy BIFF8 ``.xls`` end-to-end (reference routes these through xlrd,
+    ``etl.py:527``): a REAL compound-file workbook written by
+    ``write_minimal_xls`` (SST strings + NUMBER cells in an OLE2 container),
+    decoded by the default parser chain's magic-byte dispatch
+    (``sources/biff.py``), then the standard detect → clean → infer →
+    coerce tail."""
+    from worker_etl_spark.sources.biff import write_minimal_xls
+
+    rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src05_")
+    path = os.path.join(tmp, "regions_legacy.xls")
+    write_minimal_xls(
+        path,
+        {"Regions": [["r_regionkey", "r_name"]]
+                    + [[int(r.r_regionkey), str(r.r_name)] for r in rg]},
+    )
+    grid = widen_grid(read_excel_grids(spark, path))  # magic-byte dispatch
+    return _grid_to_typed(grid).orderBy("r_regionkey")
+
+
+# --- srm03: Excel object through the streaming worker (O1 routing) -----------
+@register(
+    "srm03_excel_object",
+    oracle="""
+    SELECT 'nations' AS src_table, n_nationkey::BIGINT AS key, n_name AS name
+    FROM nation
+    UNION ALL
+    SELECT 'regions', r_regionkey::BIGINT, r_name FROM region
+    ORDER BY src_table, key
+    """,
+)
+def srm03_excel_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 2-sheet workbook dropped on the WORK QUEUE — the reference's most
+    common message type after CSV (``etl.py:526-529``; per-sheet loop
+    ``etl.py:1273``).  The worker routes the .xlsx through the per-sheet grid
+    pipeline; each sheet lands as its own typed warehouse table with
+    sheet-suffixed naming (multi-sheet workbook, ``etl.py:1302-1313``).
+    The returned frame is the full typed content of BOTH tables read back
+    from the warehouse, so the oracle value-checks the whole route."""
+    import json
+
+    from worker_etl_spark.sinks.writer import sink_table_name
+    from worker_etl_spark.sources.excel import write_minimal_xlsx
+    from worker_etl_spark.streaming.worker import start_worker
+
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    tmp = tempfile.mkdtemp(prefix="srm03_")
+    queue, src, wh = (os.path.join(tmp, d) for d in ("queue", "src", "wh"))
+    os.makedirs(queue), os.makedirs(src)
+    write_minimal_xlsx(
+        os.path.join(src, "book.xlsx"),
+        {
+            "Nations": [["n_nationkey", "n_name"]]
+                       + [[int(r.n_nationkey), str(r.n_name)] for r in n],
+            "Regions": [["r_regionkey", "r_name"]]
+                       + [[int(r.r_regionkey), str(r.r_name)] for r in rg],
+        },
+    )
+    with open(os.path.join(queue, "msg.jsonl"), "w") as fh:
+        fh.write(json.dumps({"object_name": "book.xlsx", "target_dataset_id": "ds"}) + "\n")
+
+    q = start_worker(
+        spark, queue, src, wh,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        dead_letter_dir=os.path.join(tmp, "dead"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    nations = spark.read.parquet(os.path.join(
+        wh, "ds", sink_table_name("book", "Nations", multi_sheet=True)))
+    regions = spark.read.parquet(os.path.join(
+        wh, "ds", sink_table_name("book", "Regions", multi_sheet=True)))
+    return (
+        nations.select(
+            F.lit("nations").alias("src_table"),
+            F.col("n_nationkey").cast("long").alias("key"),
+            F.col("n_name").alias("name"),
+        )
+        .unionByName(
+            regions.select(
+                F.lit("regions").alias("src_table"),
+                F.col("r_regionkey").cast("long").alias("key"),
+                F.col("r_name").alias("name"),
+            )
+        )
+        .orderBy("src_table", "key")
+    )
+
+
 # --- w02: merge/upsert sink (last-writer-wins by key) ------------------------
 @register(
     "w02_upsert_sink",

@@ -21,8 +21,9 @@ an Excel codec is installed, else a self-contained stdlib reader — .xlsx is
 just a zip of OOXML worksheets (ECMA-376, a public format), so
 ``stdlib_xlsx_parser`` reads shared strings, inline strings, numbers and
 booleans with ``zipfile`` + ``ElementTree`` and no third-party codec.
-Legacy binary ``.xls`` still requires xlrd.  A parser stays injectable for
-custom formats.
+Legacy binary ``.xls`` (BIFF8 in an OLE2 container, both published specs)
+is handled by the stdlib reader in ``sources/biff.py``.  A parser stays
+injectable for custom formats.
 """
 
 from __future__ import annotations
@@ -103,8 +104,9 @@ def stdlib_xlsx_parser(content: bytes) -> dict[str, list[list[object]]]:
     """
     if not zipfile.is_zipfile(io.BytesIO(content)):
         raise NotImplementedError(
-            "not an OOXML (.xlsx) workbook — legacy .xls needs xlrd; "
-            "inject a SheetParser"
+            "not an OOXML (.xlsx) workbook — legacy .xls routes through "
+            "sources/biff.py (OLE2 magic) or xlrd; inject a SheetParser "
+            "for other formats"
         )
     zf = zipfile.ZipFile(io.BytesIO(content))
     names = set(zf.namelist())
@@ -161,12 +163,18 @@ def stdlib_xlsx_parser(content: bytes) -> dict[str, list[list[object]]]:
 
 
 def default_xlsx_parser(content: bytes) -> dict[str, list[list[object]]]:
-    """Parser chain: reference-exact pandas read when a codec is installed,
-    stdlib OOXML reader otherwise."""
+    """Parser chain: reference-exact pandas read when a codec is installed;
+    otherwise dispatch on magic bytes — zip → stdlib OOXML (.xlsx) reader,
+    OLE2 → stdlib BIFF8 (.xls) reader (``sources/biff.py``)."""
     try:
         return pandas_xlsx_parser(content)
     except ImportError:
-        return stdlib_xlsx_parser(content)
+        pass
+    from worker_etl_spark.sources.biff import is_cfb, stdlib_xls_parser
+
+    if is_cfb(content):
+        return stdlib_xls_parser(content)
+    return stdlib_xlsx_parser(content)
 
 
 # --- minimal OOXML writer (fixtures/demos) ----------------------------------------

@@ -38,7 +38,8 @@ from worker_etl_spark.operators.cleaning import ROW_ID, clean_table
 from worker_etl_spark.operators.detection import detect_tables, extract_table
 from worker_etl_spark.operators.inference import align_to_schema, infer_schema
 from worker_etl_spark.sinks.writer import sink_table_name, write_table
-from worker_etl_spark.sources.files import read_csv_grid
+from worker_etl_spark.sources.excel import read_excel_grids
+from worker_etl_spark.sources.files import read_csv_grid, require_exists, widen_grid
 from worker_etl_spark.sources.tables import ALL_TABLES  # noqa: F401  (re-export convenience)
 
 _DATASET_RE = re.compile(r"^[a-zA-Z0-9_]+$")  # O2 validation (etl.py:1242-1244)
@@ -67,10 +68,12 @@ def process_object(
     """O1 per-object pipeline; returns locations written.
 
     CSV objects go through the full grid pipeline (untyped scan → detection
-    → per-table clean/infer/coerce); parquet objects are already typed, so
-    cleaning skips header promotion and inference maps the existing types.
-    Per-table failures skip that table but keep the object going
-    (``etl.py:1298-1300, 1318-1320``); zero tables written raises.
+    → per-table clean/infer/coerce); Excel objects route their per-sheet
+    grids through the same pipeline with sheet-aware table naming
+    (``etl.py:526-529``, sheet loop ``etl.py:1273``); parquet objects are
+    already typed, so cleaning skips header promotion and inference maps the
+    existing types.  Per-table failures skip that table but keep the object
+    going (``etl.py:1298-1300, 1318-1320``); zero tables written raises.
     """
     cfg = cfg or EngineConfig()
     if not _DATASET_RE.match(dataset_id):
@@ -79,23 +82,48 @@ def process_object(
     base, ext = os.path.splitext(os.path.basename(object_name))
     ext = ext.lower()
 
-    written: list[str] = []
-    errors: list[str] = []
-
     if ext == ".parquet":
         df = spark.read.parquet(path)  # FileNotFound surfaces as AnalysisException
         cleaned = clean_table(df)
         typed = align_to_schema(cleaned, infer_schema(cleaned))
-        written.append(
+        return [
             write_table(typed, warehouse_root, dataset_id,
                         sink_table_name(base), cfg.write_disposition)
-        )
-        return written
+        ]
+
+    if ext in (".xlsx", ".xls"):
+        require_exists(path)  # S1 gate → ACK-skip, matching the CSV branch
+        grid = widen_grid(read_excel_grids(spark, path))
+        return _ingest_grid(grid, object_name, base, dataset_id,
+                            warehouse_root, cfg, sheet_aware=True)
 
     if ext != ".csv":
         raise ValueError(f"unsupported object type: {object_name!r}")
 
-    grid = read_csv_grid(spark, path).persist()
+    grid = read_csv_grid(spark, path)
+    return _ingest_grid(grid, object_name, base, dataset_id,
+                        warehouse_root, cfg, sheet_aware=False)
+
+
+def _ingest_grid(
+    grid: DataFrame,
+    object_name: str,
+    base: str,
+    dataset_id: str,
+    warehouse_root: str,
+    cfg: EngineConfig,
+    sheet_aware: bool,
+) -> list[str]:
+    """Detect → per-table clean/infer/coerce/write over an untyped grid.
+
+    Shared by the CSV branch (one synthetic sheet, ``sheet_aware=False``)
+    and the Excel branch, where sheet/table suffixes appear in target names
+    only when the workbook really has multiple sheets / detected tables —
+    the reference's naming (``etl.py:1302-1313``).
+    """
+    written: list[str] = []
+    errors: list[str] = []
+    grid = grid.persist()
     try:
         boxes = [r.asDict() for r in detect_tables(
             grid,
@@ -105,7 +133,10 @@ def process_object(
             header_confidence=cfg.min_header_confidence,
             detect_components=cfg.multi_table_detection,
         ).collect()]
-        multi = len(boxes) > 1
+        multi_sheet = sheet_aware and len({b["sheet"] for b in boxes}) > 1
+        tables_per_sheet: dict[str, int] = {}
+        for b in boxes:
+            tables_per_sheet[b["sheet"]] = tables_per_sheet.get(b["sheet"], 0) + 1
         for bbox in boxes:
             try:
                 block = extract_table(grid, bbox).withColumnRenamed("row_idx", ROW_ID)
@@ -113,8 +144,11 @@ def process_object(
                 if not cleaned.columns or cleaned.isEmpty():
                     continue
                 typed = align_to_schema(cleaned, infer_schema(cleaned))
-                table = sink_table_name(base, bbox["sheet"], bbox["table_id"],
-                                        multi_sheet=False, multi_table=multi)
+                table = sink_table_name(
+                    base, bbox["sheet"], bbox["table_id"],
+                    multi_sheet=multi_sheet,
+                    multi_table=tables_per_sheet[bbox["sheet"]] > 1,
+                )
                 written.append(
                     write_table(typed, warehouse_root, dataset_id, table,
                                 cfg.write_disposition)
