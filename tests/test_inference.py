@@ -156,3 +156,29 @@ def test_widen_schemas_union_and_order():
         {"name": "b", "type": "STRING"},
         {"name": "c", "type": "FLOAT"},
     ]
+
+
+def test_infer_schema_sample_knob(spark):
+    """The sample knob (fraction or deterministic predicate) must decide the
+    same types as the full scan on a homogeneous frame."""
+    from pyspark.sql import functions as F
+
+    from worker_etl_spark.operators.inference import infer_schema
+
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") / 4).cast("string").alias("v"),
+        F.when(F.col("id") % 2 == 0, "true").otherwise("no").alias("b"),
+    )
+    full = infer_schema(df)
+    frac = infer_schema(df, sample=0.2, sample_seed=7)
+    pred = infer_schema(df, sample=F.col("id").cast("long") % 10 == 0)
+    assert full == frac == pred
+    assert {f["name"]: f["type"] for f in full} == {
+        "k": "INTEGER", "v": "FLOAT", "b": "BOOLEAN"
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        infer_schema(df, sample=1.5)

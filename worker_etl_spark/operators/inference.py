@@ -301,13 +301,30 @@ def _decide_types(df: DataFrame, str_cols: list[str]) -> dict[str, str]:
     return decisions
 
 
-def infer_schema(df: DataFrame) -> list[dict]:
+def infer_schema(df: DataFrame, sample=None, sample_seed: int = 42) -> list[dict]:
     """I4: ``[{'name', 'type'}]`` for every column, reference precedence.
 
     String columns go through the two-phase counter scan (same decisions as
     ``ColumnStats.decide`` — see ``_decide_types``); already-typed columns map
     directly (parquet is the reference's only typed read, etl.py:541-543).
+
+    *sample* is the 100 TB posture knob (SURVEY §4.2): the reference scans
+    ALL rows (etl.py:860-913) and that stays the default, but at scale a
+    counter scan over a sample decides the same types for a fraction of the
+    I/O.  Pass a float fraction for seeded Bernoulli row sampling
+    (``df.sample`` — pushed to the scan, no shuffle), or a boolean Column
+    for deterministic content-hash sampling (reproducible across engines
+    and cluster layouts, the q28 pattern — what the oracle-checked i07
+    query uses).
     """
+    if sample is not None:
+        if isinstance(sample, float):
+            if not 0.0 < sample <= 1.0:
+                raise ValueError(f"sample fraction must be in (0, 1], got {sample}")
+            if sample < 1.0:
+                df = df.sample(fraction=sample, seed=sample_seed)
+        else:
+            df = df.filter(sample)
     str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
     decisions = _decide_types(df, str_cols)
     out = []

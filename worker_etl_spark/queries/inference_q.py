@@ -29,8 +29,9 @@ _LINEITEM_COLS = [
 _BOOL_SQL = ", ".join(f"'{t}'" for t in (BOOL_TRUE_TOKENS + BOOL_FALSE_TOKENS))
 
 
-def _infer_oracle_sql() -> str:
-    """DuckDB program equivalent to the one-pass counter inference."""
+def _infer_oracle_sql(source: str = "lineitem") -> str:
+    """DuckDB program equivalent to the one-pass counter inference, over
+    *source* (a table name or parenthesized subquery)."""
     parts = []
     for c in _LINEITEM_COLS:
         parts.append(
@@ -54,7 +55,7 @@ def _infer_oracle_sql() -> str:
              count(CASE WHEN regexp_matches(s, '^\\d{{4}}-\\d{{2}}-\\d{{2}}')
                         THEN TRY_CAST(s AS TIMESTAMP) END) AS ts,
              count(CASE WHEN lower(s) IN ({_BOOL_SQL}) THEN 1 END) AS boolk
-      FROM (SELECT CAST({c} AS VARCHAR) AS s FROM lineitem)
+      FROM (SELECT CAST({c} AS VARCHAR) AS s FROM {source})
     )"""
         )
     return " UNION ALL ".join(parts) + " ORDER BY column_name"
@@ -65,6 +66,33 @@ def i01_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem")
     stringified = l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])
     schema = inference.infer_schema(stringified)
+    return spark.createDataFrame(
+        [(f["name"], f["type"]) for f in schema],
+        "column_name string, inferred_type string",
+    ).orderBy("column_name")
+
+
+_SAMPLED_LINEITEM = """(
+      SELECT * FROM lineitem
+      WHERE (('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                   CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT) % 100 < 10
+    ) AS smp"""
+
+
+@register("i07_sampled_infer", oracle=_infer_oracle_sql(_SAMPLED_LINEITEM), headline=True)
+def i07_sampled_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i01's inference through the ``sample`` knob — the 100 TB posture
+    (SURVEY §4.2): the counter scan reads a deterministic ~10% content-hash
+    sample (q28's md5 pattern, reproducible on any engine or cluster layout)
+    instead of every row, and must still decide the identical types.  The
+    oracle re-runs the full counter program over the SAME sample, so the
+    knob's filter semantics are value-checked, not just the final types."""
+    from worker_etl_spark.functions.text import hex_int
+
+    l = read_table(spark, sf_dir, "lineitem")
+    stringified = l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    schema = inference.infer_schema(stringified, sample=hex_int(key) % 100 < 10)
     return spark.createDataFrame(
         [(f["name"], f["type"]) for f in schema],
         "column_name string, inferred_type string",
