@@ -137,3 +137,12 @@ def test_process_object_excel_missing_file(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         process_object(spark, "nope.xlsx", "ds1", str(tmp_path), str(tmp_path))
+
+
+def test_process_object_parquet_missing_file(spark, tmp_path):
+    """S1 parity: a missing parquet object ACK-skips (FileNotFoundError),
+    matching the CSV/Excel branches, instead of surfacing AnalysisException."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        process_object(spark, "nope.parquet", "ds1", str(tmp_path), str(tmp_path))

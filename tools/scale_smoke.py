@@ -48,6 +48,47 @@ TABLES = {
 
 OFFSET = 100_000_000
 
+
+def _replicate(src, keys: list[str], copies: int, mutate_text: bool):
+    """Union *copies* key-offset replicas.  ``mutate_text`` pushes each copy
+    of ``documents.text`` through its own seeded letter-permutation
+    (``F.translate``, JVM-side): every shingle maps bijectively, so each
+    copy's INTERNAL near-dup structure — and every shingle's per-copy
+    document frequency — is preserved exactly, while copies share no
+    shingles at all.  That makes both the near-dup rate AND the
+    DF-distribution scale the way a real corpus does.  (Verbatim
+    replication instead multiplies every shingle's DF by the copy count:
+    the rare-shingle blocking cap then drops every genuinely shared
+    shingle — zero candidate pairs — while simhash sees ``copies-1`` exact
+    twins per doc, hamming-0 pairs growing quadratically.  Both artifacts
+    of the synthetic build, not the plans.)"""
+    import random
+    import string
+
+    parts = []
+    for i in range(copies):
+        part = src
+        for k in keys:
+            part = part.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+        if mutate_text and i > 0:  # copy 0 stays the base corpus
+            perm = list(string.ascii_lowercase)
+            random.Random(20260813 + i).shuffle(perm)
+            dst = "".join(perm)
+            part = part.withColumn(
+                "text",
+                F.translate(
+                    F.col("text"),
+                    string.ascii_lowercase + string.ascii_uppercase,
+                    dst + dst.upper(),
+                ),
+            )
+        parts.append(part)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 SMOKE_QUERIES = [
     "q01_pricing_summary",   # full-fact scan + agg
     "q02_forecast_revenue",  # pushdown + scalar agg
@@ -67,27 +108,21 @@ SMOKE_QUERIES = [
     "m05_magic_byte_quarantine",  # binary-prefix projection
     "evt02_session_windows", # native session windows
     "evt03_interval_join",   # time-bounded self-join
+    "d07_dup_clusters",      # blocked pairs → CC fixpoint (mutated corpus)
+    "d10_simhash_hamming",   # band-blocked hamming pairs (mutated corpus)
 ]
-# NOT in the smoke: d10_simhash_hamming. The key-offset build replicates
-# document TEXT verbatim (only ids shift), so every doc gains `copies`
-# exact twins and hamming-0 pairs grow quadratically in the copy count —
-# a property of the synthetic corpus, not of the band-join plan (real
-# corpora don't 10x their duplicate multiplicity when they 10x in size).
+
+#: dedup growth ladder: d07/d10 re-run on documents-only corpora at these
+#: copy counts; sub-linear growth = time ratio below the data ratio.
+DEDUP_LADDER = (10, 100)
+DEDUP_QUERIES = ("d07_dup_clusters", "d10_simhash_hamming")
 
 
-def build(spark, out_dir: str, copies: int) -> None:
-    for name, keys in TABLES.items():
+def build(spark, out_dir: str, copies: int, tables: dict | None = None) -> None:
+    for name, keys in (tables or TABLES).items():
         src = read_table(spark, BASE_SF, name)
         if keys and copies > 1:
-            parts = []
-            for i in range(copies):
-                part = src
-                for k in keys:
-                    part = part.withColumn(k, F.col(k) + F.lit(i * OFFSET))
-                parts.append(part)
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
+            df = _replicate(src, keys, copies, mutate_text=(name == "documents"))
         else:
             df = src
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
@@ -121,6 +156,7 @@ def main() -> None:
             "copies": copies,
             "build_sec": build_s,
             "queries": timings,
+            "dedup_growth": dedup_growth(spark),
         }
         print(json.dumps(result))
         if out_json:
@@ -128,6 +164,49 @@ def main() -> None:
                 json.dump(result, fh, indent=2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def dedup_growth(spark) -> dict:
+    """d07/d10 on documents-only corpora at each DEDUP_LADDER copy count.
+
+    The mutated-copy build keeps the near-dup rate constant, so candidate-
+    pair volume should scale with the corpus, not its square: the evidence
+    the band-join/blocking claim needs is ``t[100] / t[10]`` staying well
+    under the 10x data ratio."""
+    from worker_etl_spark.queries import dedup_q
+
+    dedup_q.clear_caches()  # drop the main smoke's persisted family frames
+    out: dict[str, dict] = {"copies": {}}
+    for copies in DEDUP_LADDER:
+        tmp = tempfile.mkdtemp(prefix=f"smoke_dedup_{copies}_")
+        try:
+            t0 = time.time()
+            build(spark, tmp, copies, tables={"documents": ["doc_id"]})
+            build_s = round(time.time() - t0, 1)
+            registry = load_all()
+            timings: dict[str, float] = {}
+            for name in DEDUP_QUERIES:
+                t0 = time.time()
+                try:
+                    registry[name].fn(spark, tmp).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    timings[name] = round(time.time() - t0, 2)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"dedup growth error in {name}: {exc}", file=sys.stderr)
+                    timings[name] = -1.0
+            out["copies"][str(copies)] = {"build_sec": build_s, **timings}
+        finally:
+            dedup_q.clear_caches()
+            shutil.rmtree(tmp, ignore_errors=True)
+    lo, hi = (str(c) for c in (DEDUP_LADDER[0], DEDUP_LADDER[-1]))
+    data_ratio = DEDUP_LADDER[-1] / DEDUP_LADDER[0]
+    for name in DEDUP_QUERIES:
+        a, b = out["copies"][lo].get(name), out["copies"][hi].get(name)
+        if a and b and a > 0 and b > 0:
+            out[f"{name}_time_ratio"] = round(b / a, 2)
+    out["data_ratio"] = data_ratio
+    return out
 
 
 if __name__ == "__main__":

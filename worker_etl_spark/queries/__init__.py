@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "evt01_watermarked_windows", "evt02_session_windows", "evt03_interval_join",
     # new in round 3
     "srm03_excel_object", "src05_xls_ingest", "i07_sampled_infer",
+    "t10_contamination", "p04_sequence_packing",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -305,3 +305,86 @@ def p03_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- p04: context-window sequence packing ------------------------------------
+_PACK_CAP = 512   # tokens per packed training sequence
+_PACK_SHARDS = 64  # packing shards — the unit of parallelism
+
+
+@register(
+    "p04_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len({sql_tokens('text')}) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT shard, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_tok
+      FROM t
+    ),
+    placed AS (
+      SELECT shard, n_tokens,
+             (cum_tok - n_tokens) // {_PACK_CAP} AS first_chunk,
+             CASE WHEN (cum_tok - 1) // {_PACK_CAP}
+                       > (cum_tok - n_tokens) // {_PACK_CAP}
+                  THEN 1 ELSE 0 END AS split
+      FROM cum
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT)                       AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)                  AS total_tokens,
+           CAST((sum(n_tokens) + {_PACK_CAP - 1}) // {_PACK_CAP} AS BIGINT)
+                                                          AS n_chunks,
+           CAST(sum(split) AS BIGINT)                     AS n_split_docs,
+           round(sum(split) / CAST(count(*) AS DOUBLE), 6) AS split_frac
+    FROM placed GROUP BY shard ORDER BY shard
+    """,
+)
+def p04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing, GPT-style: concatenate documents in
+    deterministic order and chunk the stream into fixed ``_PACK_CAP``-token
+    training sequences, accounting per shard for how many documents straddle
+    a chunk boundary (the split_frac a data team watches when choosing
+    packing vs padding).
+
+    Scale shape: packing is inherently sequential, so the corpus is hash-
+    sharded first and each shard packs independently — the window's running
+    token sum is per-shard (shard count = the parallelism knob; 64 here,
+    thousands at 100 TB).  One projection + one windowed sum + one
+    aggregation shuffle; no UDFs, nothing driver-side.  No reference
+    counterpart (driver-mandated extension, SURVEY.md §2)."""
+    from pyspark.sql.window import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id")
+    cum = t.withColumn("cum_tok", F.sum("n_tokens").over(w))
+    placed = cum.select(
+        "shard",
+        "n_tokens",
+        F.floor((F.col("cum_tok") - F.col("n_tokens")) / _PACK_CAP).alias("first_chunk"),
+        (
+            F.floor((F.col("cum_tok") - 1) / _PACK_CAP)
+            > F.floor((F.col("cum_tok") - F.col("n_tokens")) / _PACK_CAP)
+        ).cast("long").alias("split"),
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / F.lit(_PACK_CAP)).cast("long").alias("n_chunks"),
+            F.sum("split").alias("n_split_docs"),
+            F.round(
+                F.sum("split") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("split_frac"),
+        )
+        .orderBy("shard")
+    )

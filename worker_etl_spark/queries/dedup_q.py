@@ -229,7 +229,12 @@ def d03_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- d04: SimHash ------------------------------------------------------------
-_SIM_BITS = 32
+# 60 bits (15 hex digits of md5): sign-safe in a BIGINT on both engines, and
+# wide enough that d10's 15-bit band blocking keeps RANDOM band collisions
+# ~n²/2^15 instead of the ~n²/2^8 an 8-bit banding of a 32-bit hash pays —
+# the difference between a linear and a creeping-quadratic candidate set as
+# the corpus scales (measured in tools/scale_smoke.py's dedup growth ladder).
+_SIM_BITS = 60
 
 _SQL_SIM_SUMS = ",\n             ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b:02d}"
@@ -246,7 +251,7 @@ _SQL_SIMHASH_CTES = f"""tok AS (
       FROM documents
     ),
     hashed AS (
-      SELECT doc_id, {sql_hex_int('t')} AS h FROM tok
+      SELECT doc_id, {sql_hex_int('t', 15)} AS h FROM tok
     ),
     sums AS (
       SELECT doc_id,
@@ -259,12 +264,12 @@ _SQL_SIMHASH_CTES = f"""tok AS (
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — 32-bit sign-aggregated token-hash fingerprint."""
+    """(doc_id, simhash) — 60-bit sign-aggregated token-hash fingerprint."""
     d = read_table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("t"))
         .distinct()
-        .select("doc_id", hex_int(F.col("t")).alias("h"))
+        .select("doc_id", hex_int(F.col("t"), 15).alias("h"))
     )
     sums = tok.groupBy("doc_id").agg(
         *[
@@ -463,6 +468,20 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches, schema="vec_a long, vec_b long, cosine double"
     )
     return out.orderBy(F.desc("cosine"), "vec_a", "vec_b").limit(10)
+
+
+def clear_caches() -> None:
+    """Unpersist + drop every memoized dedup-family frame (shingles, blocked
+    pairs, CC labels).  Tools that iterate over many synthetic corpora in one
+    session (tools/scale_smoke.py) call this between corpora so executor
+    memory doesn't accumulate dead persisted frames."""
+    for cache in (_SHINGLE_CACHE, _PAIRS_CACHE, _CC_LABELS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
+        cache.clear()
 
 
 # --- d07: duplicate-cluster resolution (connected components) ----------------
@@ -721,8 +740,10 @@ def d09_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- d10: SimHash hamming-distance near-dup pairs ----------------------------
-_HAM_BANDS = 4      # 32-bit simhash split into 4 disjoint 8-bit bands
-_HAM_MAX = 3        # pigeonhole: hamming <= bands-1 guarantees a shared band
+_HAM_BANDS = 4       # 60-bit simhash split into 4 disjoint 15-bit bands
+_HAM_BAND_BITS = 15
+_HAM_MASK = (1 << _HAM_BAND_BITS) - 1
+_HAM_MAX = 3         # pigeonhole: hamming <= bands-1 guarantees a shared band
 
 
 @register(
@@ -732,7 +753,7 @@ _HAM_MAX = 3        # pigeonhole: hamming <= bands-1 guarantees a shared band
     WITH {_SQL_SIMHASH_CTES},
     bands AS (
       SELECT doc_id, simhash, band,
-             (simhash >> (band * 8)) & 255 AS val
+             (simhash >> (band * {_HAM_BAND_BITS})) & {_HAM_MASK} AS val
       FROM sim CROSS JOIN (SELECT unnest(range({_HAM_BANDS})) AS band)
     ),
     pairs AS (
@@ -750,8 +771,8 @@ _HAM_MAX = 3        # pigeonhole: hamming <= bands-1 guarantees a shared band
 )
 def d10_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance ``_HAM_MAX``, found by
-    band-blocking rather than an all-pairs scan: the 32-bit fingerprint is
-    split into 4 disjoint 8-bit bands and only pairs agreeing on at least
+    band-blocking rather than an all-pairs scan: the 60-bit fingerprint is
+    split into 4 disjoint 15-bit bands and only pairs agreeing on at least
     one band are compared.  By pigeonhole, any pair within hamming <= 3
     differs in at most 3 of the 4 bands, so the blocked join is EXACT for
     the threshold — the same guarantee Manku et al.'s simhash dedup (WWW'07,
@@ -767,7 +788,9 @@ def d10_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         F.explode(F.array(*[F.lit(b) for b in range(_HAM_BANDS)])).alias("band"),
-    ).withColumn("val", F.expr("(simhash >> (band * 8)) & 255"))
+    ).withColumn(
+        "val", F.expr(f"(simhash >> (band * {_HAM_BAND_BITS})) & {_HAM_MASK}")
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "val"
     )

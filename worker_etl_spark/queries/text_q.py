@@ -531,3 +531,96 @@ def t09_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_chunk_len"
         ),
     ).orderBy("doc_id")
+
+
+# --- t10: benchmark-contamination check (word-8-gram overlap) -----------------
+_CONTAM_N = 8       # word n-gram width (the 8-13-gram band common in practice)
+_EVAL_MOD = 11      # deterministic pseudo-benchmark: doc_id % 11 == 0 (~9%
+                    # of docs — wide enough that the corpus's built-in
+                    # near-dups land on both sides, so the check is
+                    # non-trivial at sf0.01)
+
+
+@register(
+    "t10_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens(sql_norm_text('text'))} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, {sql_hex_int('g')} AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {_CONTAM_N - 2}),
+                      i -> array_to_string(toks[i:i+{_CONTAM_N - 1}], ' '))) AS g
+        FROM toks WHERE len(toks) >= {_CONTAM_N}
+      )
+    ),
+    ev AS (
+      SELECT doc_id AS eval_doc, h FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    corp AS (
+      SELECT doc_id AS corpus_doc, h FROM grams WHERE doc_id % {_EVAL_MOD} != 0
+    ),
+    card AS (SELECT eval_doc, count(*) AS n_eval FROM ev GROUP BY eval_doc),
+    ov AS (
+      SELECT corpus_doc, eval_doc, count(*) AS n_shared
+      FROM corp JOIN ev USING (h) GROUP BY corpus_doc, eval_doc
+    )
+    SELECT o.corpus_doc, o.eval_doc, CAST(o.n_shared AS BIGINT) AS n_shared,
+           round(o.n_shared / CAST(c.n_eval AS DOUBLE), 6) AS contamination
+    FROM ov o JOIN card c USING (eval_doc)
+    ORDER BY contamination DESC, corpus_doc, eval_doc LIMIT 10
+    """,
+)
+def t10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection — the pre-training hygiene check
+    that keeps eval answers out of the training corpus: for every (corpus
+    doc, eval doc) pair sharing at least one word-8-gram, report the shared
+    distinct-8-gram count and the fraction of the eval doc's 8-grams covered.
+    The eval set here is a deterministic doc_id slice so the oracle can
+    re-derive it; in production it is the benchmark suite itself.
+
+    Scale shape: the check is a hash-equi join on the 8-gram hash — and the
+    eval side is benchmark-sized (tiny vs the corpus), so at 100 TB the join
+    broadcasts the eval grams and the corpus side streams map-side through
+    it; per-doc ``distinct`` collapses the explode before anything shuffles.
+    No reference counterpart (driver-mandated extension, SURVEY.md §2)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(norm_text(F.col("text"))).alias("toks"))
+    grams = (
+        toks.filter(F.size("toks") >= _CONTAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_CONTAM_N - 1}),"
+                    f" i -> array_join(slice(toks, i, {_CONTAM_N}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", hex_int(F.col("g")).alias("h"))
+        .distinct()
+    )
+    ev = grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "h"
+    )
+    corp = grams.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        F.col("doc_id").alias("corpus_doc"), "h"
+    )
+    card = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n_eval"))
+    ov = corp.join(F.broadcast(ev), "h").groupBy("corpus_doc", "eval_doc").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        ov.join(F.broadcast(card), "eval_doc")
+        .select(
+            "corpus_doc",
+            "eval_doc",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.col("n_eval").cast("double"), 6
+            ).alias("contamination"),
+        )
+        .orderBy(F.desc("contamination"), "corpus_doc", "eval_doc")
+        .limit(10)
+    )

@@ -83,7 +83,8 @@ def process_object(
     ext = ext.lower()
 
     if ext == ".parquet":
-        df = spark.read.parquet(path)  # FileNotFound surfaces as AnalysisException
+        require_exists(path)  # S1 gate → ACK-skip, same as the grid branches
+        df = spark.read.parquet(path)
         cleaned = clean_table(df)
         typed = align_to_schema(cleaned, infer_schema(cleaned))
         return [
