@@ -154,3 +154,37 @@ def test_w04_layout_prunes_and_skips_shuffle(spark):
         r"Exchange hashpartitioning\((?:l_orderkey|o_orderkey)", plan
     )
     assert exchanges == [], plan
+
+
+def test_q36_exists_lowers_to_semi_join(spark):
+    plan = _plan(spark, "q36_exists_urgent_customers")
+    assert "LeftSemi" in plan, "EXISTS must lower to a semi join"
+    assert "CartesianProduct" not in plan
+
+
+def test_q37_single_aggregate_pass(spark):
+    # Four conditional measures must share ONE aggregation (partial+final),
+    # not re-scan per predicate; dims broadcast against the orders fact.
+    plan = _plan(spark, "q37_conditional_aggregates")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    fact_scans = len(re.findall(r"FileScan parquet .*orders", plan))
+    assert fact_scans == 1, f"orders scanned {fact_scans}x"
+
+
+def test_t10_eval_side_broadcasts(spark):
+    # The contamination join must broadcast the benchmark-sized eval grams;
+    # the corpus side streams through it map-side.
+    plan = _plan(spark, "t10_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p04_packing_is_shard_parallel(spark):
+    # The running-sum window must partition by shard (parallel packing),
+    # never collapse into a single global-order window.
+    plan = _plan(spark, "p04_sequence_packing")
+    m = re.search(r"Window .*partitionBy", plan) or re.search(
+        r"Sort \[shard", plan
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[1].split("Project")[0]

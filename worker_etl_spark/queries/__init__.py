@@ -49,6 +49,10 @@ def register(name: str, oracle: str | None, headline: bool = False):
 #   5. everything already hash-green in round 2 (their rows stand).
 # Names not yet registered are skipped; registered names missing from the list
 # are appended in module insertion order, so nothing is ever dropped.
+# ROTATION NOTE (round 4+): once this round's driver gate lands, move the
+# entries that received fresh rows to the back and promote the remainder
+# (the r2-green relational/cleaning/inference block) into the window, so
+# every registered query accumulates a recent driver row across rounds.
 _PRIORITY: list[str] = [
     # fixed in round 2 but never re-checked by the driver
     "t01_token_stats", "g01_grid_ingest_e2e",
@@ -69,6 +73,8 @@ _PRIORITY: list[str] = [
     # new in round 3
     "srm03_excel_object", "src05_xls_ingest", "i07_sampled_infer",
     "t10_contamination", "p04_sequence_packing",
+    "q36_exists_urgent_customers", "q37_conditional_aggregates",
+    "q38_date_functions", "q39_string_functions",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -1297,3 +1297,164 @@ def q35_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "metric")
     )
+
+
+# --- q36: correlated EXISTS (semi-join shape) --------------------------------
+@register(
+    "q36_exists_urgent_customers",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q36_exists_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS, decorrelated to a LEFT SEMI join: customers with at
+    least one urgent order, counted per market segment.  The semi join never
+    duplicates the probe side (vs inner-join + distinct, which shuffles the
+    multiplicity first and dedups after) and Spark builds/broadcasts the
+    filtered order keys — the plan shape EXISTS should lower to at any SF."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- q37: conditional aggregation (FILTER / CASE family) ---------------------
+@register(
+    "q37_conditional_aggregates",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT)                                  AS n_orders,
+           CAST(count(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT)
+                                                                     AS n_finished,
+           round(coalesce(sum(o.o_totalprice)
+                 FILTER (WHERE o.o_orderpriority = '1-URGENT'), 0), 2)
+                                                                     AS urgent_revenue,
+           round(count(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+                 / CAST(count(*) AS DOUBLE), 6)                      AS urgent_share
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q37_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTER/CASE conditional-aggregation family: one pass over orders
+    computes total, predicate-gated count, predicate-gated sum, and a share —
+    four measures, one aggregation shuffle (no per-predicate re-scan).
+    Dimensions (customer → nation) broadcast against the fact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.round(
+                F.coalesce(F.sum(F.when(urgent, F.col("o_totalprice"))), F.lit(0)), 2
+            ).alias("urgent_revenue"),
+            F.round(
+                F.count(F.when(urgent, 1)) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("urgent_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- q38: date/interval function family --------------------------------------
+@register(
+    "q38_date_functions",
+    oracle="""
+    SELECT year(o_orderdate)                         AS yr,
+           quarter(o_orderdate)                      AS qtr,
+           CAST(count(*) AS BIGINT)                  AS n_orders,
+           min(o_orderdate)                          AS first_day,
+           max(o_orderdate)                          AS last_seen,
+           CAST(last_day(max(o_orderdate)) AS VARCHAR) AS month_end,
+           CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT)
+                                                     AS span_days
+    FROM orders
+    GROUP BY year(o_orderdate), quarter(o_orderdate)
+    ORDER BY yr, qtr
+    """,
+)
+def q38_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family over the order calendar: year/quarter bucketing,
+    min/max, month-end (``last_day``), and day-grain span arithmetic
+    (``datediff``) — grouped to quarter grain so the output is
+    calendar-small at any SF while the scan stays a pruned single pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_day"),
+            F.max("o_orderdate").alias("last_seen"),
+            # VARCHAR on both sides: pandas dtype normalization differs for
+            # a bare computed DATE (object vs datetime64) in the hash gate.
+            F.date_format(F.last_day(F.max("o_orderdate")), "yyyy-MM-dd").alias(
+                "month_end"
+            ),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("span_days"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+# --- q39: string function family ---------------------------------------------
+@register(
+    "q39_string_functions",
+    oracle="""
+    SELECT c_mktsegment,
+           round(avg(length(c_name)), 4)                       AS avg_name_len,
+           CAST(count(*) FILTER (WHERE instr(upper(c_name), '1') > 0) AS BIGINT)
+                                                               AS names_with_1,
+           min(reverse(substr(c_name, 1, 8)))                  AS min_rev_prefix,
+           max(lpad(CAST(c_custkey AS VARCHAR), 12, '0'))      AS max_padded_key,
+           min(replace(c_name, 'Customer#', 'C#'))             AS min_short_name
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q39_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (length/upper/instr/reverse/substr/lpad/
+    replace) exercised as row-level projections that collapse into a
+    segment-grain aggregate — the functions run inside whole-stage codegen
+    on the scan, and only five rows ever shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg(F.length("c_name")), 4).alias("avg_name_len"),
+            F.count(
+                F.when(F.instr(F.upper(F.col("c_name")), "1") > 0, 1)
+            ).alias("names_with_1"),
+            F.min(F.reverse(F.substring("c_name", 1, 8))).alias("min_rev_prefix"),
+            F.max(F.lpad(F.col("c_custkey").cast("string"), 12, "0")).alias(
+                "max_padded_key"
+            ),
+            F.min(F.regexp_replace("c_name", "Customer#", "C#")).alias(
+                "min_short_name"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
