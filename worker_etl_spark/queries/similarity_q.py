@@ -470,3 +470,59 @@ def s04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- v02: higher-order array-function family ---------------------------------
+@register(
+    "v02_array_functions",
+    oracle=f"""
+    WITH per_vec AS (
+      SELECT vec_id % 8 AS bucket,
+             {sql_norm('embedding')} AS nrm,
+             len(list_filter(embedding, x -> x > 0)) AS n_pos,
+             list_max(list_transform((embedding)::DOUBLE[], x -> abs(x))) AS max_abs,
+             list_sum(list_transform((embedding)::DOUBLE[],
+                      x -> CASE WHEN x > 0 THEN x ELSE 0 END)) AS relu_sum
+      FROM embeddings
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT)       AS n_vecs,
+           round(avg(nrm), 6)             AS avg_norm,
+           CAST(sum(n_pos) AS BIGINT)     AS total_pos_dims,
+           round(max(max_abs), 6)         AS max_abs_dim,
+           round(sum(relu_sum), 4)        AS total_relu_mass
+    FROM per_vec GROUP BY bucket ORDER BY bucket
+    """,
+)
+def v02_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's higher-order array functions (``transform`` / ``filter`` /
+    ``aggregate`` / ``array_max``) as the vector feature-engineering family:
+    per-embedding L2 norm, positive-dimension count, max |dim|, and ReLU
+    mass, rolled up per hash bucket.  Every lambda runs JVM-side inside
+    whole-stage codegen — no UDF, no Arrow hop — so the 100 TB cost is one
+    pruned scan + an 8-row aggregate.  DuckDB's list lambdas restate the
+    program; both engines accumulate in float64, left to right."""
+    e = read_table(spark, sf_dir, "embeddings")
+    per_vec = e.select(
+        (F.col("vec_id") % 8).alias("bucket"),
+        norm("embedding").alias("nrm"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_pos"),
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("max_abs"),
+        F.expr(
+            "aggregate(embedding, 0D,"
+            " (acc, x) -> acc + CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0D END)"
+        ).alias("relu_sum"),
+    )
+    return (
+        per_vec.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.sum("n_pos").cast("long").alias("total_pos_dims"),
+            F.round(F.max("max_abs"), 6).alias("max_abs_dim"),
+            F.round(F.sum("relu_sum"), 4).alias("total_relu_mass"),
+        )
+        .orderBy("bucket")
+    )
