@@ -379,3 +379,53 @@ def i06_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     widened = widen_schemas(infer_schema(a), infer_schema(b))
     out = align_to_schema(a, widened).unionByName(align_to_schema(b, widened))
     return out.orderBy("id")
+
+
+def _profile_oracle_sql() -> str:
+    parts = []
+    for c in _LINEITEM_COLS:
+        parts.append(
+            f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT)          AS n_rows,
+           CAST(count(v) AS BIGINT)          AS n_non_null,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           min(v)                            AS min_value,
+           max(v)                            AS max_value
+    FROM (SELECT CAST({c} AS VARCHAR) AS v FROM lineitem)"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register("i08_column_profile", oracle=_profile_oracle_sql())
+def i08_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time column profiling — the stats pane every data catalog
+    shows next to an inferred schema: per column, row/non-null/distinct
+    counts plus lexicographic min/max over the untyped (string) view.
+
+    Scale shape: the wide frame MELTS to (column, value) with the native
+    ``unpivot`` (an Expand node — no shuffle, no UDF), then one aggregation
+    shuffle keyed by column name computes every stat; distinct counts ride
+    the same shuffle via partial aggregation.  At 100 TB this is one pruned
+    scan + one |columns|-key aggregate, vs the per-column re-scan loop a
+    naive profiler runs.  The oracle restates each column's profile
+    independently with UNION ALL."""
+    l = read_table(spark, sf_dir, "lineitem")
+    stringified = l.select(
+        *[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS]
+    )
+    melted = stringified.unpivot(
+        ids=[], values=_LINEITEM_COLS,
+        variableColumnName="column_name", valueColumnName="v",
+    )
+    return (
+        melted.groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_non_null"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .orderBy("column_name")
+    )

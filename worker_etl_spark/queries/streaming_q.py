@@ -124,3 +124,60 @@ def evt03_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "evt04_interval_join_outer",
+    oracle="""
+    SELECT c.user_id,
+           CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks,
+           CAST(count(DISTINCT CASE WHEN p.event_id IS NOT NULL
+                                    THEN c.event_id END) AS BIGINT)
+                                                      AS n_converted,
+           round(count(DISTINCT CASE WHEN p.event_id IS NOT NULL
+                                     THEN c.event_id END)
+                 / CAST(count(DISTINCT c.event_id) AS DOUBLE), 6)
+                                                      AS conversion_rate
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def evt04_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join — the conversion-funnel accounting evt03's
+    inner join cannot express: every click appears, converted or not, so
+    per-user conversion rates come straight off the joined frame.  Same
+    stream/batch-agnostic operator with ``how='left_outer'``; on a stream
+    the unmatched clicks emit only after the right watermark proves no
+    purchase can still arrive (state-eviction-correct outer semantics)."""
+    from worker_etl_spark.streaming.event_time import interval_join
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    pairs = interval_join(
+        clicks, purchases, key_col="user_id",
+        left_ts="click_ts", right_ts="purchase_ts", upper="1 hour",
+        how="left_outer",
+    )
+    converted = F.when(F.col("purchase_id").isNotNull(), F.col("click_id"))
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.countDistinct(converted).alias("n_converted"),
+            F.round(
+                F.countDistinct(converted)
+                / F.countDistinct("click_id").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .orderBy("user_id")
+    )

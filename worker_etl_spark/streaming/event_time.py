@@ -137,6 +137,7 @@ def interval_join(
     right_ts: str = "ts",
     upper: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch) interval join: pair each left row with every
     right row of the same key whose timestamp falls in
@@ -148,17 +149,27 @@ def interval_join(
     ``left_ts + upper``.  In batch the same plan is a key-equi sort-merge
     join with a residual range predicate — no cartesian.
 
+    ``how='left_outer'`` additionally emits unmatched left rows
+    (null-padded) — on a stream, only once the right watermark proves no
+    match can arrive, so rows inside the final watermark at end-of-stream
+    stay withheld (the documented outer-join tail semantics).
+
     Column names must be disjoint apart from *key_col* (rename before
     joining); the right timestamp may be named differently via *right_ts*.
     """
     lw = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
     rw = _ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    # Rename the right key pre-join: dropping by name is unambiguous, and
+    # on an OUTER join the surviving key must be the LEFT one (the right
+    # key is null on unmatched rows — grouping on it would corrupt keys).
+    rkey = f"__{key_col}_r"
+    rw = rw.withColumnRenamed(key_col, rkey)
     cond = (
-        (lw[key_col] == rw[key_col])
+        (lw[key_col] == rw[rkey])
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond).drop(rw[key_col])
+    return lw.join(rw, cond, how).drop(rkey)
 
 
 SESSION_OUTPUT_SCHEMA = StructType(
