@@ -388,3 +388,64 @@ def p04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- p05: domain-mixture reweighting -----------------------------------------
+@register(
+    "p05_mixture_reweight",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS total, count(*) AS n_sources FROM per_source
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT)                                AS n_docs,
+           round(p.n_docs / CAST(t.total AS DOUBLE), 6)            AS current_share,
+           round(1.0 / t.n_sources, 6)                             AS target_share,
+           round(least(1.0, (t.total / CAST(t.n_sources AS DOUBLE))
+                            / p.n_docs), 6)                        AS sample_rate,
+           CAST(floor(least(1.0, (t.total / CAST(t.n_sources AS DOUBLE))
+                            / p.n_docs) * p.n_docs) AS BIGINT)     AS expected_docs,
+           CAST(ceil((t.total / CAST(t.n_sources AS DOUBLE))
+                     / p.n_docs) AS BIGINT)                        AS n_epochs
+    FROM per_source p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def p05_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting — the "how much of each source goes into
+    the training mix" computation: per source, its current share, the
+    uniform target share, the downsampling rate that hits the target within
+    a same-size budget, the expected yield, and the epoch count an
+    UNDER-represented source needs (rate capped at 1; upsampling becomes
+    repeat epochs — the standard practice when a small domain must fill a
+    larger quota).
+
+    Scale shape: one groupBy(source).count() over the corpus — the only
+    full-data touch — then source-grain arithmetic against a broadcast
+    one-row total.  The companion that EXECUTES a chosen rate
+    deterministically is p02 (content-hash quota sampling)."""
+    d = read_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_source.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    quota = F.col("total") / F.col("n_sources").cast("double")
+    rate = F.least(F.lit(1.0), quota / F.col("n_docs"))
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias(
+                "current_share"
+            ),
+            F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
+            F.ceil(quota / F.col("n_docs")).cast("long").alias("n_epochs"),
+        )
+        .orderBy("source")
+    )

@@ -624,3 +624,100 @@ def t10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("contamination"), "corpus_doc", "eval_doc")
         .limit(10)
     )
+
+
+# --- t11: repetition quality filters (Gopher-style) ---------------------------
+_REP_TOP_WORD = 0.12   # flag: most frequent token exceeds this share
+_REP_DUP_TRI = 0.02    # flag: duplicated-trigram share exceeds this
+
+
+@register(
+    "t11_repetition_filters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {sql_tokens(sql_norm_text('text'))} AS t FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+    wstats AS (
+      SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok FROM wc GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    tstats AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT g) AS uniq
+      FROM tri GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT w.doc_id,
+             w.top_c / CAST(w.n_tok AS DOUBLE)                    AS top_word_frac,
+             coalesce(1 - t.uniq / CAST(t.total AS DOUBLE), 0)    AS dup_tri_frac
+      FROM wstats w LEFT JOIN tstats t ON t.doc_id = w.doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE p.top_word_frac > {_REP_TOP_WORD}
+                                    OR p.dup_tri_frac > {_REP_DUP_TRI}) AS BIGINT)
+                                    AS n_flagged,
+           round(avg(p.top_word_frac), 6) AS avg_top_word_frac,
+           round(max(p.dup_tri_frac), 6)  AS max_dup_tri_frac
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def t11_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, public):
+    per document, the most-frequent-token share and the duplicated-trigram
+    share; per language, how many documents a repetition gate would drop.
+    These are the standard "degenerate text" screens a pre-training corpus
+    runs after exact/near dedup.
+
+    Scale shape: two explode→re-aggregate pipelines (word counts, trigram
+    counts) each collapse to ONE row per doc before joining doc-keyed —
+    token rows never cross a join, and the final rollup is language-grain.
+    No reference counterpart (driver-mandated extension, SURVEY.md §2)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens(norm_text(F.col("text"))).alias("t"))
+    words = toks.select("doc_id", F.explode("t").alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_tok")
+    )
+    tri = toks.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 2),"
+                   " i -> array_join(slice(t, i, 3), ' '))")
+        ).alias("g"),
+    )
+    tstats = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total"), F.countDistinct("g").alias("uniq")
+    )
+    per_doc = (
+        wstats.join(tstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("top_c") / F.col("n_tok").cast("double")).alias("top_word_frac"),
+            F.coalesce(
+                1 - F.col("uniq") / F.col("total").cast("double"), F.lit(0.0)
+            ).alias("dup_tri_frac"),
+        )
+    )
+    flagged = (F.col("top_word_frac") > _REP_TOP_WORD) | (
+        F.col("dup_tri_frac") > _REP_DUP_TRI
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(flagged, 1)).alias("n_flagged"),
+            F.round(F.avg("top_word_frac"), 6).alias("avg_top_word_frac"),
+            F.round(F.max("dup_tri_frac"), 6).alias("max_dup_tri_frac"),
+        )
+        .orderBy("lang")
+    )
