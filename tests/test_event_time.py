@@ -335,3 +335,62 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         r.event_id for r in spark.sql("SELECT event_id FROM dedup_stream").collect()
     )
     assert ids == [1, 2, 3]  # the re-delivery of id 1 was suppressed
+
+
+def test_interval_join_outer_stream_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched pairs must equal the
+    batch join exactly; null-joined (unconverted) left rows emit only once
+    the right watermark proves no match can arrive, so the streamed
+    unmatched set is the batch unmatched set MINUS the tail still inside
+    the final watermark — subset-with-tail, never a superset, and never a
+    spurious null for a row that has a match."""
+    from worker_etl_spark.streaming.event_time import interval_join
+
+    ev = read_table(spark, SF, "events").orderBy("event_id").limit(800)
+    src = str(tmp_path / "ijo_src")
+    ev.coalesce(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+        )
+        return clicks, buys
+
+    batch = interval_join(
+        *split(ev), key_col="user_id",
+        left_ts="click_ts", right_ts="buy_ts", upper="1 hour",
+        watermark="30 minutes", how="left_outer",
+    ).collect()
+    batch_matched = {(r.click_id, r.buy_id) for r in batch if r.buy_id is not None}
+    batch_unmatched = {r.click_id for r in batch if r.buy_id is None}
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sc, sb = split(stream)
+    q = (
+        interval_join(
+            sc, sb, key_col="user_id",
+            left_ts="click_ts", right_ts="buy_ts", upper="1 hour",
+            watermark="30 minutes", how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("ijo_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("SELECT * FROM ijo_pairs").collect()
+    stream_matched = {(r.click_id, r.buy_id) for r in rows if r.buy_id is not None}
+    stream_unmatched = {r.click_id for r in rows if r.buy_id is None}
+
+    assert stream_matched == batch_matched and len(batch_matched) > 0
+    # No click may appear both null-joined and matched in the stream output.
+    assert not (stream_unmatched & {c for c, _ in stream_matched})
+    # Unmatched clicks: subset of batch's, missing only the watermark tail.
+    assert stream_unmatched <= batch_unmatched
