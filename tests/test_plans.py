@@ -188,3 +188,32 @@ def test_p04_packing_is_shard_parallel(spark):
     )
     assert "Window" in plan
     assert "SinglePartition" not in plan.split("Window")[1].split("Project")[0]
+
+
+def test_i08_profile_melts_without_shuffle(spark):
+    # Profiling must melt via unpivot (Expand) over ONE scan; the only
+    # shuffle is the |columns|-key aggregate.
+    plan = _plan(spark, "i08_column_profile")
+    assert "Expand" in plan
+    scans = len(re.findall(r"FileScan parquet .*lineitem", plan))
+    assert scans == 1, f"lineitem scanned {scans}x"
+
+
+def test_v02_array_functions_stay_joinless(spark):
+    plan = _plan(spark, "v02_array_functions")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_t10_no_pre_join_corpus_shuffle(spark):
+    # The corpus gram stream must hit the broadcast join BEFORE any dedup:
+    # a (corpus_doc, h) 2-key exchange is the full-corpus pre-join distinct
+    # we removed; only the 3-key post-join survivor distinct may shuffle.
+    plan = _plan(spark, "t10_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"Exchange hashpartitioning\(corpus_doc#\d+L?, h#", plan), (
+        "corpus grams shuffled before the broadcast join"
+    )
+    assert re.search(
+        r"Exchange hashpartitioning\(corpus_doc#\d+L?, eval_doc#\d+L?, h#", plan
+    ), "post-join survivor distinct missing"

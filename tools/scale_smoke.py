@@ -110,6 +110,10 @@ SMOKE_QUERIES = [
     "evt03_interval_join",   # time-bounded self-join
     "d07_dup_clusters",      # blocked pairs → CC fixpoint (mutated corpus)
     "d10_simhash_hamming",   # band-blocked hamming pairs (mutated corpus)
+    "t10_contamination",     # broadcast eval grams, no pre-join shuffle
+    "t11_repetition_filters",  # explode → per-doc collapse → lang rollup
+    "p04_sequence_packing",  # shard-parallel running-token windows
+    "i08_column_profile",    # unpivot melt + single aggregate
 ]
 
 #: dedup growth ladder: d07/d10 re-run on documents-only corpora at these

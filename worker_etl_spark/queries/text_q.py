@@ -583,33 +583,43 @@ def t10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the check is a hash-equi join on the 8-gram hash — and the
     eval side is benchmark-sized (tiny vs the corpus), so at 100 TB the join
     broadcasts the eval grams and the corpus side streams map-side through
-    it; per-doc ``distinct`` collapses the explode before anything shuffles.
+    it.  Deliberately NO ``distinct`` on the corpus grams before the join:
+    that would shuffle every corpus 8-gram (the whole-corpus volume) just to
+    dedup rows the broadcast filter is about to discard.  Instead the raw
+    gram stream hits the broadcast join first and only the surviving
+    (corpus_doc, eval_doc, h) rows — contamination-sized — are deduped, so
+    the only full-volume shuffle in the plan is none at all.
     No reference counterpart (driver-mandated extension, SURVEY.md §2)."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(norm_text(F.col("text"))).alias("toks"))
-    grams = (
-        toks.filter(F.size("toks") >= _CONTAM_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {_CONTAM_N - 1}),"
-                    f" i -> array_join(slice(toks, i, {_CONTAM_N}), ' '))"
-                )
-            ).alias("g"),
+
+    def grams(df, doc_alias):
+        return (
+            df.filter(F.size("toks") >= _CONTAM_N)
+            .select(
+                F.col("doc_id").alias(doc_alias),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {_CONTAM_N - 1}),"
+                        f" i -> array_join(slice(toks, i, {_CONTAM_N}), ' '))"
+                    )
+                ).alias("g"),
+            )
+            .select(doc_alias, hex_int(F.col("g")).alias("h"))
         )
-        .select("doc_id", hex_int(F.col("g")).alias("h"))
-        .distinct()
-    )
-    ev = grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
-        F.col("doc_id").alias("eval_doc"), "h"
-    )
-    corp = grams.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
-        F.col("doc_id").alias("corpus_doc"), "h"
-    )
+
+    # Eval side is tiny: distinct + broadcast are both cheap.
+    ev = grams(toks.filter(F.col("doc_id") % _EVAL_MOD == 0), "eval_doc").distinct()
+    corp = grams(toks.filter(F.col("doc_id") % _EVAL_MOD != 0), "corpus_doc")
     card = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n_eval"))
-    ov = corp.join(F.broadcast(ev), "h").groupBy("corpus_doc", "eval_doc").agg(
-        F.count(F.lit(1)).alias("n_shared")
+    ov = (
+        corp.join(F.broadcast(ev), "h")
+        # dedup AFTER the broadcast filter: repeated grams within a corpus
+        # doc must count once, but only survivors pay the distinct.
+        .select("corpus_doc", "eval_doc", "h")
+        .distinct()
+        .groupBy("corpus_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
         ov.join(F.broadcast(card), "eval_doc")
