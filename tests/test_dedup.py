@@ -118,3 +118,65 @@ def test_p03_no_cluster_spans_splits(spark):
     )
     assert per_cluster.filter(F.col("n_sides") > 1).count() == 0
     assert per_cluster.count() > 0
+
+
+def test_star_contraction_matches_propagation(spark):
+    """Both CC algorithms must label identically: component id = min node.
+    Shapes chosen to stress each: a 64-node chain (diameter 63 — the case
+    star contraction exists for), two stars, a 4-cycle, random edges, and
+    an isolated pair."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from worker_etl_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(100, 164)]
+    star_a = [(0, i) for i in range(1, 6)]
+    star_b = [(50, i) for i in range(51, 55)]
+    cycle = [(70, 71), (71, 72), (72, 73), (73, 70)]
+    rand = [(rng.randrange(200, 240), rng.randrange(200, 240)) for _ in range(60)]
+    pair = [(300, 301)]
+    all_edges = chain + star_a + star_b + cycle + rand + pair
+    edges = spark.createDataFrame(all_edges, "src long, dst long").filter(
+        F.col("src") != F.col("dst")
+    )
+
+    prop = {
+        (r.node, r.lbl)
+        for r in connected_components(edges, max_iterations=80).collect()
+    }
+    star = {
+        (r.node, r.lbl)
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == prop and len(prop) > 0
+    # Every label must be the component minimum (spot: chain + pair).
+    lbl = dict(prop)
+    assert all(lbl[n] == 100 for n in range(100, 165))
+    assert lbl[300] == 300 and lbl[301] == 300
+
+
+def test_star_contraction_empty_edges(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from worker_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges, algorithm="star").count() == 0
+
+
+def test_propagation_raises_instead_of_truncating(spark):
+    """A diameter deeper than max_iterations must raise, never silently
+    return half-propagated labels."""
+    import pytest
+
+    from worker_etl_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=3)
+    ok = connected_components(edges, algorithm="star", max_iterations=10)
+    assert {r.lbl for r in ok.collect()} == {0}

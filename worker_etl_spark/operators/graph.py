@@ -35,6 +35,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(node, component) for every node with at least one edge; the
     component id is the minimum node id in the component.
@@ -48,7 +49,19 @@ def connected_components(
     - each later round joins neighbor labels and takes the elementwise min;
       an unchanged-label count of 0 ends the loop.  Every round's label
       frame is lineage-truncated so plan analysis stays O(1) per round.
+
+    ``algorithm='star'`` switches to the alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", public): O(log n) rounds instead of O(diameter), the right
+    choice for adversarially DEEP graphs (long near-dup chains) where
+    propagation's per-round barrier dominates.  Both return identical
+    labels; duplicate clusters are shallow, so propagation stays the
+    default.
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iterations)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -91,4 +104,91 @@ def connected_components(
         labels = joined.select("node", "lbl")
         if changed == 0:
             break
+    else:
+        # Silent truncation would return WRONG labels for any node the min
+        # hasn't reached yet — fail loudly instead (the star contraction
+        # handles deep graphs in O(log n) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (component diameter exceeds max_iterations); raise "
+            "max_iterations or use algorithm='star'"
+        )
     return labels
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _edge_signature(e: DataFrame) -> tuple[int, int]:
+    """Order-independent (count, checksum) of an edge frame — one action."""
+    # bit_xor: order-independent and overflow-free (the edge set is
+    # distinct, so xor multiplicity cancellation can't hide a change
+    # that count doesn't catch).
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("sig"),
+    ).first()
+    return int(row["n"]), int(row["sig"])
+
+
+def _connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iterations: int
+) -> DataFrame:
+    """Alternating large-star/small-star contraction to the star fixpoint.
+
+    Each half-round is one groupBy(min) + one equi-join over the CURRENT
+    edge set — which contracts geometrically, so later rounds are nearly
+    free.  Fixpoint: every edge is (node, component-min); labels read off
+    the final edge set plus the identity rows for the minima themselves.
+    Lineage is truncated per half-round like the propagation loop.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if not e.take(1):
+        return e.select(F.col("a").alias("node"), F.col("b").alias("lbl"))
+    prev_sig = None
+    for _ in range(max_iterations):
+        und = _symmetrize(e)
+        # large-star(u): m = min(Γ(u) ∪ u); connect every LARGER neighbor
+        # v > u to m.
+        mins = und.groupBy("a").agg(
+            F.least(F.min("b"), F.col("a")).alias("m")
+        )
+        e = (
+            und.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star(u): m = min of the SMALLER neighborhood Γ≤(u);
+        # connect u and every v ∈ Γ≤(u) \ {m} to m.
+        le = _symmetrize(e).filter(F.col("b") < F.col("a"))
+        m = le.groupBy("a").agg(F.min("b").alias("m"))
+        e = (
+            le.join(m, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(m.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _edge_signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Fixpoint edges are (node, component_min) with node > min.
+    return (
+        e.select(F.col("a").alias("node"), F.col("b").alias("lbl"))
+        .union(e.select(F.col("b").alias("node"), F.col("b").alias("lbl")))
+        .distinct()
+    )

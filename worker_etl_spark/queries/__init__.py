@@ -76,7 +76,7 @@ _PRIORITY: list[str] = [
     "q36_exists_urgent_customers", "q37_conditional_aggregates",
     "q38_date_functions", "q39_string_functions", "v02_array_functions",
     "evt04_interval_join_outer", "i08_column_profile",
-    "t11_repetition_filters", "p05_mixture_reweight",
+    "t11_repetition_filters", "p05_mixture_reweight", "t12_vocab_coverage",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -731,3 +731,69 @@ def t11_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- t12: vocabulary builder (top-K + coverage) -------------------------------
+_VOCAB_K = 25
+
+
+@register(
+    "t12_vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({sql_tokens(sql_norm_text('text'))}) AS w FROM documents
+    ),
+    counts AS (
+      SELECT w, count(*) AS c FROM words GROUP BY w
+    ),
+    tot AS (SELECT sum(c) AS total FROM counts),
+    ranked AS (
+      SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+      FROM counts
+    )
+    SELECT r.rnk, r.w AS token, CAST(r.c AS BIGINT) AS n_occurrences,
+           round(r.c / CAST(t.total AS DOUBLE), 6) AS token_share,
+           round(sum(r.c) OVER (ORDER BY r.rnk) / CAST(t.total AS DOUBLE), 6)
+             AS cumulative_coverage
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rnk <= {_VOCAB_K}
+    ORDER BY r.rnk
+    """,
+)
+def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary builder — the tokenizer-training precursor: corpus-wide
+    token counts, the top-{_VOCAB_K} vocabulary ranked by frequency
+    (alphabetical tiebreak), each token's corpus share, and the cumulative
+    coverage curve a vocab-size decision reads.
+
+    Scale shape: explode → count per token is one map-side-combined
+    aggregation; the ranking window runs over the |vocab| frame (token
+    types, not token occurrences) and the coverage window over the top-K
+    slice only.  |vocab| ≪ corpus at any scale (Heaps' law), and the
+    single-partition window is bounded by it."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(norm_text(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("total"))
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("c"), "w"))
+    ).filter(F.col("rnk") <= _VOCAB_K)
+    cum = W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            F.col("w").alias("token"),
+            F.col("c").cast("long").alias("n_occurrences"),
+            F.round(F.col("c") / F.col("total").cast("double"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                F.sum("c").over(cum) / F.col("total").cast("double"), 6
+            ).alias("cumulative_coverage"),
+        )
+        .orderBy("rnk")
+    )
