@@ -226,3 +226,79 @@ def m05_magic_byte_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("quarantined", F.col("kind_claimed") != F.col("kind_detected"))
         .orderBy("kind_claimed", "kind_detected")
     )
+
+
+# --- m06: frame-level segment copy detection ---------------------------------
+_FRAME_BYTES = 64   # fixed frame size, matching m03's sampler granularity
+_FRAME_DF_CAP = 25  # boilerplate frames (shared by more docs) are blocked out
+
+
+@register(
+    "m06_frame_neardup",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, md5(substring(text, i*{_FRAME_BYTES} + 1, {_FRAME_BYTES})) AS fh
+      FROM documents,
+           unnest(range(0, length(text) // {_FRAME_BYTES} + 1)) AS t(i)
+      WHERE length(substring(text, i*{_FRAME_BYTES} + 1, {_FRAME_BYTES}))
+            = {_FRAME_BYTES}
+    ),
+    rare AS (
+      SELECT fh FROM frames GROUP BY fh HAVING count(*) <= {_FRAME_DF_CAP}
+    ),
+    rf AS (SELECT f.doc_id, f.fh FROM frames f JOIN rare USING (fh)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_frames
+      FROM rf a JOIN rf b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(shared_frames AS BIGINT) AS shared_frames
+    FROM pairs
+    ORDER BY shared_frames DESC, doc_a, doc_b LIMIT 25
+    """,
+)
+def m06_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level segment copy detection — the media twin of near-dup text
+    blocking: fixed-size frames of each payload are content-hashed and
+    cross-document pairs sharing rare frame hashes are counted, surfacing
+    re-encoded/concatenated copies that whole-file hashing (m04) misses.
+    Frames here slice the synthetic ASCII payload so the DuckDB oracle can
+    hash the identical bytes; the binary sampler (m03) is the production
+    frame source and produces the same (doc, offset, bytes) shape.
+
+    Scale shape: d05's blocking pattern on frames — the self-join is
+    hash-equi on the frame hash, fan-out bounded by the frequency cap
+    (boilerplate/intro frames excluded), never O(n²); map-side combine
+    collapses pair counts before the shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    frames = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.length("text") / _FRAME_BYTES).cast("int"))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"substring(text, i*{_FRAME_BYTES} + 1, {_FRAME_BYTES})"
+            ).alias("frame"),
+        )
+        .filter(F.length("frame") == _FRAME_BYTES)
+        .select("doc_id", F.md5("frame").alias("fh"))
+    )
+    rare = frames.groupBy("fh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _FRAME_DF_CAP
+    ).select("fh")
+    rf = frames.join(rare, "fh").persist()
+    a = rf.select(F.col("doc_id").alias("doc_a"), "fh")
+    b = rf.select(F.col("doc_id").alias("doc_b"), "fh")
+    return (
+        a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .orderBy(F.desc("shared_frames"), "doc_a", "doc_b")
+        .limit(25)
+    )
