@@ -291,7 +291,10 @@ def m06_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = frames.groupBy("fh").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _FRAME_DF_CAP
     ).select("fh")
-    rf = frames.join(rare, "fh").persist()
+    # No persist: both self-join sides share one plan, so Spark reuses the
+    # shuffle (ReusedExchange) instead of holding a frame cached forever in
+    # the long-lived driver-gate session.
+    rf = frames.join(rare, "fh")
     a = rf.select(F.col("doc_id").alias("doc_a"), "fh")
     b = rf.select(F.col("doc_id").alias("doc_b"), "fh")
     return (

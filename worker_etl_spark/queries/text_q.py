@@ -543,6 +543,7 @@ _EVAL_MOD = 11      # deterministic pseudo-benchmark: doc_id % 11 == 0 (~9%
 
 @register(
     "t10_contamination",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {sql_tokens(sql_norm_text('text'))} AS toks FROM documents
