@@ -527,3 +527,35 @@ def w04_partitioned_bucketed_layout(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- src06: ORC round trip (second columnar format) --------------------------
+@register(
+    "src06_orc_ingest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def src06_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as the second columnar format (native Spark source, same typed
+    contract as parquet S4): write ``orders`` to ORC, read it back, and
+    aggregate — the oracle restates the answer from the parquet source, so
+    a type mangled anywhere in the ORC round trip breaks the hash.  Scan
+    properties (predicate pushdown, column pruning) come free from the
+    same DataSource V2 machinery the parquet path uses."""
+    o = read_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="src06_")
+    loc = os.path.join(tmp, "orders_orc")
+    o.write.mode("overwrite").orc(loc)
+    back = spark.read.orc(loc)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
