@@ -180,3 +180,38 @@ def test_propagation_raises_instead_of_truncating(spark):
         connected_components(edges, max_iterations=3)
     ok = connected_components(edges, algorithm="star", max_iterations=10)
     assert {r.lbl for r in ok.collect()} == {0}
+
+
+def test_cc_algorithms_agree_on_random_graphs(spark):
+    """Property: star contraction and min-label propagation produce the
+    SAME (node → component-min) labeling on arbitrary graphs.  hypothesis
+    drives edge lists through both; examples bounded because every check
+    runs real Spark jobs."""
+    from hypothesis import given, settings, strategies as st
+
+    from worker_etl_spark.operators.graph import connected_components
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=50))
+    def check(pairs):
+        edges = spark.createDataFrame(pairs, "src long, dst long").filter(
+            "src != dst"
+        )
+        if not edges.take(1):
+            return
+        prop = {
+            (r.node, r.lbl)
+            for r in connected_components(edges, max_iterations=60).collect()
+        }
+        star = {
+            (r.node, r.lbl)
+            for r in connected_components(edges, algorithm="star").collect()
+        }
+        assert star == prop
+
+    check()
