@@ -146,3 +146,19 @@ def test_process_object_parquet_missing_file(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         process_object(spark, "nope.parquet", "ds1", str(tmp_path), str(tmp_path))
+
+
+def test_process_object_parquet(spark, tmp_path):
+    """Typed parquet objects skip grid detection: clean -> infer maps the
+    existing types and the table lands under the file base name."""
+    src = tmp_path / "src"
+    wh = tmp_path / "wh"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, score double"
+    ).write.parquet(str(src / "scores.parquet"))
+    written = process_object(spark, "scores.parquet", "ds1", str(src), str(wh))
+    assert len(written) == 1 and written[0].endswith("scores")
+    out = spark.read.parquet(written[0])
+    assert dict(out.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+    assert out.count() == 2

@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     "evt04_interval_join_outer", "i08_column_profile",
     "t11_repetition_filters", "p05_mixture_reweight", "t12_vocab_coverage",
     "m06_frame_neardup", "src06_orc_ingest",
+    "q40_percentile_disc", "src07_gzip_csv_ingest",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -1458,3 +1458,32 @@ def q39_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- q40: discrete percentiles (WITHIN GROUP ordered-set aggregates) ---------
+@register(
+    "q40_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_quantity, 0.25) AS BIGINT) AS q25,
+           CAST(quantile_disc(l_quantity, 0.50) AS BIGINT) AS q50,
+           CAST(quantile_disc(l_quantity, 0.75) AS BIGINT) AS q75,
+           CAST(quantile_disc(l_quantity, 0.99) AS BIGINT) AS q99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q40_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (ordered-set ``percentile_disc`` — an actually
+    occurring value, no interpolation) per return flag.  q21 proves the
+    continuous/interpolated family; the discrete variant is what SLA/tail
+    reporting uses (a p99 that exists in the data).  Deterministic on any
+    engine because no float interpolation happens — both sides pick the
+    same order statistic."""
+    l = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.expr(
+            f"CAST(percentile_disc({p}) WITHIN GROUP (ORDER BY l_quantity) AS BIGINT)"
+        ).alias(name)
+        for p, name in ((0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.99, "q99"))
+    ]
+    return l.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")

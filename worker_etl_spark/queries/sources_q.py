@@ -559,3 +559,33 @@ def src06_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- src07: gzip-compressed CSV ingest ---------------------------------------
+@register(
+    "src07_gzip_csv_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           n_regionkey::BIGINT AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def src07_gzip_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed object ingest: a ``.csv.gz`` through the same untyped
+    grid → detect → clean → infer tail as plain CSV (Spark decompresses
+    codec-by-extension natively).  100 TB note baked into the plan shape:
+    gzip is NOT splittable — one file = one task — so large compressed
+    drops should arrive as many files (or zstd/bzip2); the engine treats
+    each file as a grid anyway, preserving parallelism across objects."""
+    import gzip
+
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src07_")
+    path = os.path.join(tmp, "nation.csv.gz")
+    body = "n_nationkey,n_name,n_regionkey\n" + "".join(
+        f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n" for r in n
+    )
+    with gzip.open(path, "wt") as fh:
+        fh.write(body)
+    grid = read_csv_grid(spark, path)  # delimiter sniffed through gzip
+    return _grid_to_typed(grid).orderBy("n_nationkey")

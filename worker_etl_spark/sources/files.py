@@ -79,8 +79,11 @@ def read_csv_grid(
     """
     require_exists(path)
     if delimiter is None:
+        import gzip as _gzip
+
         first = sorted(_glob.glob(path))[0]
-        with open(first, "r", errors="replace") as fh:
+        opener = _gzip.open if first.endswith(".gz") else open
+        with opener(first, "rt", errors="replace") as fh:
             delimiter = sniff_delimiter(fh.read(_SNIFF_BYTES))
     df = (
         spark.read.option("header", "false")
