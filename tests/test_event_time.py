@@ -319,10 +319,9 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    out = (
-        stream.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
-    )
+    from worker_etl_spark.streaming.event_time import dedup_events
+
+    out = dedup_events(stream, keys=["event_id"], watermark="1 hour")
     q = (
         out.writeStream.format("memory")
         .queryName("dedup_stream")
@@ -335,6 +334,17 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         r.event_id for r in spark.sql("SELECT event_id FROM dedup_stream").collect()
     )
     assert ids == [1, 2, 3]  # the re-delivery of id 1 was suppressed
+
+    # batch lowering of the SAME operator call produces the identical id set
+    batch_ids = sorted(
+        r.event_id
+        for r in dedup_events(
+            spark.read.parquet(src), keys=["event_id"], watermark="1 hour"
+        )
+        .select("event_id")
+        .collect()
+    )
+    assert batch_ids == ids
 
 
 def test_interval_join_outer_stream_matches_batch(spark, tmp_path):

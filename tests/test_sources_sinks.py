@@ -300,3 +300,54 @@ def test_compact_files_respects_target_size(spark, tmp_path):
     assert before == 32
     assert 1 < after < 32
     assert spark.read.parquet(loc).count() == 50_000
+
+
+def test_w05_sorted_layout_row_group_skipping(spark, tmp_path):
+    """Sort clustering must make parquet row-group min/max footers selective:
+    after repartitionByRange + sortWithinPartitions on ts, a narrow range
+    predicate intersects only a small fraction of row groups (data skipping),
+    while the same write unsorted leaves most row groups overlapping."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "id",
+        # pseudo-random order arrival of one year of seconds-grain timestamps
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, (id * 48271) % 31536000)"
+        " AS ts",
+    )
+
+    def rg_hit_fraction(loc: str) -> float:
+        lo = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+        hi = dt.datetime(2024, 6, 8, tzinfo=dt.timezone.utc)
+        total = hits = 0
+        for root, _dirs, files in os.walk(loc):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                ts_idx = md.schema.names.index("ts")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ts_idx).statistics
+                    total += 1
+                    if st.min <= hi and st.max >= lo:
+                        hits += 1
+        assert total > 0
+        return hits / total
+
+    sorted_loc = str(tmp_path / "sorted")
+    (
+        df.repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(sorted_loc)
+    )
+    unsorted_loc = str(tmp_path / "unsorted")
+    df.repartition(16).write.mode("overwrite").parquet(unsorted_loc)
+
+    # a 1-week predicate over 1 year: sorted layout touches few row groups,
+    # the shuffled layout's row groups all straddle the whole year
+    assert rg_hit_fraction(sorted_loc) <= 0.25
+    assert rg_hit_fraction(unsorted_loc) >= 0.9

@@ -26,6 +26,7 @@ import hashlib
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -192,6 +193,66 @@ def sample_frames(
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("total_energy", LongType()),
+        StructField("peak_energy", LongType()),
+        StructField("first_peak_w", LongType()),
+    ]
+)
+
+
+def window_energy(df: DataFrame, window: int = 256) -> DataFrame:
+    """Audio-style windowed energy over payload bytes (audio-kind rows).
+
+    The payload is treated as unsigned 8-bit PCM: numpy ``frombuffer`` on
+    the raw Arrow binary, reshaped into *window*-sample frames, energy =
+    sum of squared samples per frame — the exact shape a real
+    PCM/loudness/VAD kernel takes (vectorized numpy over Arrow batches;
+    swap the energy line for a real DSP call when codecs are installed).
+    All emitted values are INTEGER math on the byte values, so the DuckDB
+    oracle recomputes them exactly via ord(substr(text, i, 1)); the
+    tie-break for the peak window is the integer key
+    ``energy * 100000 - w`` (first window wins ties), deterministic on
+    both engines.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[dict[str, Any]] = []
+            for r in pdf.itertuples():
+                if r.media_meta["kind"] != "audio":
+                    continue
+                samples = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                n = len(samples)
+                if n == 0:
+                    continue
+                n_windows = -(-n // window)
+                padded = np.zeros(n_windows * window, dtype=np.int64)
+                padded[:n] = samples
+                energies = (padded * padded).reshape(n_windows, window).sum(axis=1)
+                peak_key = energies * 100000 - np.arange(n_windows)
+                peak_w = int(np.argmax(peak_key))
+                out.append(
+                    {
+                        "doc_id": int(r.doc_id),
+                        "n_windows": int(n_windows),
+                        "n_samples": int(n),
+                        "total_energy": int(energies.sum()),
+                        "peak_energy": int(energies[peak_w]),
+                        "first_peak_w": peak_w,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_ENERGY_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_ENERGY_SCHEMA)
+
+
 __all__ = [
     "MEDIA_KINDS",
     "FEATURE_SCHEMA",
@@ -200,5 +261,7 @@ __all__ = [
     "decode_media",
     "extract_features",
     "sample_frames",
+    "window_energy",
+    "AUDIO_ENERGY_SCHEMA",
     "BinaryType",
 ]

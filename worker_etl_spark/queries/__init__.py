@@ -79,6 +79,11 @@ _PRIORITY: list[str] = [
     "t11_repetition_filters", "p05_mixture_reweight", "t12_vocab_coverage",
     "m06_frame_neardup", "src06_orc_ingest",
     "q40_percentile_disc", "src07_gzip_csv_ingest",
+    # new in round 4
+    "q41_correlated_scalar_subquery", "q42_lateral_posexplode",
+    "q43_regex_family", "q44_null_semantics", "q45_map_functions",
+    "s05_quantized_topk", "p06_dataset_card", "evt05_stream_dedup",
+    "w05_sorted_layout", "m07_audio_energy",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

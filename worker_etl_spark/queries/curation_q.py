@@ -449,3 +449,62 @@ def p05_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- p06: dataset card (per-source corpus documentation stats) ---------------
+@register(
+    "p06_dataset_card",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)                      AS sum_chars,
+           CAST(count(DISTINCT lang) AS BIGINT)              AS n_langs,
+           arg_max(lang, printf('%012d|%s', lang_n, lang))   AS top_lang,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           round(avg(n_chars), 4)                            AS avg_chars,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (), 6)                 AS doc_share
+    FROM (
+      SELECT d.*, count(*) OVER (PARTITION BY source, lang) AS lang_n
+      FROM documents d
+    )
+    GROUP BY source ORDER BY source
+    """,
+)
+def p06_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-source documentation block a corpus
+    release ships (datasheet/data-statement practice) — volume, token
+    count, language spread, dominant language, corpus share.  One scan:
+    a (source, lang) window pre-counts language frequency scan-side, the
+    source-grain aggregate folds everything else, and the share divides
+    two exact integers over the all-rows window (source grain is tiny, so
+    the unpartitioned window is a no-op shuffle of a handful of rows).
+    the argmax key is a zero-padded '(count)|lang' string on both engines,
+    so count ties break lexicographically by lang — deterministic argmax."""
+    from pyspark.sql.window import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    lang_n = F.count(F.lit(1)).over(W.partitionBy("source", "lang"))
+    enriched = d.withColumn("lang_n", lang_n)
+    agg = enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.expr(
+            "max_by(lang, concat(lpad(CAST(lang_n AS STRING), 12, '0'), '|', lang))"
+        ).alias("top_lang"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    total = W.partitionBy()
+    return (
+        agg.withColumn(
+            "doc_share",
+            F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(total), 6),
+        )
+        .select(
+            "source", "n_docs", "sum_chars", "n_langs", "top_lang",
+            "n_tokens", "avg_chars", "doc_share",
+        )
+        .orderBy("source")
+    )

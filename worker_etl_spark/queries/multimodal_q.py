@@ -305,3 +305,45 @@ def m06_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_frames"), "doc_a", "doc_b")
         .limit(25)
     )
+
+
+# --- m07: audio windowed energy (PCM-style DSP plumbing) ---------------------
+@register(
+    "m07_audio_energy",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 1  -- audio kind
+    ),
+    chars AS (
+      SELECT doc_id, n, text, unnest(generate_series(1, CAST(n AS BIGINT))) AS i
+      FROM a
+    ),
+    smp AS (
+      SELECT doc_id, n, (i - 1) // 256 AS w, ord(substr(text, i, 1)) AS v
+      FROM chars
+    ),
+    we AS (
+      SELECT doc_id, max(n) AS n, w, CAST(sum(v * v) AS BIGINT) AS energy
+      FROM smp GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                         AS n_windows,
+           CAST(max(n) AS BIGINT)                           AS n_samples,
+           CAST(sum(energy) AS BIGINT)                      AS total_energy,
+           CAST(max(energy) AS BIGINT)                      AS peak_energy,
+           CAST(arg_max(w, energy * 100000 - w) AS BIGINT)  AS first_peak_w
+    FROM we GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def m07_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM energy over audio-kind payloads via the
+    ``window_energy`` mapInPandas kernel (numpy frombuffer → reshape →
+    vectorized sum-of-squares; the production DSP batch shape).  Every
+    output is integer arithmetic on the payload bytes, so the DuckDB
+    oracle reconstructs the identical windows character-by-character —
+    a hash-checked codec-adjacent kernel, not a rows-only stub."""
+    from worker_etl_spark.operators.multimodal import window_energy
+
+    d = read_table(spark, sf_dir, "documents")
+    return window_energy(attach_payload(d)).orderBy("doc_id")

@@ -1487,3 +1487,225 @@ def q40_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p, name in ((0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.99, "q99"))
     ]
     return l.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+
+
+# --- q41: correlated scalar subquery (Catalyst decorrelation) -------------------
+@register(
+    "q41_correlated_scalar_subquery",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)      AS n_heavy,
+           CAST(max(n_orders) AS BIGINT) AS max_orders
+    FROM per_cust p
+    WHERE p.n_orders > (SELECT avg(p2.n_orders) FROM per_cust p2
+                        WHERE p2.c_mktsegment = p.c_mktsegment)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q41_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery, written AS a subquery and left
+    to Catalyst's decorrelation rewrite (no manual join rewrite in the
+    query): customers with more orders than their segment's average.  The
+    optimizer turns the per-row subquery into one segment-grain aggregate +
+    an equi-join, so the plan is two shuffles over key-partitioned data —
+    never a per-row re-scan (which is what a naive engine executes and what
+    kills this shape at 100 TB).  The threshold avg() divides two exact
+    integers, so both engines produce the identical IEEE double and the
+    comparison can never flip on summation order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("q41_customer")
+    o.createOrReplaceTempView("q41_orders")
+    return spark.sql("""
+        WITH per_cust AS (
+          SELECT c.c_custkey, c.c_mktsegment,
+                 count(o.o_orderkey) AS n_orders
+          FROM q41_customer c LEFT JOIN q41_orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey, c.c_mktsegment
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT)      AS n_heavy,
+               CAST(max(n_orders) AS BIGINT) AS max_orders
+        FROM per_cust p
+        WHERE p.n_orders > (SELECT avg(p2.n_orders) FROM per_cust p2
+                            WHERE p2.c_mktsegment = p.c_mktsegment)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
+
+
+# --- q42: lateral position-aware explode (posexplode / UNNEST WITH ORDINALITY) --
+@register(
+    "q42_lateral_posexplode",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' '))                 AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT word,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(pos), 4)       AS avg_pos,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM words GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def q42_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware lateral explode: ``posexplode`` keeps each token's
+    ordinal (Spark's LATERAL VIEW POSEXPLODE ≡ Postgres/DuckDB UNNEST WITH
+    ORDINALITY via generate_subscripts).  The explode multiplies rows ~100×
+    but happens scan-side before the shuffle; only (word)-grain partial
+    aggregates cross the wire, and the top-20 cut runs on the already-tiny
+    word grain.  Position is 1-based on both engines (posexplode's 0-based
+    pos is shifted in the projection) and avg(pos) divides exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.posexplode(F.split(F.col("text"), " ")).alias("p0", "word"))
+    return (
+        words.select("word", (F.col("p0") + 1).alias("pos"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("pos"), 4).alias("avg_pos"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+# --- q43: regular-expression function family ------------------------------------
+@register(
+    "q43_regex_family",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE regexp_matches(text, 'spark')) AS BIGINT)
+                                                                   AS n_spark_docs,
+           CAST(sum(len(regexp_extract_all(text, 's[a-z]+'))) AS BIGINT)
+                                                                   AS n_s_words,
+           min(regexp_extract(text, '(ta[a-z]+)', 1))              AS first_ta_word,
+           CAST(sum(length(text) - length(regexp_replace(text, 'table', 'tbl', 'g')))
+                AS BIGINT)                                         AS replaced_delta
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q43_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family (rlike / regexp_extract_all / regexp_extract /
+    regexp_replace) as scan-side codegen projections collapsing to a
+    lang-grain aggregate.  Patterns stay in the common Java-regex ∩ RE2
+    dialect (character classes + greedy quantifiers only — no lookaround,
+    no backrefs) so Spark and DuckDB match identically; DuckDB's
+    regexp_replace needs the explicit 'g' flag to mirror Spark's
+    replace-all default."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("text").rlike("spark"), 1)).alias("n_spark_docs"),
+            F.sum(F.size(F.regexp_extract_all("text", F.lit("s[a-z]+"), 0)))
+            .cast("long")
+            .alias("n_s_words"),
+            F.min(F.regexp_extract("text", "(ta[a-z]+)", 1)).alias("first_ta_word"),
+            F.sum(
+                F.length("text")
+                - F.length(F.regexp_replace("text", "table", "tbl"))
+            )
+            .cast("long")
+            .alias("replaced_delta"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- q44: NULL-semantics family (null-safe join, coalesce/nullif) ---------------
+@register(
+    "q44_null_semantics",
+    oracle="""
+    WITH c AS (
+      SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal FROM customer
+    ),
+    dim(seg_key, code) AS (
+      VALUES ('AUTOMOBILE', 1), ('FURNITURE', 2), ('MACHINERY', 3),
+             ('HOUSEHOLD', 4), (NULL, 0)
+    )
+    SELECT coalesce(c.seg, '(masked)') AS seg_label,
+           CAST(dim.code AS INT)       AS code,
+           CAST(count(*) AS BIGINT)    AS n_customers,
+           round(sum(c_acctbal), 2)    AS sum_acctbal
+    FROM c JOIN dim ON c.seg IS NOT DISTINCT FROM dim.seg_key
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q44_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics family: ``nullif`` masks a segment to NULL, the join
+    uses null-safe equality (``<=>`` ≡ IS NOT DISTINCT FROM) so the masked
+    rows still match their dim entry, and ``coalesce`` restores a label.
+    Null-safe equality remains a hashable equi-key — Spark plans a
+    broadcast hash join (plan-asserted in tests), NOT the nested-loop a
+    non-equi null-comparison would force; that distinction is the whole
+    game on a 100 TB probe side."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg"), "c_acctbal"
+    )
+    dim = spark.createDataFrame(
+        [("AUTOMOBILE", 1), ("FURNITURE", 2), ("MACHINERY", 3),
+         ("HOUSEHOLD", 4), (None, 0)],
+        "seg_key string, code int",
+    )
+    return (
+        c.join(F.broadcast(dim), c["seg"].eqNullSafe(dim["seg_key"]))
+        .groupBy(F.coalesce("seg", F.lit("(masked)")).alias("seg_label"), "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("seg_label")
+    )
+
+
+# --- q45: map-type function family ----------------------------------------------
+@register(
+    "q45_map_functions",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(json(props) AS MAP(VARCHAR, BIGINT)) AS m
+      FROM events
+    ),
+    ex AS (
+      SELECT event_type, unnest(map_keys(m)) AS k, unnest(map_values(m)) AS v
+      FROM m
+    )
+    SELECT event_type, k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT)   AS sum_v,
+           CAST(min(v) AS BIGINT)   AS min_v,
+           CAST(max(v) AS BIGINT)   AS max_v
+    FROM ex GROUP BY event_type, k ORDER BY event_type, k
+    """,
+)
+def q45_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType family: ``from_json`` parses the props payload into a typed
+    map<string,bigint> (schema-on-read beats string re-parsing per access —
+    q17 extracts one path, this materializes the whole map once), then
+    ``explode`` flattens entries for a (type, key)-grain rollup.  DuckDB's
+    twin is CAST(json(...) AS MAP) + lockstep unnest of keys/values.  The
+    map explode is scan-side; only key-grain partials shuffle."""
+    e = _t(spark, sf_dir, "events")
+    ex = e.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("k", "v"),
+    )
+    return (
+        ex.groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+        )
+        .orderBy("event_type", "k")
+    )

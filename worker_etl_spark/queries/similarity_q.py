@@ -526,3 +526,137 @@ def v02_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- s05: int8 scalar-quantized top-k (compressed ANN) -----------------------
+_SQ_BITS = 127  # symmetric int8 code range
+
+
+def _sq_scale_sql() -> str:
+    return (
+        "SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) "
+        "AS scale FROM embeddings"
+    )
+
+
+@register(
+    "s05_quantized_topk",
+    oracle=f"""
+    WITH s AS ({_sq_scale_sql()}),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x / s.scale * {_SQ_BITS}, 0) AS BIGINT))
+               AS code
+      FROM embeddings, s
+    ),
+    n AS (
+      SELECT vec_id, code,
+             sqrt(list_dot_product(code::DOUBLE[], code::DOUBLE[])) AS nrm
+      FROM v
+    ),
+    q AS (SELECT * FROM n WHERE vec_id % {_QUERY_STRIDE} = 0 AND nrm > 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_dot_product(q.code::DOUBLE[], c.code::DOUBLE[])
+               / (q.nrm * c.nrm) AS qcosine
+      FROM q JOIN n c ON q.vec_id <> c.vec_id AND c.nrm > 0
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, qcosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qcosine DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, round(qcosine, 6) AS qcosine, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def s05_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8-style) top-k cosine — the compressed-storage
+    ANN path.  Embeddings are quantized to integer codes in [-127, 127]
+    with ONE global symmetric scale (max |x|, an order-independent
+    aggregate, so every engine derives the identical scale); search then
+    runs entirely on the codes: 4× smaller than float32 (16× vs the
+    float64 the exact path accumulates in), and — the property this query's
+    oracle exploits — **exactly reproducible**, because code dot products
+    are integer arithmetic below 2^53 (127²·64 ≈ 10⁶ per term), so the
+    quantized cosine is bit-identical on Spark, numpy, and DuckDB: a
+    hash-checkable ANN, unlike float-accumulation paths whose ties are
+    engine-lore.  Execution mirrors s01's contract: quantization is a
+    JVM-side ``transform`` on the scan, the (tiny) quantized query matrix
+    broadcasts, candidate codes stream batch-wise through one integer
+    matmul, and each batch emits only its local top-k already resolved in
+    the global (qcosine DESC, cand_id) order — nothing O(n·q)
+    materializes.  Zero-norm codes are filtered on both sides (Spark
+    yields NULL on /0, DuckDB yields inf — the one divergent corner)."""
+    import numpy as np
+    import pandas as pd
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scale_df = e.agg(
+        F.max(
+            F.expr(
+                "aggregate(embedding, 0D,"
+                " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+            )
+        ).alias("scale")
+    )
+    coded = e.crossJoin(F.broadcast(scale_df)).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale"
+            f" * {_SQ_BITS}, 0) AS BIGINT))"
+        ).alias("code"),
+    )
+
+    qpdf = coded.filter(F.col("vec_id") % _QUERY_STRIDE == 0).toPandas()
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = np.array(qpdf["code"].tolist(), dtype=np.int64)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
+    keep_q = q_nrm > 0
+    q_ids, q_mat, q_nrm = q_ids[keep_q], q_mat[keep_q], q_nrm[keep_q]
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+
+    def batches(it):
+        qi, qm, qn = bc.value
+        for batch in it:
+            if not len(batch):
+                continue
+            c_ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            c = np.array(batch["code"].tolist(), dtype=np.int64)
+            c_nrm = np.sqrt((c * c).sum(axis=1).astype(np.float64))
+            ok = c_nrm > 0
+            c_ids, c, c_nrm = c_ids[ok], c[ok], c_nrm[ok]
+            if not len(c_ids):
+                continue
+            # integer matmul: exact; division then matches the SQL fold
+            sims = (qm @ c.T).astype(np.float64) / (qn[:, None] * c_nrm[None, :])
+            sims[qi[:, None] == c_ids[None, :]] = -np.inf
+            k = min(_TOP_K, sims.shape[1])
+            out_q, out_c, out_s = [], [], []
+            for row in range(sims.shape[0]):
+                top = np.lexsort((c_ids, -sims[row]))[:k]
+                top = top[np.isfinite(sims[row][top])]
+                out_q.append(np.full(top.size, qi[row], dtype=np.int64))
+                out_c.append(c_ids[top])
+                out_s.append(sims[row][top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "qcosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = coded.mapInPandas(
+        batches, schema="query_id long, cand_id long, qcosine double"
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "cand_id", F.round("qcosine", 6).alias("qcosine"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -589,3 +589,52 @@ def src07_gzip_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write(body)
     grid = read_csv_grid(spark, path)  # delimiter sniffed through gzip
     return _grid_to_typed(grid).orderBy("n_nationkey")
+
+
+# --- w05: sort-clustered layout (row-group min/max data skipping) ------------
+@register(
+    "w05_sorted_layout",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l_shipdate <  TIMESTAMP '1995-08-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def w05_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third layout axis after partitioning (w01) and bucketing (w04):
+    SORT clustering.  ``repartitionByRange(l_shipdate)`` range-partitions
+    the table on ship date and ``sortWithinPartitions`` orders rows inside
+    each file, so every parquet row group covers a narrow, nearly disjoint
+    ``l_shipdate`` interval — the min/max footer statistics then let a
+    date-range scan skip almost every row group (Z-order's 1-D special
+    case; what clustering keys do on a 100 TB time-series fact).  The
+    pushed date filter must produce oracle-identical results off the
+    clustered copy, and tests/test_sources_sinks.py asserts on the
+    pyarrow footers that only the expected fraction of row groups
+    intersects the predicate range."""
+    li = read_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="w05_")
+    loc = os.path.join(tmp, "lineitem_sorted")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(loc)
+    )
+    back = spark.read.parquet(loc).filter(
+        (F.col("l_shipdate") >= "1995-06-01") & (F.col("l_shipdate") < "1995-08-01")
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

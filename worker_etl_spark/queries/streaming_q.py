@@ -181,3 +181,37 @@ def evt04_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "evt05_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def evt05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redelivery dedup: the event feed is unioned with a redelivered
+    subset (every third event — simulating the at-least-once queue), then
+    ``dedup_events`` collapses it back by event_id.  The oracle is the
+    aggregate over the ORIGINAL feed: dedup is correct iff redelivery is
+    invisible downstream.  The same operator runs as
+    ``dropDuplicatesWithinWatermark`` on a stream (state bounded by the
+    watermark horizon) — tests/test_event_time.py asserts the streaming
+    path emits the identical row set."""
+    from worker_etl_spark.streaming.event_time import dedup_events
+
+    e = read_table(spark, sf_dir, "events")
+    redelivered = e.unionAll(e.filter(F.col("event_id") % 3 == 0))
+    return (
+        dedup_events(redelivered, keys=["event_id"], watermark="1 hour")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

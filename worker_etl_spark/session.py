@@ -48,6 +48,13 @@ def get_spark(
         # on an 11-column scan.  Codegen compiles once per stage; at 100 TB
         # that's noise, interpreted eval is not.
         .config("spark.sql.codegen.maxFields", "200")
+        # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96 default:
+        # INT96 columns carry NO parquet min/max statistics, so every
+        # time-range predicate over a written table degrades to a full scan
+        # (no row-group skipping) — fatal for the sorted/clustered layout
+        # (w05) and any 100 TB time-series fact.  Micros also round-trips
+        # the engine's microsecond event-time semantics exactly.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.getenv("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

@@ -172,6 +172,35 @@ def interval_join(
     return lw.join(rw, cond, how).drop(rkey)
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: Iterable[str] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """At-least-once → exactly-once projection: drop redelivered events by
+    key.  On a stream this is ``dropDuplicatesWithinWatermark`` — the
+    state-bounded form: a key is remembered only until the watermark
+    passes it, so dedup state cannot grow with the stream, and any
+    redelivery inside the watermark horizon (the at-least-once window a
+    queue actually redelivers in — reference ack/nack loop,
+    ``etl.py:1392-1407``) is suppressed.  In batch the same call lowers to
+    plain ``dropDuplicates`` (keys are globally unique per batch), which
+    is what the DuckDB oracle checks; stream≡batch equality is asserted by
+    tests/test_event_time.py over a redelivering micro-batch source.
+
+    Duplicate rows are byte-identical under redelivery, so which one is
+    kept is immaterial — the one semantics a key-only dedup needs.
+    """
+    keys = list(keys)
+    events = _ensure_event_time(events, ts_col)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 SESSION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
