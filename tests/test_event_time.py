@@ -404,3 +404,57 @@ def test_interval_join_outer_stream_matches_batch(spark, tmp_path):
     assert not (stream_unmatched & {c for c, _ in stream_matched})
     # Unmatched clicks: subset of batch's, missing only the watermark tail.
     assert stream_unmatched <= batch_unmatched
+
+
+def test_stream_upsert_sink_exactly_once(spark, tmp_path):
+    """foreachBatch upsert: streamed micro-batches merge by key (last
+    version wins), a marker ledger makes replay a no-op, and re-running the
+    stream over the same source+checkpoint adds nothing."""
+    import os
+    import time
+
+    from worker_etl_spark.streaming.sink import stream_upsert_sink
+
+    src = str(tmp_path / "upsert_src")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v string, version long")
+
+    # batch 1: keys 1,2 @v1; batch 2: key 2 updated @v2 + new key 3
+    for rows in ([(1, "a", 1), (2, "b", 1)], [(2, "b2", 2), (3, "c", 1)]):
+        mk(rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_upsert_sink(
+            stream, wh, "ds", "t", key_cols=["k"], version_col="version",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    run_stream()
+    loc = os.path.join(wh, "ds", "t")
+    got = {
+        (r.k, r.v, r.version)
+        for r in spark.read.parquet(loc).select("k", "v", "version").collect()
+    }
+    assert got == {(1, "a", 1), (2, "b2", 2), (3, "c", 1)}
+    markers = set(os.listdir(os.path.join(wh, "ds", "t.__batches__")))
+    assert len(markers) >= 2
+
+    # restart over the same checkpoint: nothing new to process, table stable
+    run_stream()
+    again = {
+        (r.k, r.v, r.version)
+        for r in spark.read.parquet(loc).select("k", "v", "version").collect()
+    }
+    assert again == got

@@ -217,3 +217,32 @@ def test_t10_no_pre_join_corpus_shuffle(spark):
     assert re.search(
         r"Exchange hashpartitioning\(corpus_doc#\d+L?, eval_doc#\d+L?, h#", plan
     ), "post-join survivor distinct missing"
+
+
+def test_q41_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must be rewritten to an aggregate +
+    equi-join (one pass over per_cust per side) — not a per-row re-scan and
+    never a cartesian."""
+    plan = _plan(spark, "q41_correlated_scalar_subquery")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q44_null_safe_join_stays_hash_join(spark):
+    """Null-safe equality (<=>) is still a hashable key: the dim join must
+    plan as a broadcast HASH join, not degrade to nested-loop."""
+    plan = _plan(spark, "q44_null_semantics")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_w05_read_back_pushes_time_range_to_scan(spark):
+    """The clustered read-back must push both range bounds into the parquet
+    scan (PushedFilters) so footer stats can skip row groups."""
+    plan = _plan(spark, "w05_sorted_layout")
+    # the PushedFilters field may be elided with '…' in toString, so assert
+    # on the filter substrings directly
+    pushed = plan[plan.index("PushedFilters:"):]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed

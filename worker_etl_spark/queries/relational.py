@@ -1709,3 +1709,110 @@ def q45_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k")
     )
+
+
+# --- q46: vectorized UDAF surface (grouped-agg pandas_udf) ----------------------
+@register(
+    "q46_pandas_udaf_quantiles",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(median(l_quantity), 4)             AS median_qty,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75_qty,
+           CAST(count(*) AS BIGINT)                 AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q46_pandas_udaf_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-defined AGGREGATE surface (SURVEY §2 Part B, UDF/UDAF row):
+    grouped-agg ``pandas_udf``s — whole groups arrive as Arrow-backed
+    pandas Series, the aggregate is one vectorized call, and Spark still
+    plans a normal hash-partitioned aggregation around it (shuffle on the
+    group key, Python only at the final agg).  pandas' linear-interpolation
+    quantiles use the same (n-1)·q rule as ANSI percentile_cont, and the
+    inputs are small exact doubles, so the UDAF output hash-matches
+    DuckDB's built-ins — the custom-aggregate path is value-checked, not
+    trusted.  Built-ins beat UDAFs when they exist (q21/q40); this query
+    exists to prove the extension point for aggregates Spark lacks."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG (type-hint inference needs module-global pandas)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _median(v):
+        return float(v.median())
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _q25(v):
+        return float(v.quantile(0.25))
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _q75(v):
+        return float(v.quantile(0.75))
+
+    # grouped-agg UDFs can't mix with JVM aggregates in one agg — count too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v):
+        return len(v)
+
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_median("l_quantity"), 4).alias("median_qty"),
+            F.round(_q25("l_quantity"), 4).alias("q25_qty"),
+            F.round(_q75("l_quantity"), 4).alias("q75_qty"),
+            _n("l_quantity").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- q47: user-defined TABLE function surface (Python UDTF, lateral) ------------
+@register(
+    "q47_python_udtf_chunks",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - 1) // 128)) AS chunk_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT)                                   AS chunk_idx,
+           CAST(least(128, length(text) - chunk_idx * 128) AS INT)  AS chunk_len,
+           md5(substr(text, chunk_idx * 128 + 1, 128))              AS chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def q47_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-defined TABLE-function surface (one row in, N rows out —
+    the extension point for custom exploders Spark's built-ins can't
+    express): a Python UDTF chunks each document into fixed 128-char
+    windows, called via LATERAL so it composes with ordinary SQL.  The
+    UDTF runs per-partition in the scan stage (no shuffle introduced);
+    when the logic IS expressible relationally, prefer the codegen'd
+    explode (q42, m03) — this query pins the escape hatch's semantics
+    against the relational formulation in DuckDB."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_len int, chunk_md5 string")
+    class _ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            text = text or ""
+            for idx, start in enumerate(range(0, len(text), 128)):
+                chunk = text[start : start + 128]
+                yield doc_id, idx, len(chunk), hashlib.md5(chunk.encode()).hexdigest()
+
+    spark.udtf.register("q47_chunk_doc", _ChunkDoc)
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("q47_docs")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk_len, c.chunk_md5
+        FROM q47_docs d, LATERAL q47_chunk_doc(d.doc_id, d.text) c
+        ORDER BY c.doc_id, c.chunk_idx
+        """
+    )
