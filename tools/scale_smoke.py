@@ -114,6 +114,14 @@ SMOKE_QUERIES = [
     "t11_repetition_filters",  # explode → per-doc collapse → lang rollup
     "p04_sequence_packing",  # shard-parallel running-token windows
     "i08_column_profile",    # unpivot melt + single aggregate
+    # round 4
+    "q41_correlated_scalar_subquery",  # decorrelated subquery: agg + equi-join
+    "q42_lateral_posexplode",  # ordinal explode + word-grain partials
+    "q45_map_functions",     # from_json map explode
+    "s05_quantized_topk",    # int8 codes, broadcast query matrix, int matmul
+    "p06_dataset_card",      # one-scan per-source card
+    "evt05_stream_dedup",    # keyed dedup of a redelivered union
+    "m07_audio_energy",      # Arrow binary → numpy windowed energy
 ]
 
 #: dedup growth ladder: d07/d10 re-run on documents-only corpora at these

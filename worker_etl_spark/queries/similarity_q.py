@@ -532,6 +532,29 @@ def v02_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ_BITS = 127  # symmetric int8 code range
 
 
+def _quantize_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, code: array<bigint>) — int8-style symmetric quantization with
+    ONE global scale = max |x| (order-independent, so every engine derives
+    the identical scale and identical codes)."""
+    scale_df = e.agg(
+        F.max(
+            F.expr(
+                "aggregate(embedding, 0D,"
+                " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+            )
+        ).alias("scale")
+    )
+    return e.crossJoin(F.broadcast(scale_df)).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale"
+            f" * {_SQ_BITS}, 0) AS BIGINT))"
+        ).alias("code"),
+    )
+
+
+
+
 def _sq_scale_sql() -> str:
     return (
         "SELECT max(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))) "
@@ -595,21 +618,7 @@ def s05_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    scale_df = e.agg(
-        F.max(
-            F.expr(
-                "aggregate(embedding, 0D,"
-                " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
-            )
-        ).alias("scale")
-    )
-    coded = e.crossJoin(F.broadcast(scale_df)).select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale"
-            f" * {_SQ_BITS}, 0) AS BIGINT))"
-        ).alias("code"),
-    )
+    coded = _quantize_codes(e)
 
     qpdf = coded.filter(F.col("vec_id") % _QUERY_STRIDE == 0).toPandas()
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
@@ -659,4 +668,144 @@ def s05_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "cand_id", F.round("qcosine", 6).alias("qcosine"), "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+# --- v03: k-means over quantized codes (iterative ML, hash-checked) ----------
+_KM_STRIDE = 64  # vec_id % stride == 0 → initial seed centroid
+
+
+@register(
+    "v03_kmeans_quantized",
+    oracle=f"""
+    WITH s AS ({_sq_scale_sql()}),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x / s.scale * {_SQ_BITS}, 0) AS BIGINT))
+               AS code
+      FROM embeddings, s
+    ),
+    vn AS (
+      SELECT vec_id, code,
+             list_dot_product(code::DOUBLE[], code::DOUBLE[]) AS n2
+      FROM v
+    ),
+    seeds AS (
+      SELECT code AS scode, n2 AS s2,
+             CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cr
+      FROM vn WHERE vec_id % {_KM_STRIDE} = 0
+    ),
+    a1 AS (
+      SELECT vn.vec_id, vn.code,
+             CAST(min((vn.n2 + s.s2
+                       - 2 * list_dot_product(vn.code::DOUBLE[], s.scode::DOUBLE[]))
+                      * 100 + s.cr) AS BIGINT) % 100 AS c1
+      FROM vn CROSS JOIN seeds s
+      GROUP BY vn.vec_id, vn.code
+    ),
+    pos AS (
+      SELECT c1, unnest(code) AS val, generate_subscripts(code, 1) AS p
+      FROM a1
+    ),
+    cent AS (
+      SELECT c1, list(avg_val ORDER BY p) AS centroid
+      FROM (SELECT c1, p, round(avg(val), 6) AS avg_val
+            FROM pos GROUP BY c1, p)
+      GROUP BY c1
+    ),
+    cn AS (
+      SELECT c1, centroid,
+             list_dot_product(centroid, centroid) AS c2
+      FROM cent
+    ),
+    a2 AS (
+      SELECT vn.vec_id,
+             min(CAST(round((vn.n2 + c.c2
+                             - 2 * list_dot_product(vn.code::DOUBLE[], c.centroid))
+                            * 1000000, 0) AS BIGINT) * 100 + c.c1) AS k2
+      FROM vn CROSS JOIN cn c
+      GROUP BY vn.vec_id
+    )
+    SELECT CAST(k2 % 100 AS BIGINT)                 AS cluster,
+           CAST(count(*) AS BIGINT)                 AS n_members,
+           round(sum(k2 // 100) / 1000000.0, 2)     AS inertia
+    FROM a2 GROUP BY 1 ORDER BY 1
+    """,
+)
+def v03_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative ML on the engine: two unrolled Lloyd iterations of k-means
+    over the int8-quantized embeddings (the PQ-codebook-training shape) —
+    strided seeds → integer-exact assignment → element-wise centroid mean
+    (rounded to 6dp, killing float-ulp drift) → re-assignment → cluster
+    sizes + inertia.  Determinism engineering: iteration-1 distances are
+    pure integers (quantized codes), ties break on the dense centroid rank
+    via the encoded key ``dist·100 + rank``; iteration-2 distances are
+    rounded to 1e-6 BEFORE entering the same integer key, so the min, the
+    tie-break, and even the inertia (an exact integer sum of the rounded
+    distances) are bit-identical across Spark, numpy-free SQL, and DuckDB —
+    an iterative clustering algorithm under a value-hash gate.  Scale
+    shape: per iteration one broadcast of k centroids + one scan
+    (assignment) + one (cluster, dim)-grain aggregate (update); nothing
+    O(n²), nothing driver-side."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vn = _quantize_codes(e).withColumn("n2", dot("code", "code"))
+
+    seeds = (
+        vn.filter(F.col("vec_id") % _KM_STRIDE == 0)
+        .withColumn("cr", F.row_number().over(W.orderBy("vec_id")).cast("long"))
+        .select(F.col("code").alias("scode"), F.col("n2").alias("s2"), "cr")
+    )
+    a1 = (
+        vn.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "code",
+            (
+                (F.col("n2") + F.col("s2") - 2 * dot("code", "scode")) * 100
+                + F.col("cr")
+            ).alias("k1"),
+        )
+        .groupBy("vec_id", "code")
+        .agg((F.min("k1").cast("long") % 100).alias("c1"))
+    )
+    cent = (
+        a1.select("c1", F.posexplode("code").alias("p0", "val"))
+        .groupBy("c1", "p0")
+        .agg(F.round(F.avg("val"), 6).alias("avg_val"))
+        .groupBy("c1")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(p0, avg_val))),"
+                " x -> x.avg_val)"
+            ).alias("centroid")
+        )
+        .withColumn("c2", dot("centroid", "centroid"))
+    )
+    a2 = (
+        vn.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            (
+                F.round(
+                    (F.col("n2") + F.col("c2") - 2 * dot("code", "centroid"))
+                    * 1000000,
+                    0,
+                ).cast("long")
+                * 100
+                + F.col("c1")
+            ).alias("k2"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("k2").alias("k2"))
+    )
+    return (
+        a2.groupBy((F.col("k2") % 100).alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum(F.floor(F.col("k2") / 100)) / 1000000.0, 2).alias(
+                "inertia"
+            ),
+        )
+        .orderBy("cluster")
     )
