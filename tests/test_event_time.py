@@ -458,3 +458,42 @@ def test_stream_upsert_sink_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(loc).select("k", "v", "version").collect()
     }
     assert again == got
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static join: each micro-batch joins the broadcast static dim;
+    the accumulated streamed aggregate must equal the batch join, and the
+    streaming plan must carry no watermark/state requirement."""
+    from worker_etl_spark.streaming.event_time import enrich_with_dim
+
+    ev = read_table(spark, SF, "events").orderBy("event_id").limit(400)
+    nation = read_table(spark, SF, "nation")
+    src = str(tmp_path / "enrich_src")
+    ev.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    cond = F.col("user_id") % 25 == F.col("n_nationkey")
+    batch = {
+        (r.n_name, r.event_id)
+        for r in enrich_with_dim(ev, nation, cond).select("n_name", "event_id").collect()
+    }
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        enrich_with_dim(stream, nation, cond)
+        .select("n_name", "event_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.n_name, r.event_id)
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0

@@ -215,3 +215,39 @@ def evt05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "evt06_stream_static_enrich",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2)   AS total_value
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def evt06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the third streaming join shape after
+    stream-stream (evt03/evt04) and dedup (evt05): each micro-batch joins
+    against a SLOWLY-CHANGING static dimension with no watermark and no
+    join state (the static side is re-planned per batch, broadcast to every
+    task).  This is how a 100 TB event stream picks up dimension attributes
+    without shuffling the stream.  Runs identically in batch (this oracle)
+    and over readStream (tests/test_event_time.py asserts row-set
+    equality)."""
+    from worker_etl_spark.streaming.event_time import enrich_with_dim
+
+    e = read_table(spark, sf_dir, "events")
+    nation = read_table(spark, sf_dir, "nation")
+    enriched = enrich_with_dim(
+        e, nation, F.col("user_id") % 25 == F.col("n_nationkey")
+    )
+    return (
+        enriched.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("n_name")
+    )

@@ -291,3 +291,12 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, cond) -> DataFrame:
+    """Stream-static enrichment join: broadcast the (small, static) dim so
+    the stream side never shuffles and no join state accumulates — the
+    static side is re-evaluated each micro-batch, which is also what makes
+    slowly-changing dims pick up updates between batches.  Works unchanged
+    in batch mode."""
+    return events.join(F.broadcast(dim), cond, "inner")
