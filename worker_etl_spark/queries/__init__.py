@@ -85,7 +85,8 @@ _PRIORITY: list[str] = [
     "s05_quantized_topk", "p06_dataset_card", "evt05_stream_dedup",
     "w05_sorted_layout", "m07_audio_energy",
     "q46_pandas_udaf_quantiles", "q47_python_udtf_chunks",
-    "v03_kmeans_quantized",
+    "v03_kmeans_quantized", "evt06_stream_static_enrich",
+    "q48_window_value_family", "src08_corrupt_jsonl",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

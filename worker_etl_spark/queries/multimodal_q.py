@@ -310,6 +310,7 @@ def m06_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- m07: audio windowed energy (PCM-style DSP plumbing) ---------------------
 @register(
     "m07_audio_energy",
+    headline=True,
     oracle="""
     WITH a AS (
       SELECT doc_id, text, octet_length(encode(text)) AS n

@@ -1492,6 +1492,7 @@ def q40_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q41: correlated scalar subquery (Catalyst decorrelation) -------------------
 @register(
     "q41_correlated_scalar_subquery",
+    headline=True,
     oracle="""
     WITH per_cust AS (
       SELECT c.c_custkey, c.c_mktsegment,
@@ -1714,6 +1715,7 @@ def q45_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q46: vectorized UDAF surface (grouped-agg pandas_udf) ----------------------
 @register(
     "q46_pandas_udaf_quantiles",
+    headline=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(median(l_quantity), 4)             AS median_qty,
@@ -1816,3 +1818,84 @@ def q47_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.doc_id, c.chunk_idx
         """
     )
+
+
+# --- q48: window value-function family (IGNORE NULLS first/last/nth/lag) --------
+@register(
+    "q48_window_value_family",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate,
+             CASE WHEN l_quantity >= 45 THEN l_quantity END AS big_qty
+      FROM lineitem
+    ),
+    w AS (
+      SELECT l_returnflag,
+             first_value(big_qty IGNORE NULLS) OVER run          AS first_big,
+             nth_value(big_qty, 3 IGNORE NULLS) OVER full_frame  AS third_big,
+             last_value(big_qty IGNORE NULLS) OVER full_frame    AS overall_last_big,
+             lag(big_qty, 1 IGNORE NULLS) OVER ord               AS prev_big
+      FROM t
+      WINDOW
+        ord AS (PARTITION BY l_returnflag
+                ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        run AS (PARTITION BY l_returnflag
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        full_frame AS (PARTITION BY l_returnflag
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT l_returnflag,
+           CAST(max(first_big) AS BIGINT)        AS max_first_big,
+           CAST(max(third_big) AS BIGINT)        AS max_third_big,
+           CAST(max(overall_last_big) AS BIGINT) AS last_big,
+           CAST(count(*) FILTER (WHERE prev_big IS NULL) AS BIGINT)
+                                                 AS n_before_first
+    FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q48_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window VALUE-function family with null skipping: first_value /
+    nth_value / last_value / lag, all IGNORE NULLS over a sparse measure
+    (only ~12%% of rows carry big_qty).  IGNORE NULLS is what makes these
+    usable as 'carry last known value forward' gap-fill operators on
+    sparse 100 TB telemetry; the window ORDER BY is a total order so every
+    engine resolves the same row, and the running vs whole-partition frame
+    distinction (first_value grows, last_value needs the full frame) is
+    exercised explicitly.  One shuffle on the partition key serves all
+    four functions (same WINDOW spec family)."""
+    l = _t(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("q48_lineitem")
+    return spark.sql("""
+        WITH t AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_shipdate,
+                 CASE WHEN l_quantity >= 45 THEN l_quantity END AS big_qty
+          FROM q48_lineitem
+        ),
+        w AS (
+          SELECT l_returnflag,
+                 first_value(big_qty) IGNORE NULLS OVER run         AS first_big,
+                 nth_value(big_qty, 3) IGNORE NULLS OVER full_frame AS third_big,
+                 last_value(big_qty) IGNORE NULLS OVER full_frame   AS overall_last_big,
+                 lag(big_qty, 1) IGNORE NULLS OVER ord              AS prev_big
+          FROM t
+          WINDOW
+            ord AS (PARTITION BY l_returnflag
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber),
+            run AS (PARTITION BY l_returnflag
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            full_frame AS (PARTITION BY l_returnflag
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING)
+        )
+        SELECT l_returnflag,
+               CAST(max(first_big) AS BIGINT)        AS max_first_big,
+               CAST(max(third_big) AS BIGINT)        AS max_third_big,
+               CAST(max(overall_last_big) AS BIGINT) AS last_big,
+               CAST(count(CASE WHEN prev_big IS NULL THEN 1 END) AS BIGINT)
+                                                     AS n_before_first
+        FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+    """)

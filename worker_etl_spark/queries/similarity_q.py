@@ -564,6 +564,7 @@ def _sq_scale_sql() -> str:
 
 @register(
     "s05_quantized_topk",
+    headline=True,
     oracle=f"""
     WITH s AS ({_sq_scale_sql()}),
     v AS (
@@ -677,6 +678,7 @@ _KM_STRIDE = 64  # vec_id % stride == 0 → initial seed centroid
 
 @register(
     "v03_kmeans_quantized",
+    headline=True,
     oracle=f"""
     WITH s AS ({_sq_scale_sql()}),
     v AS (

@@ -638,3 +638,63 @@ def w05_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- src08: corrupt-record JSONL ingest (PERMISSIVE quarantine) --------------
+@register(
+    "src08_corrupt_jsonl",
+    oracle="""
+    SELECT CASE WHEN event_id % 7 = 0 THEN '(corrupt)' ELSE event_type END
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END), 2)
+             AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def src08_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input ingestion: a JSONL feed where every 7th record is
+    truncated mid-object is read back in PERMISSIVE mode with a
+    ``_corrupt_record`` column — bad lines land in a quarantine bucket
+    with their raw payload preserved (the file-level analogue of m05's
+    magic-byte quarantine; a FAILFAST engine would abort a 100 TB load on
+    one bad line, a silent DROPMALFORMED would lie about volumes).  Both
+    the write of the corrupted feed and the read-back are distributed
+    (df.write.text / spark.read.json); nothing driver-side.  The oracle
+    reconstructs the same good/corrupt partition arithmetically from the
+    source table."""
+    e = read_table(spark, sf_dir, "events")
+    line = F.to_json(F.struct("event_id", "event_type", "value"))
+    corrupted = e.select(
+        F.when(
+            F.col("event_id") % 7 == 0, F.expr("substring(to_json(struct(event_id, event_type, value)), 1, 20)")
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="src08_")
+    loc = os.path.join(tmp, "feed.jsonl")
+    corrupted.write.mode("overwrite").text(loc)
+
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(loc)
+    bucket = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("(corrupt)")
+    ).otherwise(F.col("event_type"))
+    return (
+        back.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_corrupt_record").isNull(), F.col("value"))
+                ),
+                2,
+            ).alias("total_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -185,6 +185,7 @@ def evt04_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "evt05_stream_dedup",
+    headline=True,
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
