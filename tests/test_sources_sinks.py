@@ -351,3 +351,47 @@ def test_w05_sorted_layout_row_group_skipping(spark, tmp_path):
     # the shuffled layout's row groups all straddle the whole year
     assert rg_hit_fraction(sorted_loc) <= 0.25
     assert rg_hit_fraction(unsorted_loc) >= 0.9
+
+
+def test_xlsgrid_datasource_partitions_per_sheet(spark, tmp_path):
+    """The Python DataSource must (a) plan one input partition per
+    (file, sheet) so sheet decode parallelizes, (b) list sheet names from
+    record headers without parsing cells, and (c) round-trip cell values
+    identically to the direct BIFF parser chain."""
+    from worker_etl_spark.sources.biff import write_minimal_xls
+    from worker_etl_spark.sources.pyds import (
+        XlsGridReader,
+        _sheet_names,
+        register_xlsgrid,
+    )
+
+    path = str(tmp_path / "three.xls")
+    sheets = {
+        "A": [["h"], ["a1"], ["a2"]],
+        "B": [["h"], [1.5]],
+        "C": [["h"], [True]],
+    }
+    write_minimal_xls(path, sheets)
+
+    with open(path, "rb") as fh:
+        content = fh.read()
+    assert _sheet_names(content) == ["A", "B", "C"]
+
+    reader = XlsGridReader({"path": path})
+    parts = reader.partitions()
+    assert [p.value[1] for p in parts] == ["A", "B", "C"]
+
+    register_xlsgrid(spark)
+    df = spark.read.format("xlsgrid").option("path", path).load()
+    assert df.rdd.getNumPartitions() == 3
+    rows = {
+        (r.sheet, r.row_idx, tuple(r.cells)) for r in df.collect()
+    }
+    assert ("A", 1, ("a1",)) in rows
+    assert ("B", 1, ("1.5",)) in rows
+    assert ("C", 1, ("True",)) in rows
+    # missing-path and non-xls inputs fail loudly, not silently empty
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        XlsGridReader({}).partitions()

@@ -698,3 +698,57 @@ def src08_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- src09: legacy .xls via the Python DataSource API ------------------------
+@register(
+    "src09_xls_datasource",
+    oracle="""
+    SELECT 'nations' AS src_table, n_nationkey::BIGINT AS key, n_name AS name
+    FROM nation
+    UNION ALL
+    SELECT 'regions', r_regionkey::BIGINT, r_name FROM region
+    ORDER BY src_table, key
+    """,
+)
+def src09_xls_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same legacy workbook ingest as src05, but mounted through the
+    Spark 4 Python DataSource API (``format('xlsgrid')``,
+    ``sources/pyds.py``): sheet enumeration happens planner-side on record
+    headers only, each (file, sheet) becomes ONE InputPartition — so a
+    many-sheet workbook decodes across executors instead of serializing
+    inside a single binaryFile task — and the source emits the engine's
+    long-grid contract, so widen → promote-header → typed tail composes
+    unchanged.  Two sheets in one .xls; the oracle is the union of both
+    source tables."""
+    from worker_etl_spark.sources.biff import write_minimal_xls
+    from worker_etl_spark.sources.pyds import register_xlsgrid
+
+    rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    nt = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src09_")
+    path = os.path.join(tmp, "dims.xls")
+    write_minimal_xls(
+        path,
+        {
+            "Nations": [["key", "name"]]
+            + [[int(r.n_nationkey), str(r.n_name)] for r in nt],
+            "Regions": [["key", "name"]]
+            + [[int(r.r_regionkey), str(r.r_name)] for r in rg],
+        },
+    )
+    register_xlsgrid(spark)
+    grid = spark.read.format("xlsgrid").option("path", path).load()
+    wide = widen_grid(grid)
+    # one typed tail per sheet: the sheet IS the table boundary
+    out = []
+    for sheet, label in (("Nations", "nations"), ("Regions", "regions")):
+        t = _grid_to_typed(wide.filter(F.col("sheet") == sheet))
+        out.append(
+            t.select(
+                F.lit(label).alias("src_table"),
+                F.col("key").cast("long").alias("key"),
+                F.col("name").alias("name"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("src_table", "key")
