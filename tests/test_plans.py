@@ -246,3 +246,18 @@ def test_w05_read_back_pushes_time_range_to_scan(spark):
     pushed = plan[plan.index("PushedFilters:"):]
     assert "GreaterThanOrEqual(l_shipdate" in pushed
     assert "LessThan(l_shipdate" in pushed
+
+
+def test_q49_observe_rides_the_same_scan(spark):
+    """observe() metrics must (a) report the PRE-filter scan volume, proving
+    they ride the query's own scan rather than a second job, and (b) match
+    an independently computed ground truth."""
+    df = load_all()["q49_observed_aggregate"].fn(spark, SF)
+    df.collect()  # one action — metrics materialize with it
+    got = df._q49_observation.get
+    from worker_etl_spark.sources.tables import read_table
+
+    o = read_table(spark, SF, "orders")
+    assert got["rows_seen"] == o.count()
+    assert abs(got["gross_revenue"] - o.agg({"o_totalprice": "sum"}).first()[0]) < 1e-6
+    assert got["null_custkeys"] == 0

@@ -87,7 +87,7 @@ _PRIORITY: list[str] = [
     "q46_pandas_udaf_quantiles", "q47_python_udtf_chunks",
     "v03_kmeans_quantized", "evt06_stream_static_enrich",
     "q48_window_value_family", "src08_corrupt_jsonl",
-    "src09_xls_datasource",
+    "src09_xls_datasource", "i09_merge_schema_scan", "q49_observed_aggregate",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

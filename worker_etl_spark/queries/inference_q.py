@@ -11,6 +11,8 @@ back through ``align_to_schema`` — proving the bad-cell→NULL contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -435,4 +437,59 @@ def i08_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_value"),
         )
         .orderBy("column_name")
+    )
+
+
+# --- i09: schema evolution ON READ (mergeSchema parquet scan) ----------------
+@register(
+    "i09_merge_schema_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)                       AS n,
+           CAST(count(o_totalprice) AS BIGINT)            AS n_with_price,
+           round(sum(o_totalprice), 2)                    AS total_price
+    FROM (
+      SELECT o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def i09_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ON READ: two parquet batches of one logical table —
+    an old batch written BEFORE a column existed and a new batch carrying
+    it — scanned as one dataset with ``mergeSchema=true``: the footer
+    schemas union, and the old batch's missing column nulls in (i05/i06
+    prove WRITE-side evolution through the inference tail; this is the
+    read-side half a 100 TB lake needs every time a producer adds a
+    field).  The oracle reconstructs the same union arithmetically."""
+    import tempfile as _tf
+
+    o = read_table(spark, sf_dir, "orders")
+    tmp = _tf.mkdtemp(prefix="i09_")
+    loc = os.path.join(tmp, "orders_evolved")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")  # old schema: no price yet
+        .write.mode("overwrite")
+        .parquet(os.path.join(loc, "batch=old"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(loc, "batch=new"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(loc)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
     )

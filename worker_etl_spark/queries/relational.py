@@ -1899,3 +1899,48 @@ def q48_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      AS n_before_first
         FROM w GROUP BY l_returnflag ORDER BY l_returnflag
     """)
+
+
+# --- q49: observed aggregate (runtime metrics without a second scan) ------------
+@register(
+    "q49_observed_aggregate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q49_observed_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: ``df.observe()`` attaches accumulator-style
+    metrics (row count, filtered-row revenue, null count) to the SAME scan
+    the query runs — data-quality counters at 100 TB must not cost a
+    second pass, and observe() metrics ride the existing job.  The metric
+    values are asserted in tests/test_plans.py via ``Observation``; the
+    relational result is oracle-checked as usual.  Works identically on
+    streaming queries (QueryProgress.observedMetrics)."""
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("q49_quality")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("o_totalprice")).alias("gross_revenue"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkeys"),
+    )
+    result = (
+        observed.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    # stash the handle so callers/tests can read obs.get after the action;
+    # the returned plan is unchanged by observe()
+    result._q49_observation = obs  # noqa: SLF001
+    return result
