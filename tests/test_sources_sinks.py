@@ -395,3 +395,97 @@ def test_xlsgrid_datasource_partitions_per_sheet(spark, tmp_path):
 
     with _pytest.raises(Exception):
         XlsGridReader({}).partitions()
+
+
+def test_w06_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order layout must give row-group skipping on BOTH clustered
+    columns, while a 1-D sort on x gives skipping on x and none on y.
+    With 16 z-range partitions (= 2 Morton bits per axis → a 4×4 block
+    grid), a range inside one block-column touches ~4/16 row groups."""
+    import pyarrow.parquet as pq
+
+    from worker_etl_spark.queries.sources_q import _morton_z
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST((id * 48271) % 4096 AS BIGINT) AS x",
+        "CAST((id * 69621) % 4096 AS BIGINT) AS y",
+    )
+
+    def rg_hit_fraction(loc: str, col: str, lo: int, hi: int) -> float:
+        total = hits = 0
+        for root, _dirs, files in os.walk(loc):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                idx = md.schema.names.index(col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    total += 1
+                    if st.min <= hi and st.max >= lo:
+                        hits += 1
+        assert total > 0
+        return hits / total
+
+    z_loc = str(tmp_path / "zorder")
+    (
+        df.withColumn("z", _morton_z(F.col("x"), F.col("y"), bits=12))
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(z_loc)
+    )
+    x_loc = str(tmp_path / "xsorted")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(x_loc)
+    )
+
+    # range [1024, 1151] sits inside one 1024-wide Morton block column/row
+    assert rg_hit_fraction(z_loc, "x", 1024, 1151) <= 0.5
+    assert rg_hit_fraction(z_loc, "y", 1024, 1151) <= 0.5
+    # the 1-D layout skips on its sort key but not the other axis
+    assert rg_hit_fraction(x_loc, "x", 1024, 1151) <= 0.25
+    assert rg_hit_fraction(x_loc, "y", 1024, 1151) >= 0.9
+
+
+def test_w07_dynamic_overwrite_leaves_other_partitions_untouched(spark, tmp_path):
+    """partitionOverwriteMode=dynamic must replace ONLY the partitions
+    present in the incoming frame: other partition directories keep their
+    exact files; the target partition's content is the corrected batch."""
+    loc = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, "p%d" % (i % 3), float(i)) for i in range(300)],
+        "id long, part string, v double",
+    )
+    base.write.partitionBy("part").mode("overwrite").parquet(loc)
+
+    def files_in(part: str) -> set[str]:
+        d = os.path.join(loc, f"part={part}")
+        return {f for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_p1 = files_in("p1")
+    before_p2 = files_in("p2")
+
+    corrected = spark.createDataFrame(
+        [(1000, "p0", -1.0), (1001, "p0", -2.0)], "id long, part string, v double"
+    )
+    (
+        corrected.write.partitionBy("part")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(loc)
+    )
+
+    assert files_in("p1") == before_p1
+    assert files_in("p2") == before_p2
+    back = spark.read.parquet(loc)
+    assert back.filter("part = 'p0'").count() == 2
+    assert back.filter("part != 'p0'").count() == 200
+    assert back.filter("part = 'p0'").agg({"v": "sum"}).first()[0] == -3.0

@@ -88,6 +88,10 @@ _PRIORITY: list[str] = [
     "v03_kmeans_quantized", "evt06_stream_static_enrich",
     "q48_window_value_family", "src08_corrupt_jsonl",
     "src09_xls_datasource", "i09_merge_schema_scan", "q49_observed_aggregate",
+    # new in round 5
+    "q50_scd2_dimension", "q51_last_touch_attribution", "t13_word_entropy",
+    "w06_zorder_layout", "w07_dynamic_partition_overwrite",
+    "evt07_backfill_available_now",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

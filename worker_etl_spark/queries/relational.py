@@ -1944,3 +1944,122 @@ def q49_observed_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the returned plan is unchanged by observe()
     result._q49_observation = obs  # noqa: SLF001
     return result
+
+
+# --- q50: SCD Type-2 dimension build from a change feed -------------------------
+@register(
+    "q50_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_attr
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_attr IS NULL OR prev_attr <> event_type
+    )
+    SELECT user_id,
+           event_type                                AS attr_value,
+           ts                                        AS valid_from,
+           lead(ts) OVER w                           AS valid_to,
+           CAST(row_number() OVER w AS BIGINT)       AS version,
+           (lead(ts) OVER w IS NULL)                 AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+)
+def q50_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build: fold a change feed (events,
+    treating ``event_type`` as the tracked attribute) into versioned
+    dimension rows with ``valid_from``/``valid_to`` intervals and an
+    ``is_current`` flag — the standard lakehouse dimension-maintenance
+    operator the reference's append-only sink cannot express
+    (``etl.py:1104-1110`` always appends).  Two stacked windows on the SAME
+    (user_id × (ts, event_id)) ordering: consecutive-duplicate collapse via
+    ``lag``, then interval stitching via ``lead`` — Catalyst runs both in
+    one sort/shuffle on user_id since the window spec is shared.  At 100 TB
+    the feed shuffles once on the dimension key; no self-join, no collect,
+    and the output is the (much smaller) changes-only frame."""
+    e = _t(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_attr", F.lag("event_type").over(w_ord))
+        .filter(
+            F.col("prev_attr").isNull()
+            | (F.col("prev_attr") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w_ord).alias("valid_to"),
+            F.row_number().over(w_ord).cast("long").alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+# --- q51: last-touch attribution over an event stream ---------------------------
+@register(
+    "q51_last_touch_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+      FROM events
+    ),
+    attr AS (
+      SELECT event_type, value,
+             lag(touch, 1 IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+      FROM t
+    )
+    SELECT coalesce(last_touch, '(direct)') AS channel,
+           CAST(count(*) AS BIGINT)         AS n_purchases,
+           round(sum(value), 2)             AS attributed_revenue
+    FROM attr
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q51_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase is credited
+    to the user's most recent preceding non-purchase event (channel), or
+    '(direct)' when the purchase is the user's first recorded action.
+    ``lag(touch) IGNORE NULLS`` over the per-user (ts, event_id) total
+    order IS the attribution operator — the same carry-last-known-value
+    gap-fill shape as q48, applied to the classic funnel-analytics
+    question.  One shuffle on user_id for the window, then a tiny
+    channel-grain aggregate; the purchase filter happens AFTER the window
+    (earlier rows are the lookup context) but the channel rollup is
+    map-side combined, so the shuffle carries one row per surviving
+    purchase, not per event."""
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("q51_events")
+    return spark.sql("""
+        WITH t AS (
+          SELECT user_id, event_type, value, ts, event_id,
+                 CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+          FROM q51_events
+        ),
+        attr AS (
+          SELECT event_type, value,
+                 lag(touch, 1) IGNORE NULLS
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+          FROM t
+        )
+        SELECT coalesce(last_touch, '(direct)') AS channel,
+               CAST(count(*) AS BIGINT)         AS n_purchases,
+               round(sum(value), 2)             AS attributed_revenue
+        FROM attr
+        WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+    """)

@@ -752,3 +752,123 @@ def src09_xls_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1]).orderBy("src_table", "key")
+
+
+# --- w06: Z-order (Morton) clustered layout ----------------------------------
+def _morton_z(x, y, bits: int = 16):
+    """Interleave the low *bits* of two integer columns into a Morton
+    (Z-order) key, JVM-side: 2·bits codegen'd shift/mask/or terms, no UDF.
+    Both test keys fit 16 bits at every shipped SF; at warehouse scale the
+    inputs would first be rank-bucketed to equal-width codes (the standard
+    Z-order prep), which changes the key prep, not this interleave."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+@register(
+    "w06_zorder_layout",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                          AS n_items,
+           CAST(sum(l_quantity) AS BIGINT)                   AS total_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 499
+      AND l_suppkey BETWEEN 1 AND 25
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def w06_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering: w05 sort-clusters ONE key; Z-order
+    interleaves the bits of TWO keys (l_partkey × l_suppkey) into a Morton
+    code so rows close in EITHER dimension land in the same row groups —
+    after ``repartitionByRange(z) + sortWithinPartitions(z)``, parquet
+    min/max footers skip most row groups for a point/range predicate on
+    either column (the Delta/Iceberg OPTIMIZE ZORDER layout, built from
+    public bit-interleaving).  A single-key sort gives skipping on that key
+    and none on the other; tests/test_sources_sinks.py asserts the
+    two-dimensional skipping on the footers.  The laid-out copy must then
+    answer a 2-D range predicate oracle-identically to the source table."""
+    li = read_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="w06_")
+    loc = os.path.join(tmp, "lineitem_zorder")
+    (
+        li.withColumn("z", _morton_z(F.col("l_partkey"), F.col("l_suppkey")))
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(loc)
+    )
+    back = spark.read.parquet(loc).filter(
+        F.col("l_partkey").between(100, 499)
+        & F.col("l_suppkey").between(1, 25)
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- w07: dynamic partition overwrite (partition-scoped recompute) -----------
+@register(
+    "w07_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT' OR o_totalprice >= 100000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def w07_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped recompute: after a full partitioned load, a
+    corrected batch for ONE partition ('1-URGENT', now excluding orders
+    under 100 k) is written with ``partitionOverwriteMode=dynamic`` — only
+    the partitions present in the incoming frame are replaced; the other
+    four are untouched on disk (static overwrite mode would truncate the
+    whole table, the classic lake-destroying foot-gun this option exists
+    to prevent).  This is the daily-backfill primitive at 100 TB: recompute
+    one day/priority, swap it atomically, never rewrite the table.  The
+    oracle states the expected post-swap table directly; the untouched-
+    files invariant is asserted in tests/test_sources_sinks.py."""
+    o = read_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="w07_")
+    loc = os.path.join(tmp, "orders_by_priority")
+    o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(loc)
+    corrected = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") >= 100000)
+    )
+    (
+        corrected.write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(loc)
+    )
+    back = spark.read.parquet(loc)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -252,3 +252,66 @@ def evt06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "evt07_backfill_available_now",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type           AS last_event_type,
+           round(value, 2)      AS last_value,
+           ts                   AS last_ts
+    FROM latest WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def evt07_backfill_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog drain through the exactly-once sink: the full event history
+    lands as an 8-file backlog, ``Trigger.AvailableNow`` +
+    ``maxFilesPerTrigger=3`` replays it as MULTIPLE micro-batches through
+    ``stream_upsert_sink`` (ledgered foreachBatch upsert, latest-wins per
+    user on event time), and the final warehouse table must equal the
+    batch latest-wins oracle — batch/stream backfill equivalence on the
+    SINK path, complementing the operator-level equivalences of
+    evt01–evt06.  File arrival order is not time order, so correctness
+    rides on the version column (``unix_micros(ts)``, unique per user in
+    this feed; compose event_id into the version upstream if a feed has
+    same-microsecond events per key), not on delivery order — exactly the
+    at-least-once → exactly-once contract a 100 TB backfill needs."""
+    import os
+    import tempfile
+
+    from worker_etl_spark.streaming.sink import stream_upsert_sink
+
+    e = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="evt07_")
+    feed = os.path.join(tmp, "feed")
+    wh = os.path.join(tmp, "warehouse")
+    ckpt = os.path.join(tmp, "ckpt")
+    e.repartition(8).write.mode("overwrite").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(feed)
+        # parquet reads the untagged ts as TIMESTAMP_NTZ; the session is
+        # pinned UTC so the cast is value-preserving (see event_time.py)
+        .withColumn("__v", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    q = stream_upsert_sink(
+        stream, wh, "analytics", "user_state",
+        key_cols=["user_id"], version_col="__v", checkpoint_dir=ckpt,
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(os.path.join(wh, "analytics", "user_state"))
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 2).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    ).orderBy("user_id")

@@ -798,3 +798,80 @@ def t12_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --- t13: per-document word-entropy quality signal ---------------------------
+_SQL_T13_TOK = sql_tokens(sql_norm_text("text"))
+
+@register(
+    "t13_word_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_SQL_T13_TOK}) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, lang, w, count(*) AS c FROM tok GROUP BY 1, 2, 3
+    ),
+    doc AS (
+      SELECT doc_id, lang,
+             CAST(sum(c) AS BIGINT)     AS n,
+             sum(c * log2(c))           AS clc
+      FROM cnt GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT lang, round(log2(n) - clc / n, 6) AS entropy FROM doc
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                         AS n_docs,
+           round(avg(entropy), 4)                           AS avg_entropy,
+           min(entropy)                                     AS min_entropy,
+           max(entropy)                                     AS max_entropy,
+           CAST(count(CASE WHEN entropy < 3.0 THEN 1 END) AS BIGINT)
+                                                            AS n_low_entropy
+    FROM ent GROUP BY lang ORDER BY lang
+    """,
+)
+def t13_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon word-entropy per document — the information-density quality
+    signal real LLM-corpus filters use to drop keyword-stuffed / looping /
+    boilerplate pages (low entropy = few token types dominate).  Computed
+    exactly as H = log2(n) − Σ c·log2(c) / n from per-(doc, token) counts,
+    so no probability column ever materializes.
+
+    Scale shape: token explode is immediately re-aggregated to (doc, token)
+    counts (map-side combine — the shuffle carries type counts, not token
+    occurrences), then to one row per doc, then to one row per lang; every
+    stage shrinks.  Pure built-ins end-to-end: explode + two hash
+    aggregates, zero UDFs, identical double math (log2 over exact integer
+    counts) on both engines with per-doc rounding pinned at 6 decimals
+    before any cross-doc aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(tokens(norm_text(F.col("text")))).alias("w"),
+        )
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    doc = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("clc"),
+    )
+    ent = doc.select(
+        "lang",
+        F.round(F.log2("n") - F.col("clc") / F.col("n"), 6).alias("entropy"),
+    )
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+            F.min("entropy").alias("min_entropy"),
+            F.max("entropy").alias("max_entropy"),
+            F.count(F.when(F.col("entropy") < 3.0, 1)).alias("n_low_entropy"),
+        )
+        .orderBy("lang")
+    )
