@@ -2063,3 +2063,150 @@ def q51_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'purchase'
         GROUP BY 1 ORDER BY 1
     """)
+
+
+# --- q52: materialized rollup maintenance (algebraic partial aggregates) --------
+@register(
+    "q52_rollup_merge",
+    oracle="""
+    WITH cents AS (
+      SELECT ts, event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT)             AS n_events,
+           round(sum(c) / 100.0, 2)             AS total_value,
+           round(sum(c) / 100.0 / count(*), 4)  AS avg_value,
+           round(min(c) / 100.0, 2)             AS min_value,
+           round(max(c) / 100.0, 2)             AS max_value
+    FROM cents
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q52_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-rollup pattern (hypertable continuous aggregate):
+    events are first compacted into an HOURLY partial-aggregate table
+    (count/sum/min/max — all algebraic, so partials merge losslessly), the
+    partial table is persisted to parquet, and the day-grain serving query
+    reads ONLY the partials, merging them with sum-of-sums / sum-of-counts
+    / min-of-mins.  The oracle aggregates the raw events directly at day
+    grain — merge(partials) must equal aggregate(raw), which is exactly the
+    correctness obligation of every pre-aggregation pipeline.  At 100 TB
+    the hourly table is ~10⁴× smaller than the event stream; dashboards
+    re-aggregate partials, never raw events, and avg is derived from
+    (sum, count) partials because avg itself is NOT algebraic."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    # fixed-point partials: cent-exact BIGINTs make merge(partials) ==
+    # aggregate(raw) bit-deterministic regardless of summation order (the
+    # float-sum two-stage path can flip a round() boundary vs the oracle)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(cents).alias("sum_c"),
+            F.min(cents).alias("min_c"),
+            F.max(cents).alias("max_c"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="q52_")
+    loc = os.path.join(tmp, "events_hourly")
+    hourly.write.mode("overwrite").parquet(loc)
+    partials = spark.read.parquet(loc)
+    return (
+        partials.groupBy(
+            # VARCHAR day key on both sides (see q38's dtype note)
+            F.date_format(F.date_trunc("day", F.col("hour")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.round(F.sum("sum_c") / 100.0, 2).alias("total_value"),
+            F.round(F.sum("sum_c") / 100.0 / F.sum("cnt"), 4).alias("avg_value"),
+            F.round(F.min("min_c") / 100.0, 2).alias("min_value"),
+            F.round(F.max("max_c") / 100.0, 2).alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# --- q53: cogrouped as-of merge (the 4th Python extension surface) --------------
+@register(
+    "q53_cogroup_asof",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id           AS purchase_id,
+           c.event_id           AS click_id,
+           round(p.value, 2)    AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY purchase_id
+    """,
+)
+def q53_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the fourth Python extension surface
+    after scalar pandas UDFs (similarity kernels), grouped-agg UDAF (q46)
+    and UDTF (q47): BOTH relations shuffle once on the key, and each key's
+    pair of Arrow-backed frames lands in one pandas kernel (here
+    ``pd.merge_asof``, matching every purchase to the user's last
+    at-or-before click).  This is the extension point for per-key logic
+    that needs both sides at once (custom as-of variants, per-entity
+    reconciliation) when the relational lowering (q19's join + window) is
+    too rigid.  Contract at 100 TB: one shuffle per side, kernel memory
+    bounded by the largest single key group — same bound as any cogroup.
+    The DuckDB ASOF LEFT JOIN oracle pins the semantics row-for-row,
+    including unmatched purchases and exact-timestamp matches."""
+    import pandas as pd
+
+    # Two INDEPENDENT reads on purpose: cogrouping two frames derived from
+    # one relation shares attribute ids across the sides, and Spark's
+    # relation-dedup then mis-maps the right side's Arrow arg offsets in the
+    # Python worker (right frame arrives with only the grouping column on a
+    # default-conf session).  Fresh lineage per side sidesteps it.
+    purchases = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+    clicks = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id")
+
+    def merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(
+                columns=["user_id", "purchase_id", "click_id", "purchase_value"]
+            )
+        p = p.sort_values(["ts", "event_id"])
+        c = (
+            c.sort_values(["ts", "event_id"])
+            .rename(columns={"event_id": "click_id"})[["ts", "click_id"]]
+        )
+        m = pd.merge_asof(p, c, on="ts", direction="backward")
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "purchase_id": m["event_id"],
+                "click_id": m["click_id"].astype("Int64"),
+                "purchase_value": m["value"].round(2),
+            }
+        )
+
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, purchase_id long, click_id long, "
+            "purchase_value double",
+        )
+    )
+    return out.orderBy("purchase_id")
