@@ -489,3 +489,43 @@ def test_w07_dynamic_overwrite_leaves_other_partitions_untouched(spark, tmp_path
     assert back.filter("part = 'p0'").count() == 2
     assert back.filter("part != 'p0'").count() == 200
     assert back.filter("part = 'p0'").agg({"v": "sum"}).first()[0] == -3.0
+
+
+def test_w08_merge_on_read_equals_compacted_rewrite(spark, tmp_path):
+    """The merge-on-read served view (base ⟕̸ delete-log anti join) must be
+    row-identical to the copy-on-write rewrite (filtered base), and the
+    anti join must broadcast the delete log (the base side never shuffles)."""
+    from pyspark.sql import functions as F
+
+    base_loc = str(tmp_path / "base")
+    del_loc = str(tmp_path / "dels")
+    df = spark.range(10_000).selectExpr("id", "id % 97 AS g", "CAST(id AS DOUBLE) AS v")
+    df.write.parquet(base_loc)
+    df.filter("id % 7 = 0").select("id").write.parquet(del_loc)
+
+    base = spark.read.parquet(base_loc)
+    dels = spark.read.parquet(del_loc)
+    served = base.join(F.broadcast(dels), on="id", how="left_anti")
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    cow_loc = str(tmp_path / "rewritten")
+    served.write.parquet(cow_loc)  # compaction folds the log in
+    back = spark.read.parquet(cow_loc)
+    assert back.count() == served.count() == 10_000 - len(range(0, 10_000, 7))
+    assert back.exceptAll(served).count() == 0
+    assert served.exceptAll(back).count() == 0
+
+
+def test_w09_snapshot_versions_and_latest(spark, tmp_path):
+    """snapshot_write must assign increasing versions, keep every version
+    readable, and resolve _LATEST to the newest commit."""
+    from worker_etl_spark.sinks.writer import read_snapshot, snapshot_write
+
+    wh = str(tmp_path)
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    assert snapshot_write(df, wh, "ds", "t") == 1
+    assert snapshot_write(df.filter("id < 40"), wh, "ds", "t") == 2
+    assert read_snapshot(spark, wh, "ds", "t", version=1).count() == 100
+    assert read_snapshot(spark, wh, "ds", "t", version=2).count() == 40
+    assert read_snapshot(spark, wh, "ds", "t").count() == 40  # _LATEST → v2

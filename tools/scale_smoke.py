@@ -122,6 +122,13 @@ SMOKE_QUERIES = [
     "p06_dataset_card",      # one-scan per-source card
     "evt05_stream_dedup",    # keyed dedup of a redelivered union
     "m07_audio_energy",      # Arrow binary → numpy windowed energy
+    # round 5
+    "q50_scd2_dimension",    # two stacked windows, one shuffle on the key
+    "q51_last_touch_attribution",  # IGNORE-NULLS carry-forward window
+    "q52_rollup_merge",      # algebraic partials → merge (two-level agg)
+    "q53_cogroup_asof",      # cogrouped applyInPandas merge_asof kernel
+    "t13_word_entropy",      # explode → two shrinking hash aggregates
+    "w06_zorder_layout",     # Morton clustering write + 2-D pruned read
 ]
 
 #: dedup growth ladder: d07/d10 re-run on documents-only corpora at these

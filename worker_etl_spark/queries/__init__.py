@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "q50_scd2_dimension", "q51_last_touch_attribution", "t13_word_entropy",
     "w06_zorder_layout", "w07_dynamic_partition_overwrite",
     "evt07_backfill_available_now", "q52_rollup_merge", "q53_cogroup_asof",
+    "w08_merge_on_read_delete", "w09_snapshot_time_travel",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -872,3 +872,90 @@ def w07_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- w08: merge-on-read row-level delete (deletion-vector pattern) -----------
+@register(
+    "w08_merge_on_read_delete",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def w08_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete without rewriting the table — the merge-on-read
+    deletion-vector pattern (Delta DVs / Iceberg position deletes, public
+    designs): deletes land as a tiny key log beside the immutable base
+    files, and the serving read applies them as a BROADCAST left-anti join
+    (the delete set is always orders of magnitude smaller than the base,
+    so the base never shuffles and the scan stays pushdown/pruning-
+    friendly).  A GDPR erasure or bad-batch retraction on a 100 TB table
+    costs one small write, not a rewrite; compaction (w03) folds the log
+    in later — tests/test_sources_sinks.py asserts compact(MoR) row-sets
+    equal the merge-on-read view, and the plan test pins the broadcast.
+    The oracle states the post-delete table directly."""
+    o = read_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="w08_")
+    base_loc = os.path.join(tmp, "orders_base")
+    del_loc = os.path.join(tmp, "orders_deletes")
+    o.write.mode("overwrite").parquet(base_loc)
+    # the "erasure request": every 7th order key, written as a key-only log
+    o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(del_loc)
+
+    base = spark.read.parquet(base_loc)
+    deletes = spark.read.parquet(del_loc)
+    served = base.join(F.broadcast(deletes), on="o_orderkey", how="left_anti")
+    return (
+        served.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- w09: snapshot isolation + time travel -----------------------------------
+@register(
+    "w09_snapshot_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def w09_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on the warehouse: version 1 (the
+    full load) stays readable AFTER version 2 (an erasure rewrite) commits,
+    because ``snapshot_write`` lands each version in its own immutable
+    directory and flips a one-line ``_LATEST`` manifest with an atomic
+    rename as the commit point — the essential two-phase shape of public
+    snapshot log designs (Delta/Iceberg).  The query returns the
+    v1 aggregate read back THROUGH the snapshot API after v2 committed;
+    the oracle states v1 (= the source table) directly.  Readers pinned to
+    a version get repeatable results while writers commit — the audit /
+    reproducible-training-run requirement at 100 TB.  Latest-resolution
+    and v1≠v2 are asserted in tests/test_sources_sinks.py."""
+    from worker_etl_spark.sinks.writer import read_snapshot, snapshot_write
+
+    o = read_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="w09_")
+    v1 = snapshot_write(o, tmp, "lake", "orders")
+    snapshot_write(o.filter(~(F.col("o_orderkey") % 7 == 0)), tmp, "lake", "orders")
+    old = read_snapshot(spark, tmp, "lake", "orders", version=v1)
+    return (
+        old.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

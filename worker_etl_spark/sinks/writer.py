@@ -214,3 +214,40 @@ def compact_files(
     fs.delete(hpath(old), True)
     _, files_after = _scan(location)
     return location, files_before, files_after
+
+
+def snapshot_write(
+    df: "DataFrame", warehouse_root: str, dataset: str, table: str
+) -> int:
+    """Versioned append-only commit: data lands in ``<table>/_v<N>/`` and a
+    one-line ``_LATEST`` manifest is replaced LAST (the commit point, an
+    atomic rename) — so readers never observe a half-written version and
+    every historical version stays readable (time travel), the public
+    snapshot-isolation design of Delta/Iceberg logs reduced to its
+    essential two-phase shape.  Old versions are immutable; retention
+    (vacuum) is the caller's policy.  Returns the committed version."""
+    location = os.path.join(warehouse_root, dataset, table)
+    os.makedirs(location, exist_ok=True)
+    existing = [
+        int(d[2:])
+        for d in os.listdir(location)
+        if d.startswith("_v") and d[2:].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(location, f"_v{version}"))
+    tmp = os.path.join(location, "_LATEST.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(location, "_LATEST"))
+    return version
+
+
+def read_snapshot(
+    spark, warehouse_root: str, dataset: str, table: str, version: int | None = None
+):
+    """Read a committed snapshot; ``version=None`` resolves ``_LATEST``."""
+    location = os.path.join(warehouse_root, dataset, table)
+    if version is None:
+        with open(os.path.join(location, "_LATEST"), encoding="utf-8") as fh:
+            version = int(fh.read().strip())
+    return spark.read.parquet(os.path.join(location, f"_v{version}"))
