@@ -2077,7 +2077,10 @@ def q51_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(count(*) AS BIGINT)             AS n_events,
            round(sum(c) / 100.0, 2)             AS total_value,
-           round(sum(c) / 100.0 / count(*), 4)  AS avg_value,
+           -- integer-space average truncated at 1e-4: (sum·100) // n is exact
+           -- BIGINT arithmetic in both engines, so no float tie can flip the
+           -- 4th decimal (round(sum/100.0/n, 4) did, at x.xxxx5 boundaries)
+           CAST((sum(c) * 100) // count(*) AS BIGINT) / 10000.0 AS avg_value,
            round(min(c) / 100.0, 2)             AS min_value,
            round(max(c) / 100.0, 2)             AS max_value
     FROM cents
@@ -2131,7 +2134,14 @@ def q52_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("cnt").alias("n_events"),
             F.round(F.sum("sum_c") / 100.0, 2).alias("total_value"),
-            F.round(F.sum("sum_c") / 100.0 / F.sum("cnt"), 4).alias("avg_value"),
+            # avg derived from (sum, count) partials in EXACT integer space:
+            # (sum_cents·100) div n truncates at 1e-4, so Spark and the oracle
+            # compute the identical BIGINT (a float division + round(…, 4)
+            # flipped on the x.xxxx5 tie: BigDecimal shortest-repr HALF_UP vs
+            # binary-double rounding disagree there)
+            (F.expr("(sum(sum_c) * 100) div sum(cnt)").cast("long") / 10000.0).alias(
+                "avg_value"
+            ),
             F.round(F.min("min_c") / 100.0, 2).alias("min_value"),
             F.round(F.max("max_c") / 100.0, 2).alias("max_value"),
         )
