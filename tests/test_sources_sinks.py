@@ -529,3 +529,29 @@ def test_w09_snapshot_versions_and_latest(spark, tmp_path):
     assert read_snapshot(spark, wh, "ds", "t", version=1).count() == 100
     assert read_snapshot(spark, wh, "ds", "t", version=2).count() == 40
     assert read_snapshot(spark, wh, "ds", "t").count() == 40  # _LATEST → v2
+
+
+def test_w10_manifest_prunes_files(spark):
+    """The manifest must hand the serving query a strict subset of the
+    clustered files for a narrow time range, and the selected spans must
+    cover the predicate range."""
+    import datetime as dt
+
+    from worker_etl_spark.queries.sources_q import (
+        _W10_HI,
+        _W10_LO,
+        _w10_layout,
+    )
+
+    loc, manifest = _w10_layout(spark, "/root/testdata/sf0.001")
+    rows = manifest.collect()
+    assert len(rows) > 1  # layout actually produced multiple files
+    lo = dt.datetime.fromisoformat(_W10_LO)
+    hi = dt.datetime.fromisoformat(_W10_HI)
+    picked = [r for r in rows if r.min_ts < hi and r.max_ts >= lo]
+    # pruning is real: the 5-day window of a 30-day corpus skips files
+    assert 0 < len(picked) < len(rows)
+    # survivor spans jointly cover the predicate window (no false negative:
+    # every event in range lives in a picked file because files partition ts)
+    assert min(r.min_ts for r in picked) <= lo
+    assert max(r.max_ts for r in picked) >= hi - dt.timedelta(microseconds=1)

@@ -93,6 +93,10 @@ _PRIORITY: list[str] = [
     "w06_zorder_layout", "w07_dynamic_partition_overwrite",
     "evt07_backfill_available_now", "q52_rollup_merge", "q53_cogroup_asof",
     "w08_merge_on_read_delete", "w09_snapshot_time_travel",
+    # new in round 6
+    "q54_pagerank_transitions", "q55_calendar_gapfill", "q56_mad_anomalies",
+    "q57_market_share", "t14_substring_dup_share", "p07_per_source_cap",
+    "i10_drift_psi", "src10_fixed_width_ingest", "w10_manifest_pruning",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -508,3 +508,71 @@ def p06_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- p07: per-source document cap (domain-cap sampling) ------------------------
+_CAP_K = 10  # max docs kept per source (the per-domain cap knob)
+
+
+@register(
+    "p07_per_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(count(*) FILTER (WHERE rk <= {_CAP_K}) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rk > {_CAP_K}) AS BIGINT)  AS n_dropped,
+           CAST(sum(n_chars) FILTER (WHERE rk <= {_CAP_K}) AS BIGINT)
+                                                             AS kept_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def p07_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the per-domain cap every web-scale curation
+    recipe applies so one mega-domain can't dominate the training mixture:
+    keep at most K docs per source, chosen by a DETERMINISTIC pseudo-random
+    order (md5 of source:doc_id) so the sample is reproducible across runs
+    and engines, unlike rand()-based sampling.
+
+    Scale shape: one shuffle on source for the ranking window, one source-
+    grain aggregate.  A skewed mega-source serializes its own partition —
+    the documented mitigation at 100 TB is pre-filtering with an
+    approximate per-source count and only ranking sources over the cap
+    (the under-cap majority passes through untouched); the rank itself
+    never needs global order.  No reference counterpart (SURVEY.md §2)."""
+    from pyspark.sql.window import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("rk") <= _CAP_K, 1)).alias("n_kept"),
+            F.count(F.when(F.col("rk") > _CAP_K, 1)).alias("n_dropped"),
+            F.sum(F.when(F.col("rk") <= _CAP_K, F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            F.col("kept_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

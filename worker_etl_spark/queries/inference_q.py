@@ -493,3 +493,96 @@ def i09_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- i10: distribution-drift detection (PSI over fixed price bins) -------------
+_PSI_BIN_W = 50_000   # fixed o_totalprice bin width (price range ≈ 0–500k);
+_PSI_BINS = 10        # fixed boundaries, NOT quantiles — keeps binning exact
+_PSI_SMOOTH = 1       # Laplace add-one so empty bins never hit ln(0)
+
+
+@register(
+    "i10_drift_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT o_orderkey % 2 AS split,
+             least(CAST(floor(o_totalprice / {_PSI_BIN_W}) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin
+      FROM orders
+    ),
+    counts AS (
+      SELECT bin,
+             count(*) FILTER (WHERE split = 0) AS n_a,
+             count(*) FILTER (WHERE split = 1) AS n_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM counts),
+    probs AS (
+      SELECT bin, n_a, n_b,
+             (n_a + {_PSI_SMOOTH}) / CAST(t_a + {_PSI_BINS * _PSI_SMOOTH} AS DOUBLE) AS p_a,
+             (n_b + {_PSI_SMOOTH}) / CAST(t_b + {_PSI_BINS * _PSI_SMOOTH} AS DOUBLE) AS p_b
+      FROM counts, tot
+    )
+    SELECT bin,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(p_a, 6) AS p_a,
+           round(p_b, 6) AS p_b,
+           round((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term
+    FROM probs ORDER BY bin
+    """,
+)
+def i10_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check between two halves of the
+    orders feed (the ingest-monitoring primitive that catches a schema-
+    compatible but DISTRIBUTION-shifted upstream change before it poisons a
+    training run).  Bins are FIXED price intervals, not quantiles — so
+    binning is exact integer arithmetic and the two engines can't disagree
+    on bin edges; add-one smoothing keeps ln() defined on empty bins.  The
+    per-bin PSI term (p_a − p_b)·ln(p_a/p_b) is emitted per bin (Σ over the
+    output is the headline PSI).
+
+    Scale shape: one scan → one |bins|-key aggregate (map-side combined) —
+    counts are the only thing shuffled; probabilities and logs happen on
+    |bins| rows.  The split here is a deterministic orderkey parity so the
+    oracle can replay it; in production it is yesterday's batch vs today's.
+    No reference counterpart (driver-mandated extension, SURVEY.md §2)."""
+    o = read_table(spark, sf_dir, "orders")
+    binned = o.select(
+        (F.col("o_orderkey") % 2).alias("split"),
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("long"),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("split") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("split") == 1, 1)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        (
+            (F.col("n_a") + _PSI_SMOOTH)
+            / (F.col("t_a") + _PSI_BINS * _PSI_SMOOTH).cast("double")
+        ).alias("p_a"),
+        (
+            (F.col("n_b") + _PSI_SMOOTH)
+            / (F.col("t_b") + _PSI_BINS * _PSI_SMOOTH).cast("double")
+        ).alias("p_b"),
+    )
+    return probs.select(
+        "bin",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        F.round(
+            (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b")),
+            6,
+        ).alias("psi_term"),
+    ).orderBy("bin")

@@ -2220,3 +2220,379 @@ def q53_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("purchase_id")
+
+
+# --- q54: PageRank over the event-type transition graph (fixed-point exact) ----
+_PR_SCALE = 1_000_000_000  # rank fixed point: 1e9 ≙ probability 1.0
+_PR_D_NUM, _PR_D_DEN = 85, 100  # damping 0.85 as an exact integer ratio
+
+
+@register(
+    "q54_pagerank_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    edges AS (
+      SELECT prev, cur, count(*) AS cnt FROM seq
+      WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    outdeg AS (SELECT prev, sum(cnt) AS od FROM edges GROUP BY prev),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    n_nodes AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(CAST({_PR_SCALE} AS BIGINT) // (SELECT n FROM n_nodes) AS BIGINT) AS r
+           FROM nodes),
+    c1 AS (
+      SELECT e.cur AS node, sum((r0.r * e.cnt) // o.od) AS s
+      FROM edges e JOIN r0 ON e.prev = r0.node JOIN outdeg o ON e.prev = o.prev
+      GROUP BY e.cur
+    ),
+    r1 AS (
+      SELECT n.node,
+             CAST((CAST({_PR_SCALE} AS BIGINT) - CAST({_PR_SCALE} AS BIGINT) * {_PR_D_NUM} // {_PR_D_DEN})
+                    // (SELECT n FROM n_nodes)
+                  + (coalesce(c1.s, 0) * {_PR_D_NUM}) // {_PR_D_DEN}
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+    ),
+    c2 AS (
+      SELECT e.cur AS node, sum((r1.r * e.cnt) // o.od) AS s
+      FROM edges e JOIN r1 ON e.prev = r1.node JOIN outdeg o ON e.prev = o.prev
+      GROUP BY e.cur
+    ),
+    r2 AS (
+      SELECT n.node,
+             CAST((CAST({_PR_SCALE} AS BIGINT) - CAST({_PR_SCALE} AS BIGINT) * {_PR_D_NUM} // {_PR_D_DEN})
+                    // (SELECT n FROM n_nodes)
+                  + (coalesce(c2.s, 0) * {_PR_D_NUM}) // {_PR_D_DEN}
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+    )
+    SELECT node, r AS rank_scaled, r / {_PR_SCALE}.0 AS rank
+    FROM r2 ORDER BY rank_scaled DESC, node
+    """,
+)
+def q54_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph — the iterative
+    graph-analytics shape (two unrolled power iterations, damping 0.85) under
+    the exact hash gate: ranks live as BIGINT fixed point at 1e9 scale and
+    every per-edge contribution is truncating integer arithmetic
+    ``(r·cnt) div outdeg``, so Spark and the oracle compute bit-identical
+    ranks (a float PageRank would drift in summation order).
+
+    Scale shape: the heavy stage is edge EXTRACTION — one window over
+    (user, ts) and one (prev, cur) aggregate, both on the full event stream.
+    The iterations themselves run on the contracted *type-graph* (|V| =
+    #event types, |E| ≤ |V|²), so each power step is a joins-over-tiny-frames
+    plan regardless of corpus size; at 100 TB nothing but the first two
+    shuffles touches event-scale data.  Dangling mass (outdeg-0 nodes) is
+    dropped, the standard simplification — documented, and absent here since
+    every type both precedes and follows others.
+    No reference counterpart (driver-mandated extension, SURVEY.md §2)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    edges = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outdeg = edges.groupBy("prev").agg(F.sum("cnt").alias("od"))
+    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    # The contracted graph is |event types|² at most — persist so the two
+    # unrolled iterations don't re-run the event-scale window + aggregate.
+    edges = edges.join(outdeg, "prev").persist()
+    n_nodes = nodes.count()  # tiny (#event types); drives the exact teleport
+    teleport = (_PR_SCALE - _PR_SCALE * _PR_D_NUM // _PR_D_DEN) // n_nodes
+
+    ranks = nodes.withColumn("r", F.lit(_PR_SCALE // n_nodes).cast("long"))
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "prev"), "prev")
+            .select("cur", F.expr("(r * cnt) div od").alias("c"))
+            .groupBy("cur")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.cur, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"(coalesce(s, 0) * {_PR_D_NUM}) div {_PR_D_DEN}")
+                ).cast("long").alias("r"),
+            )
+        )
+    out = ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(_PR_SCALE))).alias("rank"),
+    ).orderBy(F.desc("rank_scaled"), "node")
+    return out
+
+
+# --- q55: calendar-spine gap fill with carry-forward ---------------------------
+_GAP_MIN_VALUE = 250.0  # high-value purchases only → sparse daily series
+
+
+@register(
+    "q55_calendar_gapfill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS rev,
+             count(*) AS n
+      FROM events
+      WHERE event_type = 'purchase' AND value > {_GAP_MIN_VALUE}
+      GROUP BY 1
+    ),
+    bounds AS (
+      SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           d.rev                        AS rev,
+           coalesce(last_value(d.rev IGNORE NULLS) OVER (
+             ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0)                      AS filled_rev,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_sales,
+           (d.rev IS NULL)              AS is_gap
+    FROM spine s LEFT JOIN daily d USING (day)
+    ORDER BY s.day
+    """,
+)
+def q55_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling — the time-series serving primitive the
+    events table needs before charting/joining at day grain: generate the
+    full day spine between the corpus bounds (``sequence`` — no driver loop),
+    left-join the sparse high-value-purchase daily revenue onto it, and
+    carry the last observed value forward across gaps with
+    ``last(..., ignorenulls)`` over a running frame.
+
+    Scale shape: the daily aggregate is the only event-scale stage (one
+    shuffle, map-side combined).  The spine is |days| rows — thousands at a
+    century of data — so the single-partition ordered window over it is a
+    deliberate, bounded serialization (document axis: days, not events); the
+    left join broadcasts the daily aggregate when small or shuffles |days|
+    rows at worst.  No reference counterpart (driver-mandated extension)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > _GAP_MIN_VALUE)
+        )
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    bounds = e.agg(
+        F.to_date(F.min(F.date_trunc("day", F.col("ts")))).alias("lo"),
+        F.to_date(F.max(F.date_trunc("day", F.col("ts")))).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rev",
+            F.coalesce(
+                F.last("rev", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled_rev"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_sales"),
+            F.col("rev").isNull().alias("is_gap"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- q56: robust anomaly detection via integer MAD -----------------------------
+_MAD_K = 3  # flag |value - mean| > K * mean-absolute-deviation
+
+
+@register(
+    "q56_mad_anomalies",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    mu AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(c) // count(*) AS BIGINT) AS mean_c
+      FROM cents GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, m.n, m.mean_c, abs(c.c - m.mean_c) AS d
+      FROM cents c JOIN mu m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, any_value(n) AS n, any_value(mean_c) AS mean_c,
+             CAST(sum(d) // any_value(n) AS BIGINT) AS mad_c
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(m.n AS BIGINT)                       AS n_events,
+           m.mean_c / 100.0                          AS mean_value,
+           m.mad_c / 100.0                           AS mad_value,
+           CAST(count(*) FILTER (WHERE d.d > {_MAD_K} * m.mad_c) AS BIGINT)
+                                                     AS n_anomalies,
+           max(d.d) / 100.0                          AS max_abs_dev
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.n, m.mean_c, m.mad_c
+    ORDER BY d.event_type
+    """,
+)
+def q56_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection with EXACT integer statistics:
+    center = truncated integer mean of cent-scaled values, spread = truncated
+    integer mean absolute deviation (MAD-about-mean), anomaly = deviation
+    beyond K·MAD.  Everything is BIGINT arithmetic, so the flagged-row count
+    is bit-deterministic — a stddev-based z-score would make the >K cut
+    float-fragile at the boundary (stddev algorithms differ across engines in
+    final ulps), which is why MAD is also the robust choice operationally:
+    outliers don't inflate the spread estimate the way they inflate σ.
+
+    Scale shape: the classic two-pass robust-stats plan — pass 1 computes
+    per-group (n, mean) in one map-side-combined aggregate; the 5-row result
+    broadcasts back onto the stream for pass 2's deviation aggregate.  Two
+    event-scale scans, zero event-scale shuffles beyond the two combines.
+    No reference counterpart (driver-mandated extension, SURVEY.md §2)."""
+    e = _t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    )
+    mu = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(c) div count(*)").cast("long").alias("mean_c"),
+    )
+    dev = cents.join(F.broadcast(mu), "event_type").select(
+        "event_type", "n", "mean_c", F.abs(F.col("c") - F.col("mean_c")).alias("d")
+    )
+    # One aggregate computes the MAD *and* re-streams for the >K·MAD count:
+    # mad_c depends on sum(d), so the flagged count needs a second pass over
+    # deviations — same broadcast-back shape as pass 1→2.
+    mad = dev.groupBy("event_type").agg(
+        F.first("n").alias("n2"),
+        F.first("mean_c").alias("mean_c2"),
+        F.expr("sum(d) div first(n)").cast("long").alias("mad_c"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "mean_c", "mad_c")
+        .agg(
+            F.count(F.when(F.col("d") > _MAD_K * F.col("mad_c"), 1)).alias(
+                "n_anom"
+            ),
+            F.max("d").alias("max_d"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            (F.col("mean_c") / 100.0).alias("mean_value"),
+            (F.col("mad_c") / 100.0).alias("mad_value"),
+            F.col("n_anom").cast("long").alias("n_anomalies"),
+            (F.col("max_d") / 100.0).alias("max_abs_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q57: market-share star join (TPC-H Q8 shape) ------------------------------
+@register(
+    "q57_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT year(o_orderdate) AS yr,
+             sn.n_name AS supp_nation,
+             l_extendedprice * (1 - l_discount) AS vol
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region    ON cn.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation sn ON supplier.s_nationkey = sn.n_nationkey
+      JOIN part      ON l_partkey = p_partkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END), 2)
+             AS nation_volume,
+           round(sum(vol), 2) AS total_volume,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
+                 / sum(vol), 6) AS share
+    FROM flat GROUP BY yr ORDER BY yr
+    """,
+)
+def q57_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: the 8-table star join (fact ⋈ 7
+    dimension hops, two of them the SAME nation table under different roles)
+    measuring one supplier nation's revenue share per order year inside a
+    (customer region × part type) segment.  The canonical Catalyst
+    join-reordering workout: dimension filters (r_name, p_type) must prune
+    BEFORE the fact explodes, and every dimension hop must broadcast.
+
+    Scale shape: exactly ONE fact-scale shuffle (lineitem ⋈ orders on
+    orderkey — both event-scale); customer/nation/region/supplier/part are
+    all broadcast hash joins, and the two nation roles are separate broadcast
+    copies, not a shuffle self-join.  The share division happens after the
+    year-grain aggregate (≤ |years| rows).
+    Reference ships no joins at all (SURVEY.md §2 Part B)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cn = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    flat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == cn.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            "supp_nation",
+            _disc_price().alias("vol"),
+        )
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(0.0)
+    )
+    return (
+        flat.groupBy("yr")
+        .agg(
+            F.round(nation_vol, 2).alias("nation_volume"),
+            F.round(F.sum("vol"), 2).alias("total_volume"),
+            F.round(nation_vol / F.sum("vol"), 6).alias("share"),
+        )
+        .select(
+            F.col("yr").cast("long").alias("yr"),
+            "nation_volume",
+            "total_volume",
+            "share",
+        )
+        .orderBy("yr")
+    )

@@ -959,3 +959,144 @@ def w09_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- src10: fixed-width layout ingest ----------------------------------------
+_FW_COLS = [  # (name, start 1-based, width) — the layout spec a mainframe
+    ("n_nationkey", 1, 4),    # feed ships alongside the data file
+    ("n_name", 5, 16),
+    ("n_regionkey", 21, 2),
+]
+
+
+@register(
+    "src10_fixed_width_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           n_regionkey::BIGINT AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def src10_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL/mainframe copybook) layout ingest: the oldest ETL
+    wire format still in production.  ``spark.read.text`` streams raw lines
+    (splittable, parallel over files and blocks); the layout spec turns into
+    pure ``substring``+``trim``+cast projections that whole-stage-codegen
+    fuses into the scan — no Python touches a byte.  Unlike CSV there is no
+    delimiter to sniff, so the typed contract comes straight from the spec
+    and the grid-inference tail is bypassed by design.
+
+    Scale: one narrow scan, no shuffle at all until a downstream consumer
+    aggregates; a 100 TB fixed-width drop parallelizes by HDFS/S3 block.
+    Reference routes only csv/xlsx/parquet (`etl.py:515-529`) — this is the
+    extension a legacy-heavy shop needs first."""
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src10_")
+    path = os.path.join(tmp, "nation.dat")
+    with open(path, "w") as fh:
+        for r in n:
+            fh.write(f"{r.n_nationkey:>4d}{r.n_name:<16s}{r.n_regionkey:>2d}\n")
+    lines = spark.read.text(path)
+    cols = [
+        F.trim(F.substring(F.col("value"), start, width)).alias(name)
+        for name, start, width in _FW_COLS
+    ]
+    return (
+        lines.select(*cols)
+        .select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# --- w10: manifest-driven file pruning (lake-format data skipping) ------------
+_W10_FILES = 8
+_W10_LO, _W10_HI = "2024-01-10", "2024-01-15"
+
+
+def _w10_layout(spark: SparkSession, sf_dir: str) -> tuple[str, "DataFrame"]:
+    """Range-cluster events into files and build the per-file min/max
+    manifest from the parquet FOOTERS (no second data scan)."""
+    import pyarrow.parquet as pq
+
+    e = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="w10_")
+    loc = os.path.join(tmp, "events_clustered")
+    (
+        e.repartitionByRange(_W10_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(loc)
+    )
+    rows = []
+    for fn in os.listdir(loc):
+        if not fn.endswith(".parquet"):
+            continue
+        fp = os.path.join(loc, fn)
+        md = pq.ParquetFile(fp).metadata
+        ts_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ts_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        rows.append((fp, min(mins), max(maxs), md.num_rows))
+    manifest = spark.createDataFrame(
+        rows, "path string, min_ts timestamp, max_ts timestamp, n_rows long"
+    )
+    man_loc = os.path.join(tmp, "manifest")
+    manifest.write.mode("overwrite").parquet(man_loc)
+    return loc, spark.read.parquet(man_loc)
+
+
+@register(
+    "w10_manifest_pruning",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_W10_LO}' AND ts < TIMESTAMP '{_W10_HI}'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def w10_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven FILE pruning — the lake-format (Iceberg/Delta manifest
+    list, public designs) skipping layer ABOVE parquet row-group stats
+    (w05): writes range-clustered event files, derives a per-file
+    (min_ts, max_ts, rows) manifest from the footers alone, and the serving
+    query consults the manifest FIRST, handing Spark only the files whose
+    span intersects the predicate — the planner never even lists the pruned
+    files.  The residual filter still runs on the survivors (file spans
+    overlap at the boundaries).
+
+    Scale: the manifest is |files| rows (thousands at 100 TB, KBs of
+    parquet) — reading it costs nothing compared to opening 100 TB of
+    footers; that's exactly why every table format materializes one.
+    ``tests/test_sources_sinks.py`` asserts the query touches a strict
+    subset of the files."""
+    loc, manifest = _w10_layout(spark, sf_dir)
+    lo, hi = (F.lit(_W10_LO).cast("timestamp"), F.lit(_W10_HI).cast("timestamp"))
+    picked = [
+        r.path
+        for r in manifest.filter(
+            (F.col("min_ts") < hi) & (F.col("max_ts") >= lo)
+        ).collect()  # |files|-sized — the manifest IS driver-sized metadata
+    ]
+    served = spark.read.parquet(*picked) if picked else spark.read.parquet(loc)
+    return (
+        served.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("event_type", F.col("n").cast("long").alias("n"), "total_value")
+        .orderBy("event_type")
+    )

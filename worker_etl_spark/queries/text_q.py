@@ -875,3 +875,105 @@ def t13_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- t14: duplicated-substring share (exact corpus-level substring dedup) -----
+_SUB_N = 12       # word n-gram width ≈ the 50-token windows of the public
+                  # exact-substring dedup recipe, scaled to this corpus's
+                  # short docs (Lee et al. 2021, "Deduplicating Training Data
+                  # Makes Language Models Better" — public method, own code)
+_SUB_FLAG = 0.5   # flag docs with more than half their windows duplicated
+
+
+@register(
+    "t14_substring_dup_share",
+    headline=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens(sql_norm_text('text'))} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, {sql_hex_int('g')} AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {_SUB_N - 2}),
+                      i -> array_to_string(toks[i:i+{_SUB_N - 1}], ' '))) AS g
+        FROM toks WHERE len(toks) >= {_SUB_N}
+      )
+    ),
+    shared AS (
+      SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             count(*)                              AS n_grams,
+             count(s.h)                            AS n_dup
+      FROM grams g LEFT JOIN shared s USING (h)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_dup AS BIGINT)   AS n_dup_grams,
+           round(n_dup / CAST(n_grams AS DOUBLE), 6) AS dup_share,
+           (n_dup > {_SUB_FLAG} * n_grams)           AS flagged
+    FROM per_doc
+    ORDER BY dup_share DESC, doc_id LIMIT 20
+    """,
+)
+def t14_substring_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup signal (the public exact-substring recipe
+    at word-window grain): for every document, the share of its distinct
+    word-12-gram windows that also occur in at least one OTHER document —
+    the quantity a substring-dedup pass thresholds to cut boilerplate and
+    templated spans that survive whole-doc dedup (d01) and near-dup (d05).
+    Since each doc's grams are DISTINCT first, "duplicated" reduces to
+    gram-frequency ≥ 2 corpus-wide.
+
+    Scale shape: explode → per-doc distinct (shuffle 1, on (doc, h)) →
+    gram-frequency HAVING ≥2 (shuffle 2, on h, map-side combined) → equi
+    join back on h (co-partitioned with shuffle 2) → per-doc counts
+    (shuffle 3, doc-grain rows only).  No all-pairs stage anywhere: cost is
+    linear in total gram volume, the same shape the public recipe runs at
+    trillion-token scale.  No reference counterpart (SURVEY.md §2 Part B)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= _SUB_N)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SUB_N - 1}),"
+                f" i -> array_join(slice(toks, i, {_SUB_N}), ' '))"
+            )
+        ).alias("g"),
+    ).select("doc_id", hex_int(F.col("g")).alias("h")).distinct()
+    shared = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    per_doc = (
+        grams.join(shared.select("h"), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_share"),
+            (
+                F.coalesce(F.col("n_dup"), F.lit(0))
+                > _SUB_FLAG * F.col("n_grams")
+            ).alias("flagged"),
+        )
+        .orderBy(F.desc("dup_share"), "doc_id")
+        .limit(20)
+    )
