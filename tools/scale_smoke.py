@@ -129,6 +129,13 @@ SMOKE_QUERIES = [
     "q53_cogroup_asof",      # cogrouped applyInPandas merge_asof kernel
     "t13_word_entropy",      # explode → two shrinking hash aggregates
     "w06_zorder_layout",     # Morton clustering write + 2-D pruned read
+    # round 6
+    "q54_pagerank_transitions",  # event-scale edge extraction + tiny-graph iters
+    "q56_mad_anomalies",     # two-pass broadcast-back integer stats
+    "q57_market_share",      # 8-table star join, one fact shuffle
+    "t14_substring_dup_share",  # gram-frequency semi-join, no all-pairs
+    "p07_per_source_cap",    # per-source rank window
+    "i10_drift_psi",         # |bins|-key counting aggregate
 ]
 
 #: dedup growth ladder: d07/d10 re-run on documents-only corpora at these

@@ -226,7 +226,15 @@ def _counter_scan(
             yield pd.DataFrame(out)
 
     schema = "col string, total long, " + ", ".join(f"{f} long" for f in fams)
-    partial = df.select(*[F.col(f"`{c}`") for c in cols]).mapInPandas(kernel, schema=schema)
+    from worker_etl_spark.sources.tables import spread
+
+    # spread(): a single-row-group/one-object source gives the scan ONE
+    # split, serializing the whole Arrow kernel on one worker; at real
+    # scale (many splits) this is a no-op and the map-shape claim above
+    # holds unchanged.
+    partial = spread(df.select(*[F.col(f"`{c}`") for c in cols])).mapInPandas(
+        kernel, schema=schema
+    )
     agg = partial.groupBy("col").agg(
         F.sum("total").alias("total"), *[F.sum(f).alias(f) for f in fams]
     )

@@ -42,7 +42,7 @@ from worker_etl_spark.functions.text import (
 )
 from worker_etl_spark.functions.vectors import dot, norm, sql_dot, sql_norm
 from worker_etl_spark.queries import register
-from worker_etl_spark.sources.tables import read_table
+from worker_etl_spark.sources.tables import read_table, spread
 
 # --- deterministic MinHash permutation constants ----------------------------
 # (a*h + b) mod P over the 32-bit shingle hash; generated once from a fixed
@@ -112,8 +112,13 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     d = read_table(spark, sf_dir, "documents")
-    n = d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
-        F.length("norm") >= _SHINGLE_W
+    # spread(): the corpus may arrive as one small object (one input split);
+    # shingle hashing is the family's dominant compute, so buy scan-stage
+    # parallelism with one cheap shuffle of the raw text (no-op at scale).
+    n = spread(
+        d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
+            F.length("norm") >= _SHINGLE_W
+        )
     )
     df = (
         n.select(
@@ -266,8 +271,11 @@ _SQL_SIMHASH_CTES = f"""tok AS (
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 60-bit sign-aggregated token-hash fingerprint."""
     d = read_table(spark, sf_dir, "documents")
+    # spread(): tokenize+hash is scan-fused; widen a single-split source
+    # before the heavy projection (no-op when splits are plentiful).
     tok = (
-        d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("t"))
+        spread(d.select("doc_id", norm_text(F.col("text")).alias("nt")))
+        .select("doc_id", F.explode(tokens(F.col("nt"))).alias("t"))
         .distinct()
         .select("doc_id", hex_int(F.col("t"), 15).alias("h"))
     )

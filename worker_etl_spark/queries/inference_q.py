@@ -414,9 +414,14 @@ def i08_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     free.  ~2× faster than the planner's expand-based multi-distinct for
     the same answer.  The oracle restates each column's profile
     independently with UNION ALL."""
+    from worker_etl_spark.sources.tables import spread
+
     l = read_table(spark, sf_dir, "lineitem")
-    stringified = l.select(
-        *[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS]
+    # spread(): the Expand multiplies rows ×|columns| INSIDE the scan stage,
+    # so a single-split source serializes the melt + map-side combine on one
+    # core; widen first (no-op when the source has real splits).
+    stringified = spread(
+        l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])
     )
     melted = stringified.unpivot(
         ids=[], values=_LINEITEM_COLS,

@@ -33,7 +33,7 @@ from worker_etl_spark.functions.text import (
     tokens,
 )
 from worker_etl_spark.queries import register
-from worker_etl_spark.sources.tables import read_table
+from worker_etl_spark.sources.tables import read_table, spread
 
 
 # --- t01: token counting → per-language stats --------------------------------
@@ -196,8 +196,13 @@ _SHINGLE = 8  # char-gram width for the rolling min-hash fingerprint
 )
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    norm = d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
-        F.length("norm") >= _SHINGLE
+    # spread(): one-object corpora give the scan a single split; the shingle
+    # explode+hash below is the heavy stage, so widen before it (no-op when
+    # the source already has enough splits).
+    norm = spread(
+        d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
+            F.length("norm") >= _SHINGLE
+        )
     )
     # Explode shingle start positions, hash each char-gram, min per doc.
     # The min is computed with map-side partial aggregation, so the shuffle
@@ -262,7 +267,9 @@ def t05_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores round to 6 dp before ranking with a term tiebreak, so the top-3
     cut is cross-engine stable."""
     d = read_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens(norm_text(F.col("text")))).alias("term"))
+    tok = spread(d.select("doc_id", norm_text(F.col("text")).alias("nt"))).select(
+        "doc_id", F.explode(tokens(F.col("nt"))).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.select(F.countDistinct("doc_id").alias("n_docs"))
@@ -592,7 +599,7 @@ def t10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only full-volume shuffle in the plan is none at all.
     No reference counterpart (driver-mandated extension, SURVEY.md §2)."""
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens(norm_text(F.col("text"))).alias("toks"))
+    toks = spread(d.select("doc_id", tokens(norm_text(F.col("text"))).alias("toks")))
 
     def grams(df, doc_alias):
         return (
@@ -935,9 +942,11 @@ def t14_substring_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in total gram volume, the same shape the public recipe runs at
     trillion-token scale.  No reference counterpart (SURVEY.md §2 Part B)."""
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
-    ).filter(F.size("toks") >= _SUB_N)
+    toks = spread(
+        d.select("doc_id", tokens(norm_text(F.col("text"))).alias("toks")).filter(
+            F.size("toks") >= _SUB_N
+        )
+    )
     grams = toks.select(
         "doc_id",
         F.explode(

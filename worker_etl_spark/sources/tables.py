@@ -43,3 +43,21 @@ def read_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
             out[name] = read_table(spark, sf_dir, name)
     return out
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise scan-stage parallelism when the source supplies too few splits.
+
+    A single-row-group parquet file (or a gzip object, or one small upload)
+    yields ONE input split, so any heavy per-row compute fused into the scan
+    stage — Arrow counter kernels, shingle hashing, regex tokenization —
+    serializes on one core while the rest of the executor idles.  This
+    helper repartitions up to the session's default parallelism ONLY when
+    the plan has fewer partitions; at real scale (100 TB = thousands of
+    splits) it is a no-op and no shuffle is added.  The shuffle it does add
+    locally moves the raw column once — always cheaper than a 32× idle
+    compute stage."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
