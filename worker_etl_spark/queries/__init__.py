@@ -97,6 +97,8 @@ _PRIORITY: list[str] = [
     "q54_pagerank_transitions", "q55_calendar_gapfill", "q56_mad_anomalies",
     "q57_market_share", "t14_substring_dup_share", "p07_per_source_cap",
     "i10_drift_psi", "src10_fixed_width_ingest", "w10_manifest_pruning",
+    "q58_supplier_hierarchy", "q59_peak_trailing_spend",
+    "i11_constraint_audit", "p08_curriculum_buckets",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

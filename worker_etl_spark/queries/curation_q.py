@@ -576,3 +576,67 @@ def p07_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- p08: curriculum difficulty buckets (ntile) --------------------------------
+_CURR_BUCKETS = 5
+
+
+@register(
+    "p08_curriculum_buckets",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars, lang,
+             ntile({_CURR_BUCKETS}) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(min(n_chars) AS BIGINT)    AS min_chars,
+           CAST(max(n_chars) AS BIGINT)    AS max_chars,
+           CAST(sum(n_chars) AS BIGINT)    AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+)
+def p08_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning difficulty buckets: ``ntile`` splits the corpus
+    into equal-population tiers along a deterministic total order (doc
+    length, doc_id tiebreak so the tile cut can't flip cross-engine) — the
+    easy→hard schedule a curriculum trainer consumes, and the missing
+    member of the rank-function family (q32 covers rank/dense_rank/
+    percent_rank; ntile's equal-COUNT buckets differ from i10's fixed-WIDTH
+    bins).
+
+    Scale note: a global ntile is a single total order — the documented
+    serialization axis.  At 100 TB the same schedule is produced scalably by
+    rank()/count() arithmetic over a range-partitioned sort
+    (``repartitionByRange`` + ``sortWithinPartitions``), which w05 already
+    demonstrates; the operator semantics checked here are identical.
+    No reference counterpart (SURVEY.md §2 Part B)."""
+    from pyspark.sql.window import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    w = W.orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id", "n_chars", "lang", F.ntile(_CURR_BUCKETS).over(w).alias("bucket")
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            "bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("min_chars").cast("long").alias("min_chars"),
+            F.col("max_chars").cast("long").alias("max_chars"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+        )
+        .orderBy("bucket")
+    )

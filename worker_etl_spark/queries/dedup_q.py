@@ -268,8 +268,20 @@ _SQL_SIMHASH_CTES = f"""tok AS (
     )"""
 
 
+_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — 60-bit sign-aggregated token-hash fingerprint."""
+    """(doc_id, simhash) — 60-bit sign-aggregated token-hash fingerprint.
+
+    Memoized + persisted like ``_shingles``: d10's band self-join consumes
+    this frame on BOTH join sides, and without a persist Spark re-runs the
+    token explode + 60 sign-sums once per side — the fingerprint table is
+    |docs| rows, the cheapest thing in the family to keep materialized."""
+    key = (id(spark), sf_dir)
+    cached = _SIMHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = read_table(spark, sf_dir, "documents")
     # spread(): tokenize+hash is scan-fused; widen a single-split source
     # before the heavy projection (no-op when splits are plentiful).
@@ -293,7 +305,9 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_SIM_BITS)
         )
     )
-    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+    out = sums.select("doc_id", sim.cast("long").alias("simhash")).persist()
+    _SIMHASH_CACHE[key] = out
+    return out
 
 
 @register(
@@ -483,7 +497,7 @@ def clear_caches() -> None:
     pairs, CC labels).  Tools that iterate over many synthetic corpora in one
     session (tools/scale_smoke.py) call this between corpora so executor
     memory doesn't accumulate dead persisted frames."""
-    for cache in (_SHINGLE_CACHE, _PAIRS_CACHE, _CC_LABELS_CACHE):
+    for cache in (_SHINGLE_CACHE, _PAIRS_CACHE, _CC_LABELS_CACHE, _SIMHASH_CACHE):
         for df in cache.values():
             try:
                 df.unpersist()

@@ -591,3 +591,90 @@ def i10_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     ).orderBy("bin")
+
+
+# --- i11: declarative constraint audit (data-quality gate) ---------------------
+@register(
+    "i11_constraint_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem.quantity_in_1_50' AS rule,
+             count(*) AS n_checked,
+             count(*) FILTER (WHERE NOT (l_quantity >= 1 AND l_quantity <= 50))
+               AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.discount_in_0_0p1', count(*),
+             count(*) FILTER (WHERE NOT (l_discount >= 0 AND l_discount <= 0.1))
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.price_positive', count(*),
+             count(*) FILTER (WHERE NOT (l_extendedprice > 0))
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.orderkey_fk', count(*),
+             count(*) FILTER (WHERE o_orderkey IS NULL)
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'orders.custkey_fk', count(*),
+             count(*) FILTER (WHERE c_custkey IS NULL)
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT rule,
+           CAST(n_checked AS BIGINT)    AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           round(n_violations / CAST(n_checked AS DOUBLE), 6) AS violation_rate
+    FROM checks ORDER BY rule
+    """,
+)
+def i11_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit — the ingest-time data-quality gate
+    (dbt-test / Great-Expectations shape, public practice): range checks,
+    positivity, and referential-integrity rules each report
+    (checked, violations, rate) in one result.  Range rules share ONE scan
+    per table via conditional aggregation; each FK rule is a broadcast
+    LEFT join probed for null matches (never a row-multiplying inner join,
+    and at 100 TB the dimension side broadcasts or the join shuffles on
+    the key — either way violations are counted map-side).
+
+    No reference counterpart: the reference ingests whatever coerces and
+    only counts coercion failures (`etl.py:1047-1075`, mirrored in i04);
+    declarative row-level rules are the missing guardrail a production
+    pipeline adds first (SURVEY.md §2 Part B)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+
+    def _rule(df, name, bad):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(bad, 1)).alias("n_violations"),
+        )
+
+    li_rules = [
+        _rule(l, "lineitem.quantity_in_1_50",
+              ~((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50))),
+        _rule(l, "lineitem.discount_in_0_0p1",
+              ~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1))),
+        _rule(l, "lineitem.price_positive", ~(F.col("l_extendedprice") > 0)),
+        _rule(
+            l.join(F.broadcast(o.select("o_orderkey")),
+                   l.l_orderkey == F.col("o_orderkey"), "left"),
+            "lineitem.orderkey_fk", F.col("o_orderkey").isNull()),
+        _rule(
+            o.join(F.broadcast(c.select("c_custkey")),
+                   o.o_custkey == F.col("c_custkey"), "left"),
+            "orders.custkey_fk", F.col("c_custkey").isNull()),
+    ]
+    out = li_rules[0]
+    for r in li_rules[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "rule",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.round(
+            F.col("n_violations") / F.col("n_checked").cast("double"), 6
+        ).alias("violation_rate"),
+    ).orderBy("rule")

@@ -2596,3 +2596,119 @@ def q57_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# --- q58: recursive CTE hierarchy walk -----------------------------------------
+@register(
+    "q58_supplier_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT s_suppkey, s_suppkey AS cur, 0 AS depth FROM supplier
+      UNION ALL
+      SELECT s_suppkey, cur // 2 AS cur, depth + 1 FROM walk WHERE cur > 1
+    ),
+    rooted AS (
+      SELECT s_suppkey, max(depth) AS depth FROM walk GROUP BY s_suppkey
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT)    AS n_suppliers,
+           round(sum(s.s_acctbal), 2)  AS total_acctbal
+    FROM rooted r JOIN supplier s USING (s_suppkey)
+    GROUP BY depth ORDER BY depth
+    """,
+)
+def q58_supplier_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk every supplier up a
+    binary parent hierarchy (parent = key halved — the deterministic stand-in
+    for a parent-pointer column) to the root, then roll account balances up
+    by hierarchy depth.  This is the BOM-explosion / org-chart shape SQL
+    engines historically couldn't express without driver loops; the engine
+    executes it as O(depth) iterative joins of a shrinking frontier —
+    log-bounded rounds here, the same plan discipline as the dedup family's
+    connected components (operators/graph.py).
+
+    Scale: each round joins the frontier (≤ |suppliers|) against nothing but
+    itself — no event-scale shuffle; depth is log₂(maxkey).  DuckDB replays
+    the identical recursion (`//` vs Spark's `DIV` is the only dialect
+    delta).  No reference counterpart (SURVEY.md §2 Part B)."""
+    s = _t(spark, sf_dir, "supplier")
+    s.createOrReplaceTempView("q58_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT s_suppkey, s_suppkey AS cur, 0 AS depth FROM q58_supplier
+          UNION ALL
+          SELECT s_suppkey, cur DIV 2 AS cur, depth + 1 FROM walk WHERE cur > 1
+        ),
+        rooted AS (
+          SELECT s_suppkey, max(depth) AS depth FROM walk GROUP BY s_suppkey
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT)    AS n_suppliers,
+               round(sum(s.s_acctbal), 2)  AS total_acctbal
+        FROM rooted r JOIN q58_supplier s USING (s_suppkey)
+        GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+# --- q59: time-RANGE window frames (value-based, not row-based) ----------------
+_Q59_DAYS = 3  # trailing window span
+
+
+@register(
+    "q59_peak_trailing_spend",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    trail AS (
+      SELECT user_id,
+             sum(c) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL {_Q59_DAYS} DAY PRECEDING AND CURRENT ROW
+             ) AS w
+      FROM p
+    )
+    SELECT user_id,
+           max(w) / 100.0           AS peak_3d_spend,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM trail GROUP BY user_id
+    ORDER BY peak_3d_spend DESC, user_id LIMIT 25
+    """,
+)
+def q59_peak_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frames: each purchase's trailing 3-DAY
+    per-user spend — the frame is bounded by the ORDER-BY VALUE (event
+    time), not a row count, so sparse and bursty users get the same
+    wall-clock semantics (a ROWS frame would mean "last N purchases", a
+    different quantity).  Peak trailing spend per user is the burst-detection
+    primitive behind fraud/abuse monitoring and rate-limit tuning.  Sums run
+    in cent-BIGINT fixed point so the window total is bit-exact cross-engine.
+
+    Scale: one shuffle on user_id; the range frame evaluates with a sliding
+    two-pointer over each partition's sort — O(rows), no per-frame rescan.
+    No reference counterpart (SURVEY.md §2 Part B)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    )
+    p.createOrReplaceTempView("q59_purchases")
+    return spark.sql(
+        f"""
+        WITH trailing AS (
+          SELECT user_id,
+                 sum(c) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '{_Q59_DAYS}' DAY PRECEDING AND CURRENT ROW
+                 ) AS w
+          FROM q59_purchases
+        )
+        SELECT user_id,
+               max(w) / CAST(100 AS DOUBLE) AS peak_3d_spend,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM trailing GROUP BY user_id
+        ORDER BY peak_3d_spend DESC, user_id LIMIT 25
+        """
+    )
