@@ -811,3 +811,149 @@ def v03_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- s06: product-quantization ADC top-k (compressed ANN, stage 2) -------------
+_PQ_S = 4          # subspaces (64 dims → 4 × 16)
+_PQ_SUBDIM = 16
+_PQ_K = 8          # centroids per subspace codebook
+_PQ_SEED_STRIDE = 5  # codebook seeds: first K of vec_id % stride == 0
+
+
+def _sql_pq_dist(a: str, b: str) -> str:
+    """Exact integer ||a-b||² via three dot products (all < 2^53)."""
+    return (
+        f"CAST(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])"
+        f" + list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])"
+        f" - 2 * list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
+    )
+
+
+@register(
+    "s06_pq_adc_topk",
+    oracle=f"""
+    WITH s AS ({_sq_scale_sql()}),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x / s.scale * {_SQ_BITS}, 0) AS BIGINT))
+               AS code
+      FROM embeddings, s
+    ),
+    subs AS (
+      SELECT vec_id, sp,
+             list_slice(code, sp * {_PQ_SUBDIM} + 1, sp * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      FROM v, unnest(range(0, {_PQ_S})) AS t(sp)
+    ),
+    seeds AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cr
+      FROM v WHERE vec_id % {_PQ_SEED_STRIDE} = 0
+      QUALIFY cr <= {_PQ_K}
+    ),
+    codebook AS (
+      SELECT sb.sp, sd.cr, sb.sub AS csub
+      FROM seeds sd JOIN subs sb USING (vec_id)
+    ),
+    encoded AS (
+      SELECT vec_id, sp, CAST(min({_sql_pq_dist('sub', 'csub')} * 100 + cr) % 100 AS BIGINT) AS cr
+      FROM subs JOIN codebook USING (sp)
+      GROUP BY vec_id, sp
+    ),
+    dtable AS (
+      SELECT q.vec_id AS query_id, cb.sp, cb.cr,
+             {_sql_pq_dist('q.sub', 'cb.csub')} AS pd
+      FROM (SELECT * FROM subs WHERE vec_id % 97 = 0) q
+      JOIN codebook cb USING (sp)
+    ),
+    adc AS (
+      SELECT d.query_id, e.vec_id AS cand_id, sum(d.pd) AS adist
+      FROM encoded e JOIN dtable d ON e.sp = d.sp AND e.cr = d.cr
+      WHERE e.vec_id <> d.query_id
+      GROUP BY d.query_id, e.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, CAST(adist AS BIGINT) AS adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, cand_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, cand_id, adist, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def s06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance lookup (the
+    public Jégou et al. PQ recipe): the 64-dim int8 codes split into 4
+    disjoint 16-dim subspaces, each with an 8-centroid codebook (first-K
+    strided seeds — deterministic, so both engines derive identical
+    codebooks); every database vector compresses to 4 single-byte codes
+    (16× smaller than the int8 codes, 64× vs float32), and each query
+    precomputes a (subspace × centroid) distance TABLE so candidate
+    scoring is 4 table lookups + adds — no vector arithmetic per
+    candidate.  Everything is exact integer math (squared L2 over int8
+    codes < 2^53), so the entire compressed pipeline — codebook, encoding,
+    distance table, top-k — is value-hash-checked cross-engine, tie-broken
+    on (adist, cand_id).
+
+    Scale shape: encoding is a broadcast-codebook map over the corpus
+    (one scan); the ADC join is (subspace, code)-key equi against a
+    broadcast distance table (|queries|·S·K rows), and the per-(query,
+    cand) partial sums combine map-side.  Nothing O(n²), nothing
+    driver-side; this is the memory-bound serving layout 100 TB vector
+    stores actually ship (IVF from s03 composes in front as the coarse
+    stage)."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vn = _quantize_codes(e)
+    sub_slices = F.array(
+        *[
+            F.slice(F.col("code"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+            for s in range(_PQ_S)
+        ]
+    )
+    subs = vn.select("vec_id", F.posexplode(sub_slices).alias("sp", "sub"))
+    seeds = (
+        vn.filter(F.col("vec_id") % _PQ_SEED_STRIDE == 0)
+        .withColumn("cr", F.row_number().over(W.orderBy("vec_id")).cast("long"))
+        .filter(F.col("cr") <= _PQ_K)
+        .select("vec_id", "cr")
+    )
+    codebook = (
+        seeds.join(subs, "vec_id")
+        .select("sp", "cr", F.col("sub").alias("csub"))
+    )
+
+    def pq_dist(a: str, b: str):
+        return (
+            dot(a, a) + dot(b, b) - 2 * dot(a, b)
+        ).cast("long")
+
+    encoded = (
+        subs.join(F.broadcast(codebook), "sp")
+        .select(
+            "vec_id",
+            "sp",
+            (pq_dist("sub", "csub") * 100 + F.col("cr")).alias("key"),
+        )
+        .groupBy("vec_id", "sp")
+        .agg((F.min("key") % 100).cast("long").alias("cr"))
+    )
+    dtable = (
+        subs.filter(F.col("vec_id") % 97 == 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "sp")
+        .select("query_id", "sp", "cr", pq_dist("sub", "csub").alias("pd"))
+    )
+    adc = (
+        encoded.join(F.broadcast(dtable), ["sp", "cr"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("pd").cast("long").alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "cand_id", "adist", "rank")
+        .orderBy("query_id", "rank")
+    )
