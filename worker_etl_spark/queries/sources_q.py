@@ -1100,3 +1100,39 @@ def w10_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("n").cast("long").alias("n"), "total_value")
         .orderBy("event_type")
     )
+
+
+# --- src11: RFC-4180 quoted multiline CSV ingest -------------------------------
+@register(
+    "src11_multiline_csv_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey,
+           'note for ' || n_name || chr(10) ||
+           'second line, has "quotes" and, commas' AS note
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def src11_multiline_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted multiline CSV (RFC 4180): fields containing embedded
+    newlines, the delimiter, and doubled quotes — the classic silent
+    corrupter of line-split CSV readers (each physical line parsed as a
+    record shreds every quoted field).  The engine's CSV source grows a
+    ``multiline`` mode (``spark.read`` multiLine + quote=escape='"'),
+    documented as per-FILE parallelism (records can span line boundaries,
+    so files are non-splittable, exactly like gzip in src07), and the
+    parsed grid flows through the same detect → clean → infer tail.  The
+    oracle reconstructs the embedded-newline payload character-for-
+    character, so quote unescaping is value-checked, not eyeballed."""
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src11_")
+    path = os.path.join(tmp, "nation_notes.csv")
+    with open(path, "w") as fh:
+        fh.write("n_nationkey,note\n")
+        for r in n:
+            note = (
+                f"note for {r.n_name}\n"
+                'second line, has ""quotes"" and, commas'
+            )
+            fh.write(f'{r.n_nationkey},"{note}"\n')
+    grid = read_csv_grid(spark, path, multiline=True)
+    return _grid_to_typed(grid).orderBy("n_nationkey")

@@ -70,6 +70,7 @@ def read_csv_grid(
     path: str,
     delimiter: str | None = None,
     sheet: str = DEFAULT_SHEET,
+    multiline: bool = False,
 ) -> DataFrame:
     """Untyped CSV → grid DataFrame (file, sheet, row_idx, '0'..'N-1' strings).
 
@@ -85,12 +86,23 @@ def read_csv_grid(
         opener = _gzip.open if first.endswith(".gz") else open
         with opener(first, "rt", errors="replace") as fh:
             delimiter = sniff_delimiter(fh.read(_SNIFF_BYTES))
-    df = (
+    reader = (
         spark.read.option("header", "false")
         .option("inferSchema", "false")
         .option("sep", delimiter)
-        .csv(path)
     )
+    if multiline:
+        # RFC-4180 quoted records with embedded newlines/delimiters: the
+        # parser must see whole records, so each FILE becomes one split
+        # (non-splittable, like gzip — parallelism is across files).  The
+        # default line-mode stays splittable-by-block, which is why this is
+        # opt-in rather than always-on.
+        reader = (
+            reader.option("multiLine", "true")
+            .option("quote", '"')
+            .option("escape", '"')
+        )
+    df = reader.csv(path)
     cells = [F.col(c).alias(str(i)) for i, c in enumerate(df.columns)]
     # Exact in-file row order: split byte-offset first (partition packing may
     # reorder splits), then the monotonic id (row order within a split).
