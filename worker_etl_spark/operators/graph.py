@@ -26,8 +26,37 @@ tolerance.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _bounded_shuffle(df: DataFrame):
+    """Scope ``spark.sql.shuffle.partitions`` to the cluster's parallelism
+    for the duration of an iterative loop.
+
+    Iterative algorithms materialize each round (``localCheckpoint``), so
+    every round schedules real tasks for every shuffle partition — with the
+    vanilla 200 default that is 200 near-empty tasks per stage per round on
+    a graph that has long since contracted to thousands of edges.  AQE
+    cannot help: checkpointed rounds are separate short queries and the
+    RDD-scan boundary pins their partitioning.  Bounding the conf to
+    ``defaultParallelism`` (the session's own tuned value is already ≤ this)
+    keeps per-round scheduling O(cores); the conf is restored on exit so
+    surrounding queries are untouched.  Single-threaded driver assumption
+    documented: the correctness gate and bench run queries sequentially."""
+    spark = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if int(old) > target:
+            spark.conf.set(key, str(target))
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def connected_components(
@@ -59,9 +88,17 @@ def connected_components(
     default.
     """
     if algorithm == "star":
-        return _connected_components_star(edges, src, dst, max_iterations)
+        with _bounded_shuffle(edges):
+            return _connected_components_star(edges, src, dst, max_iterations)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    with _bounded_shuffle(edges):
+        return _connected_components_propagation(edges, src, dst, max_iterations)
+
+
+def _connected_components_propagation(
+    edges: DataFrame, src: str, dst: str, max_iterations: int
+) -> DataFrame:
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -111,6 +111,15 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Cached-plan materialization bypasses AQE partition coalescing unless
+    # this (runtime, default-false) conf is on — on a vanilla session the
+    # family's persisted frames otherwise materialize at the raw 200-part
+    # default, costing 200 near-empty tasks per stage (measured 1.6× on the
+    # d07 end-to-end at sf0.01).  Semantics are unaffected; only the cached
+    # output partitioning may change.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     d = read_table(spark, sf_dir, "documents")
     # spread(): the corpus may arrive as one small object (one input split);
     # shingle hashing is the family's dominant compute, so buy scan-stage
