@@ -348,3 +348,112 @@ def m07_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return window_energy(attach_payload(d)).orderBy("doc_id")
+
+
+# --- m08: multipart payload reassembly audit -----------------------------------
+_M08_CHUNK = 100  # bytes per uploaded part
+
+
+@register(
+    "m08_multipart_reassembly",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id,
+             upper(to_hex(encode(text))) AS hx,
+             {_SQL_KIND} AS kind
+      FROM documents
+    ),
+    parts AS (
+      -- hex space (2 chars/byte): DuckDB 1.0 has no BLOB substring; the
+      -- chunk/reassemble program is identical, shifted by the 2x factor
+      SELECT doc_id, kind, length(hx) / 2 AS blen, i AS part_idx,
+             substring(hx, CAST(i * {_M08_CHUNK} * 2 + 1 AS INTEGER), {_M08_CHUNK} * 2) AS chunk
+      FROM media,
+           unnest(range(0, CAST(ceil(length(hx) / ({_M08_CHUNK} * 2.0)) AS BIGINT)))
+             AS t(i)
+    ),
+    reassembled AS (
+      SELECT doc_id, kind, any_value(blen) AS blen,
+             count(*) AS n_parts,
+             string_agg(chunk, '' ORDER BY part_idx) AS joined_hex
+      FROM parts GROUP BY doc_id, kind
+    ),
+    checked AS (
+      SELECT r.doc_id, r.kind, r.n_parts, r.blen,
+             (r.joined_hex = m.hx) AS ok
+      FROM reassembled r JOIN media m USING (doc_id)
+    )
+    SELECT kind,
+           CAST(count(*) AS BIGINT)                    AS n_media,
+           CAST(count(*) FILTER (WHERE ok) AS BIGINT)  AS n_ok,
+           CAST(sum(n_parts) AS BIGINT)                AS total_parts,
+           CAST(sum(blen) AS BIGINT)                   AS total_bytes
+    FROM checked GROUP BY kind ORDER BY kind
+    """,
+)
+def m08_multipart_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multipart-upload reassembly audit — the integrity step a binary
+    ingestion pipeline runs after chunked arrival (multipart S3/GCS
+    uploads land as ordered parts; the sink must reassemble and verify
+    before serving): parts explode deterministically from each payload,
+    reassembly concatenates them in part order BINARY-side (sort_array
+    over (part_idx, chunk) structs + an aggregate-fold concat), and the
+    audit compares the reassembled bytes against the original payload —
+    per media kind, how many reassemble bit-exactly.
+
+    Scale shape: the explode re-aggregates on doc_id (map-side combined;
+    part payloads never join across docs) and the verify is a per-doc
+    equality — one shuffle at (doc, chunk) grain.  The oracle re-runs the
+    identical chunk/concat program in hex space, so each engine's round
+    trip is value-checked, not assumed.  No reference counterpart
+    (multimodal is a driver-mandated extension, SURVEY.md §2)."""
+    d = read_table(spark, sf_dir, "documents")
+    media = attach_payload(d).select(
+        "doc_id",
+        "payload",
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.byte_len").alias("blen"),
+    )
+    parts = media.select(
+        "doc_id",
+        "kind",
+        "blen",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(length(payload) / {_M08_CHUNK}.0)"
+                f" AS INT) - 1), i -> substring(payload, i * {_M08_CHUNK} + 1,"
+                f" {_M08_CHUNK}))"
+            )
+        ).alias("part_idx", "chunk"),
+    )
+    reassembled = parts.groupBy("doc_id", "kind").agg(
+        F.first("blen").alias("blen"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list(struct(part_idx, chunk))),"
+            " x -> x.chunk), CAST('' AS BINARY), (acc, c) -> concat(acc, c))"
+        ).alias("joined"),
+    )
+    checked = reassembled.join(media.select("doc_id", "payload"), "doc_id").select(
+        "kind",
+        "n_parts",
+        "blen",
+        (F.hex(F.col("joined")) == F.hex(F.col("payload"))).alias("ok"),
+    )
+    return (
+        checked.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
+            F.sum("n_parts").alias("total_parts"),
+            F.sum("blen").alias("total_bytes"),
+        )
+        .select(
+            "kind",
+            F.col("n_media").cast("long").alias("n_media"),
+            F.col("n_ok").cast("long").alias("n_ok"),
+            F.col("total_parts").cast("long").alias("total_parts"),
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("kind")
+    )

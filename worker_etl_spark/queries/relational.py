@@ -2712,3 +2712,59 @@ def q59_peak_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY peak_3d_spend DESC, user_id LIMIT 25
         """
     )
+
+
+# --- q60: top-revenue supplier with ties (TPC-H Q15 shape) ---------------------
+@register(
+    "q60_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.r / 100.0 AS total_revenue
+    FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.r = (SELECT max(r) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q60_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the aggregate-of-an-aggregate: quarterly revenue
+    per supplier, then the supplier(s) achieving the GLOBAL maximum,
+    keeping ties (a LIMIT 1 silently drops tied winners — the Q15 spec
+    explicitly requires the tie-keeping subquery form).  Revenue accumulates
+    in cent-BIGINT fixed point so the max comparison can't split a tie on
+    float summation order.  The revenue CTE is computed once and consumed
+    twice (row source + scalar max) — Catalyst plans the scalar subquery as
+    a broadcast, not a rescan.
+
+    Scale: one fact-scale shuffle for the supplier-grain aggregate; the max
+    is a single-row reduction of that (supplier-count-sized) frame, and the
+    winner filter + supplier join are broadcast-sized."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    cents = F.round(_disc_price() * 100, 0).cast("long")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("r"))
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    return (
+        rev.join(F.broadcast(mx), rev.r == mx.mr)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r") / F.lit(100.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
