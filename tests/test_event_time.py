@@ -497,3 +497,75 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_cusum_stateful_matches_batch_closed_form(spark, tmp_path):
+    """The stateful CUSUM operator must emit, per user, exactly the values
+    the exact-integer closed form (evt08's window formulation) computes:
+    S_i = P_i - min(0, min_{j<=i} P_j).  Timeout-flushed output requires a
+    live trigger (availableNow stops before timeouts fire), so the query
+    runs on a short processing-time trigger and the test polls until every
+    user's summary lands."""
+    import time as _time
+
+    from pyspark.sql.window import Window as W
+
+    from worker_etl_spark.streaming.event_time import (
+        CUSUM_H_CENTS,
+        CUSUM_K_CENTS,
+        cusum_stateful,
+    )
+
+    ev, stream = _events_stream(spark, tmp_path, n=300)
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100, 0).cast("long") - CUSUM_K_CENTS).alias("d"),
+    )
+    pre = d.withColumn("p", F.sum("d").over(w))
+    st = pre.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    batch = {
+        r.user_id: (r.n_events, r.n_alerts, r.max_s, r.final_s)
+        for r in st.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("s") > CUSUM_H_CENTS, 1)).alias("n_alerts"),
+            F.max("s").alias("max_s"),
+            (
+                F.sum("d") - F.least(F.lit(0).cast("long"), F.min("p"))
+            ).alias("final_s"),
+        )
+        .collect()
+    }
+
+    q = (
+        cusum_stateful(stream, timeout_ms=2_000)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = _time.time() + 120
+    got = {}
+    try:
+        while _time.time() < deadline:
+            got = {
+                r.user_id: (r.n_events, r.n_alerts, r.max_s, r.final_s)
+                for r in spark.sql("SELECT * FROM cusum_out").collect()
+            }
+            if len(got) >= len(batch):
+                break
+            _time.sleep(2)
+    finally:
+        q.stop()
+    assert got == batch

@@ -315,3 +315,92 @@ def evt07_backfill_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value"), 2).alias("last_value"),
         F.col("ts").alias("last_ts"),
     ).orderBy("user_id")
+
+
+
+# --- evt08: CUSUM drift detection (exact closed form of the stateful op) ------
+@register(
+    "evt08_cusum_alerts",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) - 5000 AS d
+      FROM events
+    ),
+    pre AS (
+      SELECT user_id, ts, event_id, d,
+             sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM d
+    ),
+    st AS (
+      SELECT user_id, d, p,
+             p - least(0, min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)) AS s
+      FROM pre
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                          AS n_events,
+           CAST(count(*) FILTER (WHERE s > 50000) AS BIGINT) AS n_alerts,
+           CAST(max(s) AS BIGINT)                            AS max_s,
+           -- final state = last prefix minus the global prefix-min
+           CAST(sum(d) - least(0, min(p)) AS BIGINT)         AS final_s
+    FROM st GROUP BY user_id ORDER BY user_id
+    """,
+)
+def evt08_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift statistics — the BATCH closed form of the
+    custom stateful streaming operator ``event_time.cusum_stateful``
+    (S_i = P_i − min(0, min_{{j≤i}} P_j), P = running Σ(cents − k)): two
+    exact-integer window functions (running sum, running min) replace the
+    sequential recurrence, so the whole detector — alert counts, peak
+    statistic, final state — is value-hash-checked cross-engine, and
+    ``tests/test_event_time.py`` asserts the streaming operator emits the
+    identical rows (stream/batch parity, the evt-family discipline).
+
+    Scale: one shuffle on user_id; both windows share the single
+    (user, ts, event_id) sort.  Alerts fire where S crosses h — spend-drift
+    detection per account with O(1) state per key in the streaming form."""
+    from pyspark.sql.window import Window as W
+
+    from worker_etl_spark.streaming.event_time import (
+        CUSUM_H_CENTS,
+        CUSUM_K_CENTS,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100, 0).cast("long") - CUSUM_K_CENTS).alias("d"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pre = d.withColumn("p", F.sum("d").over(w))
+    st = pre.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    return (
+        st.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("s") > CUSUM_H_CENTS, 1)).alias("n_alerts"),
+            F.max("s").alias("max_s"),
+            (F.sum("d") - F.least(F.lit(0).cast("long"), F.min("p"))).alias(
+                "final_s"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_alerts").cast("long").alias("n_alerts"),
+            F.col("max_s").cast("long").alias("max_s"),
+            F.col("final_s").cast("long").alias("final_s"),
+        )
+        .orderBy("user_id")
+    )

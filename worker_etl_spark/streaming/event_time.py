@@ -300,3 +300,99 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, cond) -> DataFrame:
     slowly-changing dims pick up updates between batches.  Works unchanged
     in batch mode."""
     return events.join(F.broadcast(dim), cond, "inner")
+
+
+# --- CUSUM drift detector (custom stateful operator + exact closed form) ------
+CUSUM_K_CENTS = 5_000    # reference drift (cents): subtracted per event
+CUSUM_H_CENTS = 50_000   # alert threshold on the CUSUM statistic
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_alerts", LongType()),
+        StructField("max_s", LongType()),
+        StructField("final_s", LongType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("p", LongType()),        # running prefix Σ(c - k)
+        StructField("rmin", LongType()),     # min prefix seen (incl. 0)
+        StructField("n", LongType()),
+        StructField("alerts", LongType()),
+        StructField("maxs", LongType()),
+    ]
+)
+
+
+def cusum_stateful(
+    events: DataFrame,
+    k_cents: int = CUSUM_K_CENTS,
+    h_cents: int = CUSUM_H_CENTS,
+    ts_col: str = "ts",
+    timeout_ms: int = 30_000,
+) -> DataFrame:
+    """Per-user one-sided CUSUM drift detector as a custom stateful streaming
+    operator (``applyInPandasWithState``): S_i = max(0, S_{i-1} + (c_i − k)),
+    alert when S crosses h — the classic sequential change-point statistic
+    for spend/abuse spikes.  State per user is FOUR integers, because CUSUM
+    admits the prefix-min closed form S_i = P_i − min(0, min_{j≤i} P_j)
+    (P = running Σ(c−k)): the operator carries (P, min-prefix, counters)
+    instead of replaying history, so state size is O(1) per key no matter
+    how long the stream runs.  A processing-time timeout flushes the
+    per-user summary when a key goes quiet.
+
+    The SAME closed form is what makes the operator *provable*: the batch
+    query (evt08) computes it with two exact-integer window functions, and
+    ``tests/test_event_time.py`` asserts streaming output == batch output
+    row-for-row — the stream/batch-parity discipline every evt operator
+    here follows."""
+    events = _ensure_event_time(events, ts_col)
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                p, rmin, n, alerts, maxs = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_events": [n],
+                        "n_alerts": [alerts],
+                        "max_s": [maxs],
+                        "final_s": [p - min(0, rmin)],
+                    }
+                )
+            return
+        p, rmin, n, alerts, maxs = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, "event_id"])
+        for value in rows["value"]:
+            c = int(round(float(value) * 100))
+            p += c - k_cents
+            if p < rmin:
+                rmin = p  # min over P_0..P_i INCLUDES the current prefix
+            s = p - min(0, rmin)  # CUSUM via prefix-min closed form
+            if s > h_cents:
+                alerts += 1
+            if s > maxs:
+                maxs = s
+            n += 1
+        state.update((p, rmin, n, alerts, maxs))
+        state.setTimeoutDuration(timeout_ms)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
