@@ -1136,3 +1136,109 @@ def src11_multiline_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(f'{r.n_nationkey},"{note}"\n')
     grid = read_csv_grid(spark, path, multiline=True)
     return _grid_to_typed(grid).orderBy("n_nationkey")
+
+
+# --- w11: snapshot diff → change-data-capture derivation -----------------------
+@register(
+    "w11_snapshot_diff_cdc",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+    ),
+    new AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 100.5, 2)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer
+      WHERE c_custkey % 11 != 0
+      UNION ALL
+      SELECT 900000 + r AS c_custkey, 'new_cust_' || r AS c_name,
+             CAST(r * 10 AS DOUBLE) AS c_acctbal
+      FROM unnest(range(1, 6)) AS t(r)
+    ),
+    diff AS (
+      SELECT coalesce(o.c_custkey, n.c_custkey) AS key,
+             CASE
+               WHEN o.c_custkey IS NULL THEN 'insert'
+               WHEN n.c_custkey IS NULL THEN 'delete'
+               WHEN o.c_acctbal != n.c_acctbal OR o.c_name != n.c_name
+                 THEN 'update'
+               ELSE 'unchanged'
+             END AS change_type,
+             CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                  THEN abs(CAST(round(n.c_acctbal * 100) AS BIGINT)
+                           - CAST(round(o.c_acctbal * 100) AS BIGINT))
+                  ELSE 0 END AS delta_c
+      FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           sum(delta_c) / 100.0          AS total_abs_delta
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+)
+def w11_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture DERIVATION from two table snapshots — the diff a
+    lake pipeline computes when the upstream can't emit a change feed
+    (the inverse of q50's SCD2 build, which CONSUMES a feed): full outer
+    join on the business key classifies every row insert / delete / update
+    / unchanged, and update magnitude accumulates in cent-exact BIGINTs.
+    The "new" snapshot is a deterministic mutation of the old (acctbal
+    bumps, key-strided deletes, synthetic inserts) so the oracle replays
+    the exact same diff.
+
+    Scale shape: ONE key-equi shuffle (the full outer join); change
+    classification and the cent deltas are projections on the joined row,
+    and the result aggregate is 4 rows.  At 100 TB both snapshots shuffle
+    once on the key — this is the canonical snapshot-reconciliation plan
+    (q34 proves the pre-aggregated variant)."""
+    c = read_table(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_name", "c_acctbal")
+    mutated = c.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100.5, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    inserts = spark.range(1, 6).select(
+        (F.col("id") + 900000).alias("c_custkey"),
+        F.concat(F.lit("new_cust_"), F.col("id")).alias("c_name"),
+        (F.col("id") * 10).cast("double").alias("c_acctbal"),
+    )
+    new = mutated.unionByName(inserts)
+    o = old.alias("o")
+    n = new.alias("n")
+    cents = lambda col: F.round(F.col(col) * 100, 0).cast("long")  # noqa: E731
+    diff = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer").select(
+        F.when(F.col("o.c_custkey").isNull(), "insert")
+        .when(F.col("n.c_custkey").isNull(), "delete")
+        .when(
+            (F.col("o.c_acctbal") != F.col("n.c_acctbal"))
+            | (F.col("o.c_name") != F.col("n.c_name")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.when(
+            F.col("o.c_custkey").isNotNull() & F.col("n.c_custkey").isNotNull(),
+            F.abs(cents("n.c_acctbal") - cents("o.c_acctbal")),
+        )
+        .otherwise(F.lit(0))
+        .alias("delta_c"),
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("delta_c") / F.lit(100.0)).alias("total_abs_delta"),
+        )
+        .select(
+            "change_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "total_abs_delta",
+        )
+        .orderBy("change_type")
+    )
