@@ -261,3 +261,69 @@ def test_q49_observe_rides_the_same_scan(spark):
     assert got["rows_seen"] == o.count()
     assert abs(got["gross_revenue"] - o.agg({"o_totalprice": "sum"}).first()[0]) < 1e-6
     assert got["null_custkeys"] == 0
+
+
+def test_q57_star_join_broadcasts_every_dim(spark):
+    """8-table market-share star: one fact-scale shuffle (lineitem ⋈
+    orders); customer/nation×2/region/supplier/part all broadcast."""
+    plan = _plan(spark, "q57_market_share")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 6
+    assert "CartesianProduct" not in plan
+    # the only SortMergeJoin / shuffled join allowed is the fact-fact one
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) <= 1
+
+
+def test_q59_range_frame_single_window_sort(spark):
+    """Both window functions (running sum + the RANGE frame) must share one
+    (user_id, ts) sort — exactly one per-key Sort under one Exchange on
+    user_id, not one per window."""
+    plan = _plan(spark, "q59_peak_trailing_spend")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 2
+
+
+def test_t14_gram_join_stays_equi(spark):
+    """Substring-dup share: the gram-frequency membership test must plan as
+    a (left semi) hash/sort-merge EQUI join on the gram hash — never a
+    nested-loop or cartesian pair enumeration."""
+    plan = _plan(spark, "t14_substring_dup_share")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_s06_codebook_and_dtable_broadcast(spark):
+    """PQ-ADC: the codebook joins (encode + distance table) and the ADC
+    lookup itself must broadcast the small side; candidate codes never
+    shuffle for the lookup."""
+    plan = _plan(spark, "s06_pq_adc_topk")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q56_mad_two_pass_broadcasts_stats(spark):
+    """Integer-MAD anomalies: both stats frames (5 rows each) broadcast
+    back onto the event stream — the stream itself never shuffles for the
+    joins."""
+    plan = _plan(spark, "q56_mad_anomalies")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q54_edge_extraction_single_event_shuffle(spark):
+    """PageRank: each replay of the (persisted, not-yet-materialized at
+    plan time) edge lineage carries exactly ONE per-user window sort; at
+    runtime the persist collapses the replays to a single materialization
+    (asserted by the d07-style cache reuse the dedup family pins)."""
+    plan = _plan(spark, "q54_pagerank_transitions")
+    assert "CartesianProduct" not in plan
+    # one Window op per edge-lineage replay — the window itself never doubles
+    assert len(re.findall(r"\bWindow\b", plan)) == len(
+        re.findall(r"hashpartitioning\(user_id", plan)
+    )
+
+
+def test_w11_diff_is_one_key_shuffle(spark):
+    plan = _plan(spark, "w11_snapshot_diff_cdc")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
