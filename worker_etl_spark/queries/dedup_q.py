@@ -939,3 +939,93 @@ def d11_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped")
     )
     return keepers.join(counts, "cluster_id").orderBy("cluster_id")
+
+
+# --- d12: containment pairs (asymmetric excerpt/quote detection) --------------
+@register(
+    "d12_containment_pairs",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(greatest(i.c / CAST(ca.n AS DOUBLE),
+                          i.c / CAST(cb.n AS DOUBLE)), 6) AS containment,
+           round(i.c / CAST(ca.n + cb.n - i.c AS DOUBLE), 6) AS jaccard,
+           (CASE WHEN ca.n <= cb.n THEN i.doc_a ELSE i.doc_b END) AS contained_doc
+    FROM inter i
+    JOIN card ca ON ca.doc_id = i.doc_a
+    JOIN card cb ON cb.doc_id = i.doc_b
+    WHERE greatest(i.c / CAST(ca.n AS DOUBLE), i.c / CAST(cb.n AS DOUBLE)) >= 0.8
+    ORDER BY containment DESC, i.doc_a, i.doc_b
+    LIMIT 15
+    """,
+)
+def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT — max(|A∩B|/|A|, |A∩B|/|B|) — the asymmetric
+    companion to d05's Jaccard: a short excerpt quoted inside a long doc
+    scores near 1.0 on containment but near 0 on Jaccard (the union is
+    dominated by the long side), so Jaccard-thresholded dedup systematically
+    MISSES quote/excerpt duplication; containment is the standard fix
+    (Broder's resemblance-vs-containment distinction, public).  Pairs come
+    from the same rare-shingle blocking as d05 (per-key fan-out bounded by
+    the DF cap), the smaller side is reported as the contained doc, and
+    Jaccard rides along for contrast.
+
+    Scale shape: identical to d05 — one blocked self-join on the shingle
+    hash, per-doc cardinalities broadcast-joined onto the (small) pair set;
+    containment adds only projections."""
+    sh = _shingles(spark, sf_dir)
+    rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _DF_CAP
+    ).select("h")
+    rs = sh.join(rare, "h").select("doc_id", "h")
+    card = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = rs.alias("a"), rs.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.greatest(
+        F.col("c") / F.col("na").cast("double"),
+        F.col("c") / F.col("nb").cast("double"),
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(cont >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(
+                F.col("c")
+                / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy(F.desc("containment"), "doc_a", "doc_b")
+        .limit(15)
+    )

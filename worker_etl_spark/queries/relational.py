@@ -2768,3 +2768,75 @@ def q60_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# --- q62: sliding-window DISTINCT via bounded fan-out --------------------------
+_Q62_WIN_DAYS = 7
+
+
+@register(
+    "q62_sliding_distinct_users",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+    contrib AS (
+      SELECT DISTINCT e.event_type,
+             e.d + CAST(o AS INTEGER) AS win_end,
+             e.user_id
+      FROM ev e, unnest(range(0, {_Q62_WIN_DAYS})) AS t(o), bounds b
+      WHERE e.d + CAST(o AS INTEGER) <= b.hi
+    )
+    SELECT strftime(win_end, '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS u7
+    FROM contrib GROUP BY win_end, event_type
+    ORDER BY day, event_type
+    """,
+)
+def q62_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT user counts per event type — the rolling-MAU
+    shape.  DISTINCT does not compose over sliding windows (window frames
+    can't dedup), and the naive per-day self-join re-scans the fact once per
+    day; the scalable formulation EXPLODES each event into the ≤7 window
+    ends it contributes to (bounded fan-out = window/grain ratio), then a
+    single distinct + aggregate.  At 100 TB this is fan-out-7 map-side work
+    plus one (type, day, user)-grain distinct — linear, partitionable, and
+    exactly what the per-day rescan is not.
+
+    Scale shape: one distinct shuffle at contribution grain, one map-side-
+    combined count; window ends past the corpus horizon are clipped with
+    the broadcast single-row bounds.
+    No reference counterpart (driver-mandated extension, SURVEY.md §2)."""
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type",
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    )
+    hi = ev.agg(F.max("d").alias("hi"))
+    contrib = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(d, date_add(d, {_Q62_WIN_DAYS - 1}))")
+            ).alias("win_end"),
+        )
+        .crossJoin(F.broadcast(hi))
+        .filter(F.col("win_end") <= F.col("hi"))
+        .select("event_type", "win_end", "user_id")
+        .distinct()
+    )
+    return (
+        contrib.groupBy("win_end", "event_type")
+        .agg(F.count(F.lit(1)).alias("u7"))
+        .select(
+            F.date_format("win_end", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("u7").cast("long").alias("u7"),
+        )
+        .orderBy("day", "event_type")
+    )
