@@ -678,3 +678,75 @@ def i11_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_violations") / F.col("n_checked").cast("double"), 6
         ).alias("violation_rate"),
     ).orderBy("rule")
+
+
+# --- i13: functional-dependency discovery (data profiling) ---------------------
+_I13_CANDIDATES = [  # (table, lhs, rhs) — candidate "lhs determines rhs" FDs
+    ("orders", "o_orderkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("nation", "n_nationkey", "n_name"),
+    ("nation", "n_regionkey", "n_name"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+]
+
+
+@register(
+    "i13_fd_discovery",
+    oracle="""
+    WITH checks AS (
+    """
+    + "\n      UNION ALL\n    ".join(
+        f"""
+      SELECT '{t}.{lhs}->{rhs}' AS fd,
+             count(*) AS n_groups,
+             count(*) FILTER (WHERE nd > 1) AS n_violating
+      FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd
+            FROM {t} GROUP BY {lhs})"""
+        for t, lhs, rhs in _I13_CANDIDATES
+    )
+    + """
+    )
+    SELECT fd,
+           CAST(n_groups AS BIGINT)    AS n_groups,
+           CAST(n_violating AS BIGINT) AS n_violating,
+           (n_violating = 0)           AS holds
+    FROM checks ORDER BY fd
+    """,
+)
+def i13_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery — the data-profiling step that finds
+    candidate keys and denormalization opportunities before schema design
+    (the public TANE/profiling literature's core primitive, checked here
+    for an explicit candidate set): "lhs → rhs" holds iff no lhs group
+    contains two distinct rhs values.  Each check is one (lhs)-grain
+    aggregate counting distinct rhs; violating-group counts quantify HOW
+    broken a failed FD is (an `n_violating` of 2 is a data bug, 50% is a
+    wrong hypothesis).
+
+    Scale shape: one map-side-combined aggregate per candidate over only
+    its two columns (scan prunes the rest); results are candidate-count
+    rows.  A full lattice search would batch candidates per scan the same
+    way.  No reference counterpart (SURVEY.md §2 Part B)."""
+    frames = []
+    for t, lhs, rhs in _I13_CANDIDATES:
+        df = read_table(spark, sf_dir, t)
+        g = (
+            df.groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+            .agg(
+                F.lit(f"{t}.{lhs}->{rhs}").alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.count(F.when(F.col("nd") > 1, 1)).alias("n_violating"),
+            )
+        )
+        frames.append(g)
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.select(
+        "fd",
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_violating").cast("long").alias("n_violating"),
+        (F.col("n_violating") == 0).alias("holds"),
+    ).orderBy("fd")

@@ -2840,3 +2840,96 @@ def q62_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --- q63: share-of-parent hierarchy report ------------------------------------
+@register(
+    "q63_share_of_parent",
+    oracle="""
+    WITH cents AS (
+      SELECT r_name, n_name,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    ),
+    nat AS (
+      SELECT r_name, n_name, sum(c) AS nc FROM cents GROUP BY r_name, n_name
+    ),
+    reg AS (SELECT r_name, sum(nc) AS rc FROM nat GROUP BY r_name),
+    tot AS (SELECT sum(rc) AS tc FROM reg)
+    SELECT level, region, nation, revenue, share_of_parent FROM (
+      SELECT 'nation' AS level, n.r_name AS region, n.n_name AS nation,
+             n.nc / 100.0 AS revenue,
+             round(n.nc / CAST(r.rc AS DOUBLE), 6) AS share_of_parent
+      FROM nat n JOIN reg r USING (r_name)
+      UNION ALL
+      SELECT 'region', r.r_name, NULL,
+             r.rc / 100.0,
+             round(r.rc / CAST(t.tc AS DOUBLE), 6)
+      FROM reg r, tot t
+    )
+    ORDER BY level, region, nation NULLS FIRST
+    """,
+)
+def q63_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at every hierarchy level (region → nation) — the
+    OLAP drill-down report rollup alone can't produce (ROLLUP emits the
+    subtotals, but each row's share needs its PARENT's subtotal joined
+    back).  Formulated as cascading re-aggregates of the same cent-exact
+    partials: nation sums roll into region sums roll into the grand total,
+    so each level's denominator is derived from the level below, never
+    re-scanned — the algebraic-partial discipline q52 proves for time
+    rollups, applied to a dimension hierarchy.
+
+    Scale shape: one fact-scale star join + one (region, nation)-grain
+    aggregate; everything above is dimension-cardinality arithmetic.
+    Shares are exact-integer ratios rounded at 6dp (cross-engine stable)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            F.round(_disc_price() * 100, 0).cast("long").alias("c"),
+        )
+    )
+    nat = cents.groupBy("r_name", "n_name").agg(F.sum("c").alias("nc"))
+    reg = nat.groupBy("r_name").agg(F.sum("nc").alias("rc"))
+    tot = reg.agg(F.sum("rc").alias("tc"))
+    nation_rows = (
+        nat.join(F.broadcast(reg), "r_name")
+        .select(
+            F.lit("nation").alias("level"),
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            (F.col("nc") / F.lit(100.0)).alias("revenue"),
+            F.round(F.col("nc") / F.col("rc").cast("double"), 6).alias(
+                "share_of_parent"
+            ),
+        )
+    )
+    region_rows = (
+        reg.crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("region").alias("level"),
+            F.col("r_name").alias("region"),
+            F.lit(None).cast("string").alias("nation"),
+            (F.col("rc") / F.lit(100.0)).alias("revenue"),
+            F.round(F.col("rc") / F.col("tc").cast("double"), 6).alias(
+                "share_of_parent"
+            ),
+        )
+    )
+    return nation_rows.unionByName(region_rows).orderBy(
+        "level", "region", F.col("nation").asc_nulls_first()
+    )

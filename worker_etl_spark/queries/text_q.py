@@ -986,3 +986,120 @@ def t14_substring_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_share"), "doc_id")
         .limit(20)
     )
+
+
+# --- t16: distinctive terms per source (log-likelihood ratio) -----------------
+_T16_TOP = 3
+_T16_MIN_COUNT = 5  # ignore ultra-rare terms (LLR unstable, output noisy)
+
+
+def _llr_term(k: str, e: str) -> str:
+    """One Dunning LLR term k·ln(k/e) with the 0·ln(0)=0 convention —
+    identical SQL text runs on both engines (exact-integer k, e as an exact
+    ratio of integers, so the doubles agree bit-for-bit)."""
+    return f"CASE WHEN {k} = 0 THEN 0.0 ELSE {k} * ln({k} / ({e})) END"
+
+
+@register(
+    "t16_distinctive_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({sql_tokens(sql_norm_text('text'))}) AS term
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, term, count(*) AS k11 FROM tok GROUP BY source, term
+    ),
+    term_tot AS (SELECT term, sum(k11) AS c1 FROM tc GROUP BY term),
+    src_tot AS (SELECT source, sum(k11) AS r1 FROM tc GROUP BY source),
+    n AS (SELECT sum(k11) AS nn FROM tc),
+    cells AS (
+      SELECT tc.source, tc.term,
+             CAST(tc.k11 AS DOUBLE) AS k11,
+             CAST(tt.c1 - tc.k11 AS DOUBLE) AS k21,
+             CAST(st.r1 - tc.k11 AS DOUBLE) AS k12,
+             CAST(n.nn - tt.c1 - st.r1 + tc.k11 AS DOUBLE) AS k22,
+             CAST(st.r1 AS DOUBLE) AS r1, CAST(tt.c1 AS DOUBLE) AS c1,
+             CAST(n.nn AS DOUBLE) AS nn
+      FROM tc JOIN term_tot tt USING (term) JOIN src_tot st USING (source), n
+      WHERE tc.k11 >= {_T16_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT source, term,
+             round(2 * ({_llr_term('k11', 'r1 * c1 / nn')}
+                      + {_llr_term('k12', 'r1 * (nn - c1) / nn')}
+                      + {_llr_term('k21', '(nn - r1) * c1 / nn')}
+                      + {_llr_term('k22', '(nn - r1) * (nn - c1) / nn')}), 4)
+               AS llr
+      FROM cells
+    ),
+    ranked AS (
+      SELECT source, term, llr,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY llr DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT source, term, llr, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_T16_TOP}
+    ORDER BY source, rnk
+    """,
+)
+def t16_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source via Dunning's log-likelihood ratio
+    (the standard corpus-linguistics significance test, public): for each
+    (source, term), LLR of the 2×2 contingency (term-in-source vs rest of
+    corpus), top-3 per source — the "what makes this domain's language
+    different" report a mixture-design pass reads next to p05's volume
+    reweighting.  All four cell counts are exact integers and the expected
+    values are exact integer ratios, so the doubles (and the round(4) that
+    feeds the rank) agree across engines; ranks tie-break on term.
+
+    Scale shape: explode → (source, term) counts (map-side combined), two
+    marginal aggregates re-joined on term/source grain (vocab-sized, not
+    corpus-sized), one 1-row total broadcast, and a per-source top-k
+    window over the vocab-grain frame.  No reference counterpart."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = spread(d.select("source", norm_text(F.col("text")).alias("nt"))).select(
+        "source", F.explode(tokens(F.col("nt"))).alias("term")
+    )
+    tc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("k11"))
+    term_tot = tc.groupBy("term").agg(F.sum("k11").alias("c1"))
+    src_tot = tc.groupBy("source").agg(F.sum("k11").alias("r1"))
+    nn = tc.agg(F.sum("k11").alias("nn"))
+    cells = (
+        tc.filter(F.col("k11") >= _T16_MIN_COUNT)
+        .join(term_tot, "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "term",
+            F.col("k11").cast("double").alias("k11"),
+            (F.col("c1") - F.col("k11")).cast("double").alias("k21"),
+            (F.col("r1") - F.col("k11")).cast("double").alias("k12"),
+            (F.col("nn") - F.col("c1") - F.col("r1") + F.col("k11"))
+            .cast("double")
+            .alias("k22"),
+            F.col("r1").cast("double").alias("r1"),
+            F.col("c1").cast("double").alias("c1"),
+            F.col("nn").cast("double").alias("nn"),
+        )
+    )
+    llr = F.round(
+        2
+        * (
+            F.expr(_llr_term("k11", "r1 * c1 / nn"))
+            + F.expr(_llr_term("k12", "r1 * (nn - c1) / nn"))
+            + F.expr(_llr_term("k21", "(nn - r1) * c1 / nn"))
+            + F.expr(_llr_term("k22", "(nn - r1) * (nn - c1) / nn"))
+        ),
+        4,
+    )
+    w = W.partitionBy("source").orderBy(F.desc("llr"), "term")
+    return (
+        cells.select("source", "term", llr.alias("llr"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _T16_TOP)
+        .select("source", "term", "llr", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("source", "rnk")
+    )
