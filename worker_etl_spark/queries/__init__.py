@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "evt08_cusum_alerts", "w11_snapshot_diff_cdc",
     "d12_containment_pairs", "q62_sliding_distinct_users",
     "t16_distinctive_terms", "q63_share_of_parent", "i13_fd_discovery",
+    "p09_dedup_token_yield", "t17_countmin_audit",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -640,3 +640,120 @@ def p08_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- p09: post-dedup token yield (effective dataset size) ----------------------
+@register(
+    "p09_dedup_token_yield",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a AS a, i.doc_b AS b
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.doc_a
+      JOIN card cb ON cb.doc_id = i.doc_b
+      WHERE i.c / CAST(ca.n + cb.n - i.c AS DOUBLE) >= {_CLUSTER_JACCARD}
+    ),
+    und AS (
+      SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    lbl AS (
+      SELECT src AS node, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    grouped AS (
+      SELECT d.doc_id, d.lang,
+             len({sql_tokens(sql_norm_text('text'))}) AS n_tokens,
+             COALESCE(l.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+    ),
+    surv AS (SELECT group_id, min(doc_id) AS keeper FROM grouped GROUP BY group_id)
+    SELECT g.lang,
+           CAST(count(*) AS BIGINT)                       AS raw_docs,
+           CAST(count(*) FILTER (WHERE g.doc_id = s.keeper) AS BIGINT)
+                                                          AS surviving_docs,
+           CAST(sum(g.n_tokens) AS BIGINT)                AS raw_tokens,
+           CAST(sum(g.n_tokens) FILTER (WHERE g.doc_id = s.keeper) AS BIGINT)
+                                                          AS surviving_tokens,
+           round(sum(g.n_tokens) FILTER (WHERE g.doc_id = s.keeper)
+                 / CAST(sum(g.n_tokens) AS DOUBLE), 6)    AS token_yield
+    FROM grouped g JOIN surv s USING (group_id)
+    GROUP BY g.lang ORDER BY g.lang
+    """,
+)
+def p09_dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dataset size AFTER near-dup dedup, measured in tokens —
+    the number a training-mixture budget actually consumes (raw token
+    counts overstate a duplicated corpus): every doc joins its d07
+    connected component (itself when unclustered), each cluster keeps its
+    min-doc_id survivor (d11's rule), and per language the report compares
+    raw vs surviving docs/tokens and the token yield.  Composition
+    showcase: cluster labels (graph), token counting (text), and survivor
+    selection compose as three key-equi joins, no operator re-implemented.
+
+    Scale shape: the cluster-label table is sparse (only clustered docs);
+    the corpus joins it LEFT on doc_id, the survivor table on group_id —
+    both key-equi; token counting is scan-fused projection.  The oracle
+    re-derives everything (recursive-CTE components included)."""
+    labels = _cluster_labels(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(norm_text(F.col("text")))).alias("n_tokens"),
+    )
+    grouped = toks.join(
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.coalesce("cluster_id", "doc_id").alias("group_id"),
+    )
+    surv = grouped.groupBy("group_id").agg(F.min("doc_id").alias("keeper"))
+    j = grouped.join(surv, "group_id")
+    kept = F.col("doc_id") == F.col("keeper")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("raw_docs"),
+            F.count(F.when(kept, 1)).alias("surviving_docs"),
+            F.sum("n_tokens").alias("raw_tokens"),
+            F.sum(F.when(kept, F.col("n_tokens"))).alias("surviving_tokens"),
+        )
+        .select(
+            "lang",
+            F.col("raw_docs").cast("long").alias("raw_docs"),
+            F.col("surviving_docs").cast("long").alias("surviving_docs"),
+            F.col("raw_tokens").cast("long").alias("raw_tokens"),
+            F.col("surviving_tokens").cast("long").alias("surviving_tokens"),
+            F.round(
+                F.col("surviving_tokens") / F.col("raw_tokens").cast("double"),
+                6,
+            ).alias("token_yield"),
+        )
+        .orderBy("lang")
+    )

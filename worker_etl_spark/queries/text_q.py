@@ -1103,3 +1103,124 @@ def t16_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "llr", F.col("rnk").cast("int").alias("rnk"))
         .orderBy("source", "rnk")
     )
+
+
+# --- t17: Count-Min sketch + exact audit ---------------------------------------
+import random as _random
+
+_CMS_P = 2147483647
+_CMS_W = 512   # buckets per row
+_CMS_D = 4     # hash rows (estimate = min over rows)
+_cms_rng = _random.Random(20260814)
+_CMS_HASHES: list[tuple[int, int]] = [
+    (_cms_rng.randrange(1, 1_000_000), _cms_rng.randrange(0, _CMS_P))
+    for _ in range(_CMS_D)
+]
+_T17_TOP = 10
+
+
+def _cms_bucket(i: int) -> str:
+    a, b = _CMS_HASHES[i]
+    return f"((h * {a} + {b}) % {_CMS_P}) % {_CMS_W}"
+
+
+@register(
+    "t17_countmin_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({sql_tokens(sql_norm_text('text'))}) AS term FROM documents
+    ),
+    th AS (SELECT term, {sql_hex_int('term')} AS h FROM tok),
+    cms AS (
+      SELECT i, bucket, count(*) AS c FROM (
+        {" UNION ALL ".join(f"SELECT {i} AS i, {_cms_bucket(i)} AS bucket FROM th" for i in range(_CMS_D))}
+      ) GROUP BY i, bucket
+    ),
+    exact AS (
+      SELECT term, any_value(h) AS h, count(*) AS exact
+      FROM th GROUP BY term
+      ORDER BY exact DESC, term LIMIT {_T17_TOP}
+    ),
+    probes AS (
+      {" UNION ALL ".join(f"SELECT term, exact, {i} AS i, {_cms_bucket(i)} AS bucket FROM exact" for i in range(_CMS_D))}
+    ),
+    est AS (
+      SELECT p.term, any_value(p.exact) AS exact, min(c.c) AS est
+      FROM probes p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+      GROUP BY p.term
+    )
+    SELECT term,
+           CAST(exact AS BIGINT)       AS exact,
+           CAST(est AS BIGINT)         AS est,
+           CAST(est - exact AS BIGINT) AS overestimate
+    FROM est ORDER BY exact DESC, term
+    """,
+)
+def t17_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, public) built
+    distributively, audited against exact counts: the token stream updates
+    a {_CMS_D}x{_CMS_W} counter matrix ({_CMS_D} pairwise-independent hash
+    rows; one tiny aggregate, the sketch IS the groupBy result), and each
+    of the top-{_T17_TOP} exact terms probes its {_CMS_D} buckets — the
+    estimate (min over rows) must over-count by construction, never
+    under-count, and the audit reports by how much.  Everything is integer
+    arithmetic on embedded hash constants, so unlike the built-in sketch
+    ops (q29, rows-only), this sketch is value-hash-checked cross-engine.
+
+    Scale shape: sketch build is one map-side-combined aggregate to
+    {_CMS_D}·{_CMS_W} cells — CONSTANT state regardless of corpus size
+    (the point of a sketch: mergeable across partitions, bounded memory);
+    probes are a broadcast join of {_T17_TOP}·{_CMS_D} rows against it.
+    No reference counterpart (SURVEY.md §2 Part B)."""
+    d = read_table(spark, sf_dir, "documents")
+    th = spread(
+        d.select(norm_text(F.col("text")).alias("nt"))
+    ).select(F.explode(tokens(F.col("nt"))).alias("term")).select(
+        "term", hex_int(F.col("term")).alias("h")
+    )
+    cells = th.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_cms_bucket(i)).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("x")
+    ).select("x.i", "x.bucket")
+    cms = cells.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        th.groupBy("term")
+        .agg(F.first("h").alias("h"), F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), "term")
+        .limit(_T17_TOP)
+    )
+    probes = exact.select(
+        "term",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_cms_bucket(i)).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("x"),
+    ).select("term", "exact", "x.i", "x.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("term")
+        .agg(F.first("exact").alias("exact"), F.min("c").alias("est"))
+    )
+    return est.select(
+        "term",
+        F.col("exact").cast("long").alias("exact"),
+        F.col("est").cast("long").alias("est"),
+        (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
+    ).orderBy(F.desc("exact"), "term")
