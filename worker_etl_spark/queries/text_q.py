@@ -1224,3 +1224,126 @@ def t17_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").cast("long").alias("est"),
         (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
     ).orderBy(F.desc("exact"), "term")
+
+
+# --- t18: bigram-LM perplexity proxy (LM-based quality filtering) -------------
+_T18_SCALE = 1_000_000_000  # ln values rounded to 1e-9 and summed as BIGINTs
+
+
+@register(
+    "t18_bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {sql_tokens(sql_norm_text('text'))} AS toks
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, lang,
+             toks[i] AS w1, toks[i + 1] AS w2
+      FROM toks, unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+    ),
+    bg_counts AS (SELECT w1, w2, count(*) AS cb FROM bigrams GROUP BY w1, w2),
+    ug_counts AS (SELECT w1, count(*) AS cu FROM bigrams GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w2) AS v FROM bigrams),
+    scored AS (
+      SELECT b.doc_id, b.lang,
+             -- add-1-smoothed bigram logprob, fixed-point at 1e-9 so the
+             -- per-doc SUM is exact integer arithmetic (double sums are
+             -- order-dependent; ln inputs are exact integer ratios)
+             CAST(round(ln((bc.cb + 1) / CAST(uc.cu + vv.v AS DOUBLE))
+                        * {_T18_SCALE}) AS BIGINT) AS lp
+      FROM bigrams b
+      JOIN bg_counts bc USING (w1, w2)
+      JOIN ug_counts uc USING (w1)
+      CROSS JOIN vocab vv
+    ),
+    per_doc AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             count(*) AS n_bigrams,
+             CAST(-sum(lp) // count(*) AS BIGINT) AS nll_e9
+      FROM scored GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT)        AS total_bigrams,
+           CAST(min(nll_e9) AS BIGINT)           AS min_nll_e9,
+           CAST(max(nll_e9) AS BIGINT)           AS max_nll_e9,
+           CAST(sum(nll_e9) // count(*) AS BIGINT) AS avg_nll_e9
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def t18_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality filtering (the CCNet/perplexity-filter recipe,
+    public): train an add-1-smoothed bigram LM on the corpus itself, score
+    every document by its average per-bigram negative log-likelihood, and
+    report the per-language NLL distribution — keyword-stuffed or
+    boilerplate pages score as outliers against the corpus LM where
+    surface heuristics (t02) miss them.  Determinism engineering: each
+    bigram's log-probability is an ln of an EXACT integer ratio, rounded
+    to 1e-9 and summed as BIGINT fixed point, so per-doc and per-lang
+    aggregates are bit-identical cross-engine (a double sum would be
+    summation-order lore).
+
+    Scale shape: bigram explode → (w1,w2) and (w1) count aggregates
+    (map-side combined, vocab-grain results); scoring re-joins the bigram
+    stream against both count tables on their keys (the LM "training" and
+    "scoring" passes of the real recipe); one doc-grain and one lang-grain
+    aggregate close it out.  No reference counterpart (SURVEY.md §2)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = spread(
+        d.select("doc_id", "lang", tokens(norm_text(F.col("text"))).alias("toks"))
+    ).filter(F.size("toks") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ug_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = bigrams.agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(ug_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v")).cast("double"))
+                * _T18_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("CAST(-sum(lp) div count(*) AS BIGINT)").alias("nll_e9"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.min("nll_e9").alias("min_nll_e9"),
+            F.max("nll_e9").alias("max_nll_e9"),
+            F.expr("CAST(sum(nll_e9) div count(*) AS BIGINT)").alias("avg_nll_e9"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_bigrams").cast("long").alias("total_bigrams"),
+            "min_nll_e9",
+            "max_nll_e9",
+            "avg_nll_e9",
+        )
+        .orderBy("lang")
+    )
