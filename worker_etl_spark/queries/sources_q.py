@@ -1304,3 +1304,51 @@ def w12_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "m", "event_type")
     )
+
+
+# --- src13: XML ingest (Spark 4 native XML source) -----------------------------
+@register(
+    "src13_xml_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey,
+           n_name,
+           'desc <' || n_name || '> & "co"' AS description,
+           n_regionkey::BIGINT AS region
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def src13_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest through Spark 4's NATIVE xml source (spark-xml folded
+    into core): rowTag-delimited records with both element children and an
+    ATTRIBUTE (`region`, surfacing as `_region`), plus entity-escaped
+    payload (&amp; &lt; &gt; &quot;) that must round-trip to the raw
+    characters.  The schema is inferred by the source (long for digits,
+    string otherwise) and the attribute column renames to its logical
+    name on the way out.
+
+    Scale: the XML reader splits by rowTag across file blocks — records
+    parallelize like CSV lines; the entity unescape is checked character-
+    for-character by the oracle.  Reference routes csv/xlsx/parquet only
+    (`etl.py:515-529`); XML is the next legacy-integration format after
+    fixed-width (src10)."""
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src13_")
+    path = os.path.join(tmp, "nation.xml")
+    with open(path, "w") as fh:
+        fh.write("<nations>\n")
+        for r in n:
+            fh.write(
+                f'  <nation region="{r.n_regionkey}">'
+                f"<n_nationkey>{r.n_nationkey}</n_nationkey>"
+                f"<n_name>{r.n_name}</n_name>"
+                f"<description>desc &lt;{r.n_name}&gt; &amp; &quot;co&quot;</description>"
+                f"</nation>\n"
+            )
+        fh.write("</nations>\n")
+    df = spark.read.option("rowTag", "nation").format("xml").load(path)
+    return df.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        "description",
+        F.col("_region").cast("long").alias("region"),
+    ).orderBy("n_nationkey")
