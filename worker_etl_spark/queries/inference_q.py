@@ -750,3 +750,89 @@ def i13_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violating").cast("long").alias("n_violating"),
         (F.col("n_violating") == 0).alias("holds"),
     ).orderBy("fd")
+
+
+# --- i14: group-median imputation ----------------------------------------------
+_I14_NULL_STRIDE = 13  # o_orderkey % stride == 0 → price masked to NULL
+
+
+@register(
+    "i14_median_imputation",
+    oracle=f"""
+    WITH masked AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % {_I14_NULL_STRIDE} = 0 THEN NULL
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS c
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderpriority,
+             -- interpolated median of cents lands on whole or half cents:
+             -- double it into exact BIGINT half-cent units
+             CAST(round(quantile_cont(c, 0.5) * 2) AS BIGINT) AS med_hc
+      FROM masked WHERE c IS NOT NULL GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority,
+           CAST(count(*) AS BIGINT)                          AS n_rows,
+           CAST(count(*) FILTER (WHERE m.c IS NULL) AS BIGINT) AS n_imputed,
+           d.med_hc / 200.0                                  AS imputed_value,
+           (sum(coalesce(m.c, 0)) * 2
+              + count(*) FILTER (WHERE m.c IS NULL) * d.med_hc) / 200.0
+                                                             AS total_after
+    FROM masked m JOIN med d USING (o_orderpriority)
+    GROUP BY m.o_orderpriority, d.med_hc
+    ORDER BY m.o_orderpriority
+    """,
+)
+def i14_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation — the standard numeric missing-value repair
+    (median, not mean: robust to the skewed totals a mean would chase):
+    deterministically masked prices impute from their order-priority
+    group's EXACT interpolated median.  Determinism engineering: an
+    interpolated median of integer cents is always a whole or half cent,
+    so it is carried as BIGINT half-cent units and the post-imputation
+    total is pure integer arithmetic — no float rounding boundary for a
+    x.xx5 tie to flip (the q52 lesson, applied to percentiles).
+
+    Scale shape: pass 1 computes per-group medians (an exact percentile —
+    sort-based within the aggregate; the sketch path q29 is the 100 TB
+    alternative); the group-grain result broadcasts back for pass 2's
+    imputation + totals, the same two-pass broadcast-back plan as q56.
+    No reference counterpart: the reference NULLs failed coercions and
+    moves on (`etl.py:1047-1075`); imputation is the downstream repair."""
+    o = read_table(spark, sf_dir, "orders")
+    masked = o.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % _I14_NULL_STRIDE == 0, None)
+        .otherwise(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("c"),
+    )
+    med = (
+        masked.filter(F.col("c").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(c, 0.5)") * 2, 0)
+            .cast("long")
+            .alias("med_hc")
+        )
+    )
+    return (
+        masked.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", "med_hc")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("c").isNull(), 1)).alias("n_imputed"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("sum_c"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_imputed").cast("long").alias("n_imputed"),
+            (F.col("med_hc") / F.lit(200.0)).alias("imputed_value"),
+            (
+                (F.col("sum_c") * 2 + F.col("n_imputed") * F.col("med_hc"))
+                / F.lit(200.0)
+            ).alias("total_after"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2933,3 +2933,99 @@ def q63_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation_rows.unionByName(region_rows).orderBy(
         "level", "region", F.col("nation").asc_nulls_first()
     )
+
+
+# --- q65: interval-union coverage (sweep line) ---------------------------------
+@register(
+    "q65_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT)
+               + CAST(floor(value) AS BIGINT) * 1000000 AS e
+      FROM events WHERE value >= 1
+    ),
+    pts AS (
+      SELECT user_id, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS delta FROM iv
+    ),
+    sweep AS (
+      SELECT user_id, t,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS active,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, delta DESC)
+               AS t_next
+      FROM pts
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE active > 0 AND t_next > t) AS BIGINT)
+             AS n_segments,
+           CAST(sum(CASE WHEN active > 0 THEN t_next - t ELSE 0 END)
+                // 1000000 AS BIGINT) AS covered_seconds
+    FROM sweep WHERE t_next IS NOT NULL
+    GROUP BY user_id ORDER BY user_id LIMIT 50
+    """,
+)
+def q65_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per user (sweep line): each event opens an
+    interval of `floor(value)` seconds, and the answer is the length of
+    the union — overlaps counted ONCE, which no plain aggregate over the
+    raw intervals can produce (summing durations double-counts).  The
+    sweep explodes every interval into (+1 start, −1 end) boundary points;
+    a running sum over the per-user time order tracks how many intervals
+    are active, and each inter-point gap with active>0 contributes to the
+    union.  Epoch-microsecond BIGINT arithmetic end-to-end; coincident
+    boundaries order starts before ends (delta DESC) so touching
+    intervals merge.  The uptime/SLA/session-coverage primitive.
+
+    Scale shape: boundary explode is exactly 2 rows per event; one shuffle
+    on user_id serves both window functions; final aggregate is user-grain.
+    No reference counterpart (SURVEY.md §2 Part B)."""
+    e = _t(spark, sf_dir, "events")
+    # NTZ→TIMESTAMP cast is value-preserving under the pinned-UTC session
+    # (same convention as streaming/event_time._ensure_event_time)
+    ts = F.col("ts").cast("timestamp")
+    iv = e.filter(F.col("value") >= 1).select(
+        "user_id",
+        F.unix_micros(ts).alias("s"),
+        (F.unix_micros(ts) + F.floor(F.col("value")).cast("long") * 1_000_000).alias(
+            "e"
+        ),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("t"), F.col("delta").desc())
+    sweep = pts.select(
+        "user_id",
+        "t",
+        F.sum("delta")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("active"),
+        F.lead("t").over(w).alias("t_next"),
+    )
+    return (
+        sweep.filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(
+                F.when((F.col("active") > 0) & (F.col("t_next") > F.col("t")), 1)
+            ).alias("n_segments"),
+            F.expr(
+                "CAST(sum(CASE WHEN active > 0 THEN t_next - t ELSE 0 END)"
+                " div 1000000 AS BIGINT)"
+            ).alias("covered_seconds"),
+        )
+        .select(
+            "user_id",
+            F.col("n_segments").cast("long").alias("n_segments"),
+            "covered_seconds",
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )
