@@ -404,3 +404,72 @@ def evt08_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- evt09: record-high events (change-log compaction shape) ------------------
+@register(
+    "evt09_record_high_events",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, cents,
+             max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+      FROM c
+    )
+    SELECT user_id, event_id, cents / 100.0 AS record_value
+    FROM marked
+    WHERE prev_max IS NULL OR cents > prev_max
+    ORDER BY user_id, event_id
+    """,
+)
+def evt09_record_high_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user record-high events — emit a row only when it strictly
+    exceeds every prior value for that user (the change-log-compaction /
+    personal-best shape behind leaderboards and high-water-mark alerting).
+    Batch form: one window (running max over the (ts, event_id) order,
+    frame ending 1 PRECEDING) + a filter, cent-exact.
+
+    Streaming form (documented, not buildable in this environment): the
+    natural fit is Spark 4's ``transformWithState`` v2 API — ONE BIGINT
+    ``ValueState`` per key holding the running max, emit-on-exceed.  The
+    v2 Python client speaks protobuf to the JVM and this container's
+    ``google.protobuf`` is broken (no installs permitted), so the v1
+    operators (``sessionize_stateful``, ``cusum_stateful`` —
+    applyInPandasWithState) remain the tested stateful surface; the same
+    semantics stream through ``cusum_stateful``'s fold pattern with a
+    one-field state tuple if needed today.
+
+    Scale: one shuffle on user_id; emitted rows are the record-setting
+    subset (≪ input for any non-monotone value stream)."""
+    from pyspark.sql.window import Window as W
+
+    e = read_table(spark, sf_dir, "events")
+    c = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = c.withColumn("prev_max", F.max("cents").over(w))
+    return (
+        marked.filter(
+            F.col("prev_max").isNull() | (F.col("cents") > F.col("prev_max"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("cents") / F.lit(100.0)).alias("record_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
