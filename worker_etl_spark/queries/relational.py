@@ -3029,3 +3029,97 @@ def q65_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(50)
     )
+
+
+# --- q66: exact-sum Pearson correlation ----------------------------------------
+@register(
+    "q66_exact_correlation",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_quantity) AS BIGINT)                  AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT)       AS y,
+             CAST(round(l_discount * 100) AS BIGINT)            AS z
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+             sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+      FROM c
+    )
+    SELECT 'qty_vs_price' AS pair,
+           round((n * sxy - sx * sy) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+    FROM s
+    UNION ALL
+    SELECT 'qty_vs_discount',
+           round((n * sxz - sx * sz) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * szz - sz * sz AS DOUBLE)), 6)
+    FROM s
+    UNION ALL
+    SELECT 'price_vs_discount',
+           round((n * syz - sy * sz) /
+                 sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                      * CAST(n * szz - sz * sz AS DOUBLE)), 6)
+    FROM s
+    ORDER BY pair
+    """,
+)
+def q66_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over fact measures with EXACT-integer
+    moment sums: the built-in `corr` accumulates floating covariances in
+    partition order, so its last ulps are nondeterministic across runs and
+    engines — here every moment (Σx, Σxy, Σx², …) is integer arithmetic on
+    cent/unit-scaled BIGINTs accumulated as DECIMAL(38,0) (overflow-safe:
+    Σy² at 100 TB exceeds int64), and only the FINAL closed-form division
+    touches doubles, computed from identical integers on both engines.
+    One scan, one reduce: all nine moments ride a single aggregate.
+
+    Scale: the moment vector is a constant-size accumulator (the classic
+    "sufficient statistics" pattern — same algebraic-merge property as
+    q52's partials), so the whole correlation matrix costs one map-side-
+    combined pass regardless of data size."""
+    l = _t(spark, sf_dir, "lineitem")
+    c = l.select(
+        F.round(F.col("l_quantity"), 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("z"),
+    )
+    d38 = "decimal(38,0)"
+    s = c.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("z").cast(d38)).alias("sz"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum((F.col("z") * F.col("z")).cast(d38)).alias("szz"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("z")).cast(d38)).alias("sxz"),
+        F.sum((F.col("y") * F.col("z")).cast(d38)).alias("syz"),
+    )
+
+    def corr_row(name: str, sab: str, a: str, b: str):
+        num = (F.col("n") * F.col(sab) - F.col(f"s{a}") * F.col(f"s{b}")).cast(
+            "double"
+        )
+        da = (
+            F.col("n") * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
+        ).cast("double")
+        db = (
+            F.col("n") * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
+        ).cast("double")
+        return s.select(
+            F.lit(name).alias("pair"),
+            F.round(num / F.sqrt(da * db), 6).alias("r"),
+        )
+
+    out = (
+        corr_row("qty_vs_price", "sxy", "x", "y")
+        .unionByName(corr_row("qty_vs_discount", "sxz", "x", "z"))
+        .unionByName(corr_row("price_vs_discount", "syz", "y", "z"))
+    )
+    return out.orderBy("pair")
