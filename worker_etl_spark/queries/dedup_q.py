@@ -944,6 +944,7 @@ def d11_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- d12: containment pairs (asymmetric excerpt/quote detection) --------------
 @register(
     "d12_containment_pairs",
+    headline=True,
     oracle=f"""
     WITH {_SQL_SHINGLES},
     rare AS (

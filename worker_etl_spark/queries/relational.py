@@ -2516,6 +2516,7 @@ def q56_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q57: market-share star join (TPC-H Q8 shape) ------------------------------
 @register(
     "q57_market_share",
+    headline=True,
     oracle="""
     WITH flat AS (
       SELECT year(o_orderdate) AS yr,
@@ -2776,6 +2777,7 @@ _Q62_WIN_DAYS = 7
 
 @register(
     "q62_sliding_distinct_users",
+    headline=True,
     oracle=f"""
     WITH ev AS (
       SELECT event_type, user_id, CAST(date_trunc('day', ts) AS DATE) AS d
@@ -2938,6 +2940,7 @@ def q63_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q65: interval-union coverage (sweep line) ---------------------------------
 @register(
     "q65_interval_coverage",
+    headline=True,
     oracle="""
     WITH iv AS (
       SELECT user_id,

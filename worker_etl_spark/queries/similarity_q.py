@@ -831,6 +831,7 @@ def _sql_pq_dist(a: str, b: str) -> str:
 
 @register(
     "s06_pq_adc_topk",
+    headline=True,
     oracle=f"""
     WITH s AS ({_sq_scale_sql()}),
     v AS (

@@ -1126,6 +1126,7 @@ def _cms_bucket(i: int) -> str:
 
 @register(
     "t17_countmin_audit",
+    headline=True,
     oracle=f"""
     WITH tok AS (
       SELECT unnest({sql_tokens(sql_norm_text('text'))}) AS term FROM documents
@@ -1232,6 +1233,7 @@ _T18_SCALE = 1_000_000_000  # ln values rounded to 1e-9 and summed as BIGINTs
 
 @register(
     "t18_bigram_perplexity",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang, {sql_tokens(sql_norm_text('text'))} AS toks
