@@ -75,7 +75,21 @@ def main() -> int:
 
     only = set(sys.argv[1:])
     registry = load_all()
-    spark = get_spark("check_oracle")
+    if os.environ.get("SPARK_GRAFT_ORACLE_VANILLA") == "1":
+        # Replicate the DRIVER's environment: a plain SparkSession with
+        # default confs (200 shuffle partitions, system tz, no tuned knobs) —
+        # the gate the driver actually runs; the tuned session can mask
+        # conf-sensitive divergence.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
