@@ -1352,3 +1352,61 @@ def src13_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "description",
         F.col("_region").cast("long").alias("region"),
     ).orderBy("n_nationkey")
+
+
+# --- src14: columnar compression codec matrix ----------------------------------
+_SRC14_CODECS = ["snappy", "gzip", "zstd"]
+
+
+@register(
+    "src14_codec_roundtrip",
+    oracle="""
+    SELECT codec,
+           CAST(n AS BIGINT) AS n,
+           revenue
+    FROM (
+      SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec
+    ), (
+      SELECT count(*) AS n,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    )
+    ORDER BY codec
+    """,
+)
+def src14_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec matrix: the same fact slice written as parquet
+    under snappy (the throughput default), gzip (legacy interop), and zstd
+    (the modern ratio/speed frontier) must read back value-identical —
+    codec choice is a storage knob, never a semantics knob, and this is
+    the check that proves it per codec.  At 100 TB the codec decision is
+    worth ~2× storage and is made per-table; all three paths share one
+    write pipeline with only ``compression`` varying, and every codec
+    here is SPLITTABLE at the row-group level (unlike whole-file gzip
+    text, src07's documented caveat).
+
+    Scale: one slice write + one aggregate per codec; the aggregate
+    result is codec-independent by construction, which is exactly what
+    the oracle pins."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    tmp = tempfile.mkdtemp(prefix="src14_")
+    frames = []
+    for codec in _SRC14_CODECS:
+        loc = os.path.join(tmp, codec)
+        li.write.mode("overwrite").option("compression", codec).parquet(loc)
+        back = spark.read.parquet(loc)
+        frames.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.orderBy("codec")
