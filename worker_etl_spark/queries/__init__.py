@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "t18_bigram_perplexity", "w12_partition_evolution", "src13_xml_ingest",
     "q65_interval_coverage", "i14_median_imputation", "evt09_record_high_events",
     "q66_exact_correlation", "src14_codec_roundtrip",
+    "q67_cohort_retention", "q68_ordered_funnel", "w13_compaction_plan",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -3126,3 +3126,153 @@ def q66_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(corr_row("price_vs_discount", "syz", "y", "z"))
     )
     return out.orderBy("pair")
+
+
+# --- q67: weekly cohort retention ----------------------------------------------
+@register(
+    "q67_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    sized AS (SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY cohort),
+    cells AS (
+      SELECT f.cohort, CAST((a.wk - f.cohort) / 7 AS BIGINT) AS week_idx,
+             count(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN firsts f USING (user_id)
+      GROUP BY f.cohort, week_idx
+    )
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+           c.week_idx,
+           CAST(c.n_active AS BIGINT)     AS n_active,
+           CAST(s.cohort_size AS BIGINT)  AS cohort_size,
+           round(c.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM cells c JOIN sized s USING (cohort)
+    ORDER BY cohort, week_idx
+    """,
+)
+def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the canonical product-analytics matrix:
+    users cohort by their FIRST event's ISO week, every (cohort, weeks-
+    since) cell counts distinct still-active users, and retention divides
+    by cohort size.  Week arithmetic stays integer ((week − cohort)/7 on
+    DATE subtraction), so the matrix is exact.
+
+    Scale shape: one per-user min (map-side combined), one distinct at
+    (user, week) grain, one key-equi join back on user, and a cohort-grain
+    rollup — the fact never self-joins, which is what kills the naive
+    cohort × week cross-filter formulation at 100 TB.
+    No reference counterpart (SURVEY.md §2 Part B)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    sized = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_idx"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sized), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "week_idx",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "week_idx")
+    )
+
+
+# --- q68: ordered multi-step funnel --------------------------------------------
+@register(
+    "q68_ordered_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS name, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'view>click', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'view>click>purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    ORDER BY step
+    """,
+)
+def q68_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel conversion (view → click → purchase, each step
+    strictly AFTER the previous step's first completion) — the sequencing
+    makes this different from p01's unordered quality funnel and from
+    plain per-type counts: a purchase before the first view does not
+    convert.  Step k is "first qualifying event after step k−1's
+    timestamp", computed as cascading per-user conditional mins — each
+    stage is one key-equi join (user grain, shrinking) + one aggregate.
+
+    Scale: the events table is scanned once per step with the step's type
+    filter pushed to the scan; joins are user-grain (≪ event-grain).  A
+    single-scan alternative (min-over-window per type then sequential
+    comparison) trades scans for a 3-way conditional aggregate; the
+    cascading form generalizes to arbitrary step predicates.
+    No reference counterpart (SURVEY.md §2 Part B)."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def row(step: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        row(1, "view", v)
+        .unionByName(row(2, "view>click", c))
+        .unionByName(row(3, "view>click>purchase", p))
+        .orderBy("step")
+    )

@@ -1410,3 +1410,82 @@ def src14_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out.orderBy("codec")
+
+
+# --- w13: small-file compaction planner ----------------------------------------
+_W13_TARGET_ROWS = 120  # target rows per compacted output file (scaled-down
+                        # stand-in for the 128 MB-per-file production target)
+
+
+@register(
+    "w13_compaction_plan",
+    oracle=f"""
+    WITH inv AS (
+      -- synthetic file inventory: one "file" per event day, size = row count
+      -- (the deterministic stand-in for a real listing's file sizes)
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS f, count(*) AS rows_
+      FROM events GROUP BY 1
+    ),
+    planned AS (
+      SELECT f, rows_,
+             -- greedy sequential packing: bin = floor(cumulative-before / target)
+             CAST(floor((sum(rows_) OVER (ORDER BY f
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                        / {_W13_TARGET_ROWS}.0) AS BIGINT) AS bin
+      FROM inv
+    )
+    SELECT coalesce(bin, 0) AS bin,
+           CAST(count(*) AS BIGINT)   AS n_files,
+           CAST(sum(rows_) AS BIGINT) AS total_rows,
+           strftime(min(f), '%Y-%m-%d') AS first_file,
+           strftime(max(f), '%Y-%m-%d') AS last_file
+    FROM planned GROUP BY 1 ORDER BY bin
+    """,
+)
+def w13_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING — the maintenance pass every lake
+    table needs when streaming ingest leaves thousands of KB-sized files
+    (each file costs a task + an open at read time): group the file
+    inventory into sequential bins of ~target size with a greedy
+    cumulative-sum rule (`bin = floor(cum_before / target)`), preserving
+    sort order so compaction doesn't destroy the w05 clustering.  The
+    planner is pure window arithmetic over the |files| inventory — the
+    DATA never moves until the plan executes (w03 is the execution half:
+    coalesce+rewrite).
+
+    Scale: the inventory is |files| rows (metadata-sized); one ordered
+    window over it.  A real run feeds the listing straight in; the
+    synthetic per-day inventory here keeps the oracle exact.
+    Public pattern: Delta OPTIMIZE / Iceberg rewrite_data_files binning."""
+    e = read_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    inv = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("f")
+    ).agg(F.count(F.lit(1)).alias("rows_"))
+    w = W.orderBy("f").rowsBetween(W.unboundedPreceding, -1)
+    planned = inv.select(
+        "f",
+        "rows_",
+        F.coalesce(
+            F.floor(F.sum("rows_").over(w) / float(_W13_TARGET_ROWS)).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("bin"),
+    )
+    return (
+        planned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("rows_").alias("total_rows"),
+            F.date_format(F.min("f"), "yyyy-MM-dd").alias("first_file"),
+            F.date_format(F.max("f"), "yyyy-MM-dd").alias("last_file"),
+        )
+        .select(
+            "bin",
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("total_rows").cast("long").alias("total_rows"),
+            "first_file",
+            "last_file",
+        )
+        .orderBy("bin")
+    )
