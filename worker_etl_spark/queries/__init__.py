@@ -108,6 +108,7 @@ _PRIORITY: list[str] = [
     "q65_interval_coverage", "i14_median_imputation", "evt09_record_high_events",
     "q66_exact_correlation", "src14_codec_roundtrip",
     "q67_cohort_retention", "q68_ordered_funnel", "w13_compaction_plan",
+    "d13_banding_pr_audit", "p10_tokenizer_fertility", "evt10_disorder_diagnostics",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -757,3 +757,66 @@ def p09_dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- p10: tokenizer fertility audit --------------------------------------------
+from worker_etl_spark.queries.text_q import _SQL_BPE as _P10_SQL_BPE
+
+
+@register(
+    "p10_tokenizer_fertility",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             len(regexp_extract_all(text, '{_P10_SQL_BPE}')) AS n_subwords
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(n_words) AS BIGINT)    AS total_words,
+           CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+           round(sum(n_subwords) / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+)
+def p10_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit (subword pieces emitted per whitespace
+    word) — the standard tokenizer-evaluation metric for multilingual
+    corpora: a language whose fertility is far above the corpus norm pays
+    proportionally more context window per sentence, which distorts both
+    the effective mixture (p05 reweights by tokens, not words) and
+    training cost.  Reuses the t01 whitespace tokenization and t08's
+    BPE-ish regex pre-tokenizer verbatim, joined at language grain.
+
+    Scale: two scan-fused regex projections + one lang-grain aggregate —
+    no join, no shuffle beyond the 5-row combine."""
+    from worker_etl_spark.queries.text_q import _BPE_RE
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_words"),
+        # pattern via F.lit, never F.expr (SQL literals eat backslashes/quotes)
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
+            "n_subwords"
+        ),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_subwords").alias("total_subwords"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_words").cast("long").alias("total_words"),
+            F.col("total_subwords").cast("long").alias("total_subwords"),
+            F.round(
+                F.col("total_subwords") / F.col("total_words").cast("double"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

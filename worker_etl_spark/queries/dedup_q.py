@@ -1030,3 +1030,119 @@ def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment"), "doc_a", "doc_b")
         .limit(15)
     )
+
+
+# --- d13: banding precision/recall audit ---------------------------------------
+_D13_THRESHOLDS = (0.5, 0.7, 0.9)
+
+_SQL_D13_CAND = f"""
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {band} AS band_id, {_band_sig_sql(band)} AS sig FROM sigs"
+          for band in range(_N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "d13_banding_pr_audit",
+    oracle=_SQL_SIGNATURES
+    + f"""
+    , {_SQL_D13_CAND},
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)),
+    card AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      -- round like the Spark side's shared pair frame so a threshold can't
+      -- fall between the rounded and unrounded value of one pair
+      SELECT i.doc_a, i.doc_b,
+             round(i.c / CAST(ca.n + cb.n - i.c AS DOUBLE), 6) AS j
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.doc_a
+      JOIN card cb ON cb.doc_id = i.doc_b
+    ),
+    n_cand AS (SELECT count(*) AS nc FROM cand)
+    SELECT t.threshold,
+           CAST((SELECT count(*) FROM truth WHERE j >= t.threshold) AS BIGINT)
+             AS n_relevant,
+           CAST((SELECT nc FROM n_cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth tr JOIN cand c
+                  ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b
+                 WHERE tr.j >= t.threshold) AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM truth tr JOIN cand c
+                   ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b
+                  WHERE tr.j >= t.threshold)
+                 / greatest(CAST((SELECT count(*) FROM truth
+                                  WHERE j >= t.threshold) AS DOUBLE), 1),
+                 6) AS recall
+    FROM (SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in _D13_THRESHOLDS)}]) AS threshold) t
+    ORDER BY t.threshold
+    """,
+)
+def d13_banding_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding RECALL audit against exact ground truth: for each
+    similarity threshold, how many of the truly-similar pairs (exact
+    Jaccard over the rare-blocked shingle universe) does the 4×4 banding
+    actually surface as candidates?  This is the measurement that
+    justifies banding parameters — theory says P(candidate) = 1-(1-s⁴)⁴
+    (≈0.99 at s=0.9, ≈0.66 at s=0.7, ≈0.22 at s=0.5), and the audit
+    checks the REAL corpus against that curve; a recall collapse at the
+    operating threshold means re-tune bands before trusting d07's
+    clusters.
+
+    Scale shape: candidates come from the band self-join (bounded per
+    bucket); truth from the d05 blocked-pair program (bounded per rare
+    shingle); the audit joins two pair tables (both ≪ corpus²) and the
+    thresholds explode from a 3-row literal.  Ground truth is restricted
+    to the SAME blocked universe the pipeline verifies in — the audit
+    measures the banding stage, not the (separately capped) blocking."""
+    sigs = _signatures(spark, sf_dir)
+    bands = None
+    for band in range(_N_BANDS):
+        cols = [f"m{band * _ROWS_PER_BAND + r:02d}" for r in range(_ROWS_PER_BAND)]
+        expr = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        b = sigs.select("doc_id", F.lit(band).alias("band_id"), expr.alias("sig"))
+        bands = b if bands is None else bands.unionAll(b)
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    truth = _jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j")
+    )
+    n_cand = cand.count()
+    rows = []
+    for t in _D13_THRESHOLDS:
+        rel = truth.filter(F.col("j") >= t)
+        n_rel = rel.count()
+        n_hit = rel.join(cand, ["doc_a", "doc_b"]).count()
+        rows.append(
+            (t, n_rel, n_cand, n_hit, round(n_hit / max(n_rel, 1), 6))
+        )
+    cand.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "threshold double, n_relevant long, n_candidates long, n_hit long,"
+        " recall double",
+    ).orderBy("threshold")

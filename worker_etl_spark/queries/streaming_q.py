@@ -473,3 +473,79 @@ def evt09_record_high_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- evt10: event-time disorder diagnostics ------------------------------------
+@register(
+    "evt10_disorder_diagnostics",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY event_type ORDER BY event_id) AS prev_ts
+      FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             (prev_ts IS NOT NULL AND ts < prev_ts) AS ooo,
+             CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                  THEN CAST(epoch_us(prev_ts) - epoch_us(ts) AS BIGINT)
+                  ELSE 0 END AS regress_us
+      FROM seq
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                      AS n_events,
+           CAST(count(*) FILTER (WHERE ooo) AS BIGINT)   AS n_out_of_order,
+           round(count(*) FILTER (WHERE ooo)
+                 / CAST(count(*) AS DOUBLE), 6)          AS ooo_rate,
+           CAST(max(regress_us) // 1000000 AS BIGINT)    AS max_regress_seconds
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def evt10_disorder_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time DISORDER diagnostics — the measurement that sizes a
+    watermark before anyone guesses one: treating event_id as arrival
+    order, how often does event time regress against arrival order per
+    stream, and by how much at worst?  The max regression IS the lateness
+    bound a `withWatermark` delay must cover (evt01's '30 minutes' is a
+    policy; this query is the evidence), and the rate says how much data a
+    too-tight watermark would silently drop.
+
+    Scale shape: one shuffle on event_type for the arrival-order window,
+    then a type-grain aggregate; regression is exact epoch-µs integer
+    arithmetic.  No reference counterpart (SURVEY.md §2)."""
+    from pyspark.sql.window import Window as W
+
+    e = read_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = W.partitionBy("event_type").orderBy("event_id")
+    seq = e.select(
+        "event_type", F.unix_micros(ts).alias("us"), F.col("event_id")
+    ).withColumn("prev_us", F.lag("us").over(w))
+    ooo = F.col("prev_us").isNotNull() & (F.col("us") < F.col("prev_us"))
+    d = seq.select(
+        "event_type",
+        ooo.alias("ooo"),
+        F.when(ooo, F.col("prev_us") - F.col("us")).otherwise(F.lit(0)).alias(
+            "regress_us"
+        ),
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("ooo"), 1)).alias("n_ooo"),
+            F.max("regress_us").alias("max_regress_us"),
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_ooo").cast("long").alias("n_out_of_order"),
+            F.round(
+                F.col("n_ooo") / F.col("n_events").cast("double"), 6
+            ).alias("ooo_rate"),
+            F.expr("CAST(max_regress_us div 1000000 AS BIGINT)").alias(
+                "max_regress_seconds"
+            ),
+        )
+        .orderBy("event_type")
+    )
