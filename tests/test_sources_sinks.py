@@ -555,3 +555,33 @@ def test_w10_manifest_prunes_files(spark):
     # every event in range lives in a picked file because files partition ts)
     assert min(r.min_ts for r in picked) <= lo
     assert max(r.max_ts for r in picked) >= hi - dt.timedelta(microseconds=1)
+
+
+def test_w14_vacuum_keeps_recent_and_latest(spark, tmp_path):
+    """vacuum_snapshots must delete only versions older than the retention
+    window, never the committed latest, and leave survivors readable."""
+    import pytest as _pytest
+
+    from worker_etl_spark.sinks.writer import (
+        read_snapshot,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+
+    wh = str(tmp_path)
+    df = spark.range(10).selectExpr("id", "id * 3 AS v")
+    for _ in range(4):
+        snapshot_write(df, wh, "ds", "t")  # versions 1..4
+
+    removed = vacuum_snapshots(wh, "ds", "t", keep=2)
+    assert removed == [1, 2]
+    # survivors still readable; latest resolves
+    assert read_snapshot(spark, wh, "ds", "t", version=3).count() == 10
+    assert read_snapshot(spark, wh, "ds", "t").count() == 10
+    # vacuumed version fails loudly
+    with _pytest.raises(Exception):
+        read_snapshot(spark, wh, "ds", "t", version=1).count()
+    # keep=1 retains only latest
+    assert vacuum_snapshots(wh, "ds", "t", keep=1) == [3]
+    with _pytest.raises(ValueError):
+        vacuum_snapshots(wh, "ds", "t", keep=0)

@@ -836,3 +836,87 @@ def i14_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- i16: per-column value-distribution entropy --------------------------------
+_I16_SCALE = 1_000_000_000  # ln terms rounded to 1e-9, summed as BIGINTs
+_I16_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+@register(
+    "i16_column_entropy",
+    oracle=f"""
+    WITH counts AS (
+      {" UNION ALL ".join(
+          f'''SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS v,
+                     count(*) AS cnt FROM orders GROUP BY 2'''
+          for c in _I16_COLS
+      )}
+    ),
+    tot AS (
+      SELECT column_name, sum(cnt) AS n, count(*) AS n_distinct
+      FROM counts GROUP BY column_name
+    ),
+    terms AS (
+      SELECT c.column_name, t.n, t.n_distinct,
+             -- p·log2(p) at 1e-9 fixed point: exact-integer ratio into log,
+             -- rounded before the cross-value sum (order-independent)
+             CAST(round((c.cnt / CAST(t.n AS DOUBLE))
+                        * log2(c.cnt / CAST(t.n AS DOUBLE))
+                        * {_I16_SCALE}) AS BIGINT) AS term_e9
+      FROM counts c JOIN tot t USING (column_name)
+    )
+    SELECT column_name,
+           CAST(any_value(n) AS BIGINT)          AS n_rows,
+           CAST(any_value(n_distinct) AS BIGINT) AS n_distinct,
+           CAST(-sum(term_e9) AS BIGINT)         AS entropy_bits_e9
+    FROM terms GROUP BY column_name ORDER BY column_name
+    """,
+)
+def i16_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column value-distribution Shannon entropy — the profiling
+    number that ranks columns by information content (near-zero entropy =
+    constant column, log2(n_distinct) = uniform key-like column; the
+    input a feature-selection or encoding-choice pass reads next to
+    i08's min/max/distinct stats).  Each −p·log2(p) term computes from an
+    exact integer ratio, rounds to 1e-9, and sums as BIGINT fixed point —
+    bit-identical across engines regardless of value order (t13's doc-
+    grain trick at column grain).
+
+    Scale: one (column, value)-grain counting aggregate per column (the
+    UNION batches them in one job), marginals re-joined at value grain —
+    distinct-value-sized, not row-sized.  No reference counterpart."""
+    o = read_table(spark, sf_dir, "orders")
+    counts = None
+    for c in _I16_COLS:
+        g = (
+            o.groupBy(F.col(c).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(c).alias("column_name"), "v", "cnt")
+        )
+        counts = g if counts is None else counts.unionByName(g)
+    tot = counts.groupBy("column_name").agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    terms = counts.join(F.broadcast(tot), "column_name").select(
+        "column_name",
+        "n",
+        "n_distinct",
+        F.round(
+            (F.col("cnt") / F.col("n").cast("double"))
+            * F.log2(F.col("cnt") / F.col("n").cast("double"))
+            * _I16_SCALE,
+            0,
+        )
+        .cast("long")
+        .alias("term_e9"),
+    )
+    return (
+        terms.groupBy("column_name")
+        .agg(
+            F.first("n").cast("long").alias("n_rows"),
+            F.first("n_distinct").cast("long").alias("n_distinct"),
+            (-F.sum("term_e9")).cast("long").alias("entropy_bits_e9"),
+        )
+        .orderBy("column_name")
+    )

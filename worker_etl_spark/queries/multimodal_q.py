@@ -457,3 +457,90 @@ def m08_multipart_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --- m09: temporal frame-change (motion) profile -------------------------------
+@register(
+    "m09_frame_motion_profile",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             md5(text)                  AS content_md5
+      FROM documents
+      WHERE doc_id % 3 = 2  -- video kind
+    ),
+    frames AS (
+      SELECT doc_id,
+             unnest(range(0, byte_len // 64 + 1, 4)) AS frame_idx,
+             content_md5
+      FROM meta
+    ),
+    sigs AS (
+      SELECT doc_id, frame_idx,
+             (('0x' || substring(md5(content_md5 || ':' || frame_idx), 1, 8))::BIGINT)
+               AS sig
+      FROM frames
+    ),
+    deltas AS (
+      SELECT doc_id,
+             bit_count(xor(sig, lag(sig) OVER (PARTITION BY doc_id
+                                               ORDER BY frame_idx))) AS d
+      FROM sigs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)      AS n_transitions,
+           CAST(sum(d) // count(*) AS BIGINT) AS avg_change_bits,
+           CAST(max(d) AS BIGINT)        AS max_change_bits
+    FROM deltas WHERE d IS NOT NULL
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def m09_frame_motion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal frame-change profile per video — the scene-cut/motion
+    signal a frame pipeline derives before sampling decisions (static
+    screencasts need fewer frames than action footage): consecutive
+    sampled frames' 32-bit signatures (m03's deterministic stub standing
+    in for perceptual hashes of decoded pixels) XOR into per-transition
+    changed-bit counts, profiled per doc.  The lag runs inside each
+    video's frame order — the temporal-analysis shape the m-family lacked
+    (m04/m06 are spatial/dedup).
+
+    Scale shape: frames already explode in m03's Arrow path; the motion
+    pass is one (doc)-partitioned window + one doc-grain aggregate, all
+    integer arithmetic.  With real codecs the signature becomes a pHash
+    of decoded pixels (decode_media's documented upgrade path) and
+    NOTHING else changes — schema, window, aggregate are codec-blind."""
+    from worker_etl_spark.operators.multimodal import sample_frames
+    from pyspark.sql.window import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(d))
+    sigs = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.conv(F.substring(F.col("frame_md5"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("sig"),
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = sigs.select(
+        "doc_id",
+        F.expr("bit_count(sig ^ lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx))").alias("d"),
+    )
+    return (
+        deltas.filter(F.col("d").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.expr("CAST(sum(d) div count(*) AS BIGINT)").alias("avg_change_bits"),
+            F.max("d").cast("long").alias("max_change_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            "avg_change_bits",
+            "max_change_bits",
+        )
+        .orderBy("doc_id")
+    )

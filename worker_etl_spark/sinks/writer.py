@@ -251,3 +251,35 @@ def read_snapshot(
         with open(os.path.join(location, "_LATEST"), encoding="utf-8") as fh:
             version = int(fh.read().strip())
     return spark.read.parquet(os.path.join(location, f"_v{version}"))
+
+
+def vacuum_snapshots(
+    warehouse_root: str, dataset: str, table: str, keep: int = 2
+) -> list[int]:
+    """Retention for the snapshot log: delete all but the newest *keep*
+    versions (the Delta/Iceberg VACUUM / expire_snapshots shape, public).
+    The committed ``_LATEST`` version is ALWAYS retained regardless of
+    *keep*, and deletion walks oldest-first so a crash mid-vacuum leaves a
+    contiguous recent suffix — readers pinned to a vacuumed version fail
+    loudly on the missing directory (the documented time-travel retention
+    contract: pin only within the retention window).  Returns the versions
+    removed."""
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (the _LATEST version is never vacuumed)")
+    location = os.path.join(warehouse_root, dataset, table)
+    with open(os.path.join(location, "_LATEST"), encoding="utf-8") as fh:
+        latest = int(fh.read().strip())
+    versions = sorted(
+        int(d[2:])
+        for d in os.listdir(location)
+        if d.startswith("_v") and d[2:].isdigit()
+    )
+    survivors = set(versions[-keep:]) | {latest}
+    removed = []
+    for v in versions:
+        if v not in survivors:
+            shutil.rmtree(os.path.join(location, f"_v{v}"))
+            removed.append(v)
+    return removed
