@@ -920,3 +920,75 @@ def i16_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# --- i17: mutual information between categorical columns -----------------------
+_I17_SCALE = 1_000_000_000
+
+
+@register(
+    "i17_mutual_information",
+    oracle=f"""
+    WITH joint AS (
+      SELECT o_orderstatus AS x, o_orderpriority AS y, count(*) AS cxy
+      FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, sum(cxy) AS cx FROM joint GROUP BY x),
+    my AS (SELECT y, sum(cxy) AS cy FROM joint GROUP BY y),
+    n AS (SELECT sum(cxy) AS nn FROM joint),
+    terms AS (
+      SELECT j.x, j.y,
+             -- p_xy·log2(p_xy/(p_x·p_y)) at 1e-9 fixed point from exact
+             -- integer ratios; rounded per term, summed as BIGINTs
+             CAST(round((j.cxy / CAST(n.nn AS DOUBLE))
+                        * log2((j.cxy * n.nn) / CAST(mx.cx * my.cy AS DOUBLE))
+                        * {_I17_SCALE}) AS BIGINT) AS term_e9
+      FROM joint j JOIN mx USING (x) JOIN my USING (y), n
+    )
+    SELECT 'o_orderstatus|o_orderpriority' AS pair,
+           CAST(count(*) AS BIGINT)        AS n_cells,
+           CAST(sum(term_e9) AS BIGINT)    AS mi_bits_e9
+    FROM terms
+    """,
+)
+def i17_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns — the graded
+    dependency measure completing the profiling ladder (i13's functional
+    dependencies are the MI=H(Y) extreme; near-zero MI says the columns
+    are independent and a denormalization/feature pairing buys nothing).
+    Each p·log2 term computes from exact integer count ratios at 1e-9
+    fixed point, so the MI estimate is bit-identical cross-engine.
+
+    Scale: one (x, y)-grain counting aggregate; marginals re-aggregate
+    FROM the joint (never rescan the fact), the 1-row total broadcasts,
+    and the term table is contingency-sized.  No reference counterpart."""
+    o = read_table(spark, sf_dir, "orders")
+    joint = o.groupBy(
+        F.col("o_orderstatus").alias("x"), F.col("o_orderpriority").alias("y")
+    ).agg(F.count(F.lit(1)).alias("cxy"))
+    mx = joint.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    nn = joint.agg(F.sum("cxy").alias("nn"))
+    terms = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                (F.col("cxy") / F.col("nn").cast("double"))
+                * F.log2(
+                    (F.col("cxy") * F.col("nn"))
+                    / (F.col("cx") * F.col("cy")).cast("double")
+                )
+                * _I17_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("term_e9"),
+        )
+    )
+    return terms.agg(
+        F.lit("o_orderstatus|o_orderpriority").alias("pair"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("term_e9").cast("long").alias("mi_bits_e9"),
+    )

@@ -3276,3 +3276,47 @@ def q68_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(3, "view>click>purchase", p))
         .orderBy("step")
     )
+
+
+# --- q70: GROUPING/GROUPING_ID disambiguation over ROLLUP -----------------------
+@register(
+    "q70_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)')   AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(count(*) AS BIGINT)                  AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, status, priority
+    """,
+)
+def q70_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() disambiguation over ROLLUP — the function that makes
+    subtotal rows machine-distinguishable from data rows whose key is
+    genuinely NULL (coalescing to '(all)' alone is ambiguous the moment a
+    real NULL appears; q12/q23/q26 produce the subtotals, this query
+    LABELS them).  grouping(col) = 1 exactly on the rows where the
+    engine aggregated col away, and the (g_status, g_priority) pair is
+    the per-row grouping-set identifier.
+
+    Scale: identical plan to q12's rollup (one Expand + one aggregate);
+    the grouping flags are free metadata of the Expand."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )

@@ -1489,3 +1489,43 @@ def w13_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- src15: legacy single-byte encoding ingest ---------------------------------
+@register(
+    "src15_latin1_csv_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey,
+           n_name || ' café São Tomé £9 ±5°' AS label
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def src15_latin1_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy single-byte encoding ingest: a Latin-1 (ISO-8859-1) CSV —
+    still the default of countless European ERP exports — read with the
+    source's ``encoding`` option.  Read as UTF-8 (the silent default),
+    every accented byte mojibakes or errors; the option decodes at the
+    reader so downstream sees clean UTF-8 strings, and the oracle checks
+    the accented payload character-for-character.
+
+    Scale: charset decode happens per input split inside the scan — no
+    extra pass; non-UTF-8 sources cost nothing but the option.  Reference
+    reads everything as UTF-8 pandas defaults (`etl.py:534`) — encoding
+    faults there surface as garbage rows, another silent-corruption gap
+    this closes."""
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src15_")
+    path = os.path.join(tmp, "nation_latin1.csv")
+    with open(path, "w", encoding="iso-8859-1") as fh:
+        fh.write("n_nationkey,label\n")
+        for r in n:
+            fh.write(f"{r.n_nationkey},{r.n_name} café São Tomé £9 ±5°\n")
+    df = (
+        spark.read.option("header", "true")
+        .option("encoding", "ISO-8859-1")
+        .option("inferSchema", "false")
+        .csv(path)
+    )
+    return df.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "label"
+    ).orderBy("n_nationkey")

@@ -1349,3 +1349,84 @@ def t18_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- t19: Zipf rank-frequency fit ----------------------------------------------
+_T19_TOP = 100      # fit over the top-K ranks (the Zipfian head)
+_T19_SCALE = 1_000_000  # 1e-6: ln(rank) ~ 4.6 -> x^2 sums stay far below int64
+
+
+@register(
+    "t19_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({sql_tokens(sql_norm_text('text'))}) AS term FROM documents
+    ),
+    freq AS (
+      SELECT term, count(*) AS f FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+      FROM freq QUALIFY r <= {_T19_TOP}
+    ),
+    pts AS (
+      SELECT CAST(round(ln(r) * {_T19_SCALE}) AS BIGINT) AS x_e9,
+             CAST(round(ln(f) * {_T19_SCALE}) AS BIGINT) AS y_e9
+      FROM ranked
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x_e9) AS sx, sum(y_e9) AS sy,
+             sum(x_e9 * x_e9) AS sxx, sum(x_e9 * y_e9) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           -- OLS slope on the log-log points: the Zipf exponent estimate
+           round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS zipf_slope
+    FROM s
+    """,
+)
+def t19_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — natural language puts token frequencies
+    on a log-log line of slope ≈ −1; corpora that deviate hard (flat:
+    keyword lists / generated spam; steep: template boilerplate) fail the
+    naturalness prior, making the fitted exponent a corpus-level quality
+    gate beside the doc-level filters (t11/t13/t18).  The OLS slope over
+    the top-{_T19_TOP} (ln rank, ln freq) points runs on 1e-6 fixed-point
+    integers (1e-9 would overflow int64 in the x·x moment) (q66's exact-moment pattern: sums are BIGINT-exact, only the
+    final closed form touches doubles).
+
+    Scale: one token count aggregate (map-side combined), a top-K window
+    over the vocab-grain result, and a constant-size moment reduce.
+    No reference counterpart (SURVEY.md §2 Part B)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = spread(d.select(norm_text(F.col("text")).alias("nt"))).select(
+        F.explode(tokens(F.col("nt"))).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    w = W.orderBy(F.desc("f"), "term")
+    ranked = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _T19_TOP)
+    )
+    pts = ranked.select(
+        F.round(F.log("r") * _T19_SCALE, 0).cast("long").alias("x_e9"),
+        F.round(F.log("f") * _T19_SCALE, 0).cast("long").alias("y_e9"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_e9").alias("sx"),
+        F.sum("y_e9").alias("sy"),
+        F.sum(F.col("x_e9") * F.col("x_e9")).alias("sxx"),
+        F.sum(F.col("x_e9") * F.col("y_e9")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
