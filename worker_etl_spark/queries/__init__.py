@@ -111,7 +111,8 @@ _PRIORITY: list[str] = [
     "d13_banding_pr_audit", "p10_tokenizer_fertility", "evt10_disorder_diagnostics",
     "m09_frame_motion_profile", "i16_column_entropy",
     "i17_mutual_information", "t19_zipf_fit", "src15_latin1_csv_ingest",
-    "q70_grouping_id",
+    "q70_grouping_id", "c04_html_strip", "d14_sorted_neighborhood",
+    "p11_k_anonymity_audit",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -136,3 +136,92 @@ def c03_sanitized_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(s[0])
     )
+
+
+# --- c04: markup stripping (web-scrape cleaning) --------------------------------
+@register(
+    "c04_html_strip",
+    oracle=r"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><body class="m"><h1>T ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p>' || text || '</p><br/>&amp; &lt;tail&gt;'
+               || '<script>var x = 1 < 2;</script></body></html>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(html,
+                 '<script[^>]*>.*?</script>', ' ', 'gs'),   -- script blocks first
+                 '<[^>]+>', ' ', 'g'),                      -- any remaining tag
+                 '&amp;', '&', 'g'),
+                 '&lt;', '<', 'g'),
+                 '&gt;', '>', 'g')) AS clean
+      FROM wrapped
+    )
+    SELECT doc_id,
+           length(clean) AS clean_len,
+           (clean LIKE '%var x%')  AS script_leaked,
+           (clean LIKE '%<p>%')    AS tag_leaked,
+           (clean LIKE '%& <tail>%') AS entities_decoded
+    FROM stripped ORDER BY doc_id LIMIT 30
+    """,
+)
+def c04_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping — the first cleaning pass of every web-scrape
+    corpus: script/style blocks drop WITH their content (boilerplate code
+    is not prose), remaining tags become whitespace (so adjacent words
+    don't fuse), and the common entities decode.  Ordering is load-
+    bearing and pinned by the oracle: tags-before-entities means a decoded
+    `&lt;tail&gt;` survives as literal text instead of being re-parsed as
+    a tag — the classic double-unescape bug.  Verification is by
+    PROPERTY (script content gone, no tag survives, entities decoded) on
+    top of exact output length, replayed identically by the oracle.
+
+    Scale: a regexp_replace chain fused into the scan — zero shuffles;
+    the dotall script pattern is shared Java-regex ∩ RE2 dialect ('s'
+    flag inline in Spark, flag arg in DuckDB).  Reference has no markup
+    handling at all (strings pass through, `etl.py:534`)."""
+    d = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body class="m"><h1>T '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><br/>&amp; &lt;tail&gt;"),
+        F.lit("<script>var x = 1 < 2;</script></body></html>"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            html, r"(?s)<script[^>]*>.*?</script>", " "
+                        ),
+                        r"<[^>]+>",
+                        " ",
+                    ),
+                    "&amp;",
+                    "&",
+                ),
+                "&lt;",
+                "<",
+            ),
+            "&gt;",
+            ">",
+        )
+    )
+    return (
+        d.select("doc_id", clean.alias("clean"))
+        .select(
+            "doc_id",
+            F.length("clean").cast("long").alias("clean_len"),
+            F.col("clean").contains("var x").alias("script_leaked"),
+            F.col("clean").contains("<p>").alias("tag_leaked"),
+            F.col("clean").contains("& <tail>").alias("entities_decoded"),
+        )
+        .orderBy("doc_id")
+        .limit(30)
+    )

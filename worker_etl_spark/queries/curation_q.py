@@ -820,3 +820,62 @@ def p10_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- p11: k-anonymity audit ----------------------------------------------------
+_P11_K = 5  # groups smaller than this are re-identification risks
+
+
+@register(
+    "p11_k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_mktsegment, n_name, count(*) AS group_size
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_mktsegment, n_name
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_groups,
+           CAST(count(*) FILTER (WHERE group_size < {_P11_K}) AS BIGINT)
+                                                          AS n_risky_groups,
+           CAST(sum(group_size) FILTER (WHERE group_size < {_P11_K}) AS BIGINT)
+                                                          AS n_risky_rows,
+           CAST(min(group_size) AS BIGINT)                AS k_anonymity,
+           round(coalesce(sum(group_size) FILTER (WHERE group_size < {_P11_K}), 0)
+                 / CAST(sum(group_size) AS DOUBLE), 6)    AS risky_row_share
+    FROM qi
+    """,
+)
+def p11_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney's
+    k-anonymity, public) — the privacy gate a training-data release runs
+    before shipping anything derived from user records: every
+    (segment × nation) group smaller than k is a re-identification risk,
+    the table's k-anonymity IS the minimum group size, and the risky-row
+    share quantifies how much suppression/generalization a release needs.
+    PII regex redaction (t06) removes direct identifiers; THIS measures
+    the quasi-identifier risk redaction can't see.
+
+    Scale: one dimension-broadcast join + one QI-grain counting aggregate
+    + a constant-size rollup — the audit costs one scan regardless of how
+    many QI columns combine."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    qi = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    risky = F.col("group_size") < _P11_K
+    return qi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count(F.when(risky, 1)).cast("long").alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("group_size"))).cast("long").alias("n_risky_rows"),
+        F.min("group_size").cast("long").alias("k_anonymity"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(risky, F.col("group_size"))), F.lit(0)
+            )
+            / F.sum("group_size").cast("double"),
+            6,
+        ).alias("risky_row_share"),
+    )

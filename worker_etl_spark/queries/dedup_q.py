@@ -1146,3 +1146,114 @@ def d13_banding_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold double, n_relevant long, n_candidates long, n_hit long,"
         " recall double",
     ).orderBy("threshold")
+
+
+# --- d14: sorted-neighborhood blocking (record-linkage SNM) --------------------
+_D14_KEY_LEN = 12  # SNM sort key: normalized-text prefix
+_D14_WINDOW = 5    # candidate window: ranks within w-1 of each other
+
+
+@register(
+    "d14_sorted_neighborhood",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {sql_norm_text('text')} AS n FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, substring(n, 1, {_D14_KEY_LEN}) AS k,
+             {sql_hex_int('n', 15)} AS fp,
+             row_number() OVER (ORDER BY substring(n, 1, {_D14_KEY_LEN}), doc_id)
+               AS r
+      FROM norm
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (a.fp = b.fp) AS is_dup
+      FROM keyed a
+      JOIN keyed b ON b.r - a.r BETWEEN 1 AND {_D14_WINDOW - 1}
+    ),
+    truth AS (
+      SELECT CAST(sum(cnt * (cnt - 1) / 2) AS BIGINT) AS n_dup_pairs
+      FROM (SELECT fp, count(*) AS cnt FROM keyed GROUP BY fp)
+    )
+    SELECT CAST((SELECT count(*) FROM keyed) AS BIGINT)          AS n_docs,
+           CAST((SELECT count(*) FROM cand) AS BIGINT)           AS n_candidates,
+           CAST((SELECT count(*) FROM cand WHERE is_dup) AS BIGINT) AS n_dup_hits,
+           (SELECT n_dup_pairs FROM truth)                       AS n_dup_pairs,
+           round((SELECT count(*) FROM cand WHERE is_dup)
+                 / greatest(CAST((SELECT n_dup_pairs FROM truth) AS DOUBLE), 1),
+                 6)                                              AS recall
+    """,
+)
+def d14_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo's record-linkage
+    SNM, public) — the THIRD blocking family beside shingle-frequency
+    (d05) and LSH bands (d03): sort the corpus by a cheap key (normalized
+    prefix), compare only records within a fixed rank window.  Candidate
+    volume is exactly |docs|·(w−1) — fan-out is a CONSTANT, not a bucket-
+    occupancy distribution, which is SNM's operational appeal (and its
+    weakness: dups whose keys sort far apart are invisible — the audit
+    reports recall against exact-duplicate ground truth).
+
+    Scale shape: one global sort for the rank (the documented
+    serialization axis — production SNM range-partitions the sort exactly
+    like w05 and overlaps window edges), then a band self-join on rank
+    difference with bounded fan-out; ground truth is a fingerprint
+    aggregate.  Window semantics, not pair storage: candidates stream."""
+    from pyspark.sql.window import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.substring(norm_text(F.col("text")), 1, _D14_KEY_LEN).alias("k"),
+        hex_int(norm_text(F.col("text")), 15).alias("fp"),
+    ).withColumn("r", F.row_number().over(W.orderBy("k", "doc_id")))
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), F.col("r").alias("ra")
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), F.col("r").alias("rb")
+    )
+    # bounded fan-out: explode the offset, join rank-equi (never a range scan)
+    cand = (
+        a.select(
+            "doc_a",
+            "fp_a",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, _D14_WINDOW)])
+            ).alias("off"),
+            "ra",
+        )
+        .withColumn("rb", F.col("ra") + F.col("off"))
+        .join(b, "rb")
+        .select("doc_a", "doc_b", (F.col("fp_a") == F.col("fp_b")).alias("is_dup"))
+    )
+    truth = (
+        keyed.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(
+                (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long")
+            ).alias("n_dup_pairs")
+        )
+    )
+    stats = cand.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_hits"),
+    )
+    n_docs = keyed.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.crossJoin(stats)
+        .crossJoin(truth)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_dup_hits").cast("long").alias("n_dup_hits"),
+            F.col("n_dup_pairs").cast("long").alias("n_dup_pairs"),
+            F.round(
+                F.col("n_dup_hits")
+                / F.greatest(F.col("n_dup_pairs").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("recall"),
+        )
+    )
