@@ -3320,3 +3320,108 @@ def q70_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_status", "g_priority", "status", "priority")
     )
+
+
+# --- q72: measure normalization through an as-of rate table ---------------------
+@register(
+    "q72_asof_rate_normalization",
+    oracle="""
+    WITH rates AS (
+      -- deterministic daily "FX" rate table: one rate per (currency, day);
+      -- currencies assigned by customer-key stride
+      SELECT d AS rate_day, cur,
+             1.0 + CAST((dayofmonth(d) * 7 + CASE cur WHEN 'EUR' THEN 1
+                                                      WHEN 'GBP' THEN 2
+                                                      ELSE 0 END * 13) % 50
+                        AS DOUBLE) / 1000.0 AS rate
+      FROM (SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+            FROM orders),
+           (SELECT unnest(['USD', 'EUR', 'GBP']) AS cur)
+    ),
+    fx_orders AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS od,
+             CASE CAST(o_custkey % 3 AS INTEGER)
+               WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'GBP' END AS cur
+      FROM orders
+    ),
+    normalized AS (
+      SELECT f.cur,
+             CAST(round(f.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(round(f.o_totalprice / r.rate * 100) AS BIGINT) AS usd_cents
+      FROM fx_orders f JOIN rates r
+        ON f.cur = r.cur AND f.od = r.rate_day
+    )
+    SELECT cur,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(cents) / 100.0       AS raw_total,
+           sum(usd_cents) / 100.0   AS normalized_total
+    FROM normalized GROUP BY cur ORDER BY cur
+    """,
+)
+def q72_asof_rate_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure normalization through a daily rate table — the multi-
+    currency (or unit-conversion) pattern every revenue pipeline runs
+    before aggregating mixed-currency facts: each order joins its
+    currency's rate AS OF its order day and converts before the rollup
+    (aggregate-then-convert is wrong under moving rates).  The rate table
+    here is a deterministic function of (day, currency) so the oracle
+    regenerates it exactly; conversion results round to cents BEFORE
+    summation so the totals are integer-exact.
+
+    Scale shape: the rate table is (days × currencies) — broadcast-sized
+    for decades of dailies — so the normalization is a broadcast hash
+    join fused ahead of one fact-grain aggregate; with per-second rates
+    the same query becomes q19's sort-merge as-of join, nothing else
+    changes."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.select(
+        F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("rate_day")
+    ).distinct()
+    curs = (
+        days.sparkSession.createDataFrame(
+            [("USD",), ("EUR",), ("GBP",)], "cur string"
+        )
+    )
+    cur_off = F.when(F.col("cur") == "EUR", 1).when(
+        F.col("cur") == "GBP", 2
+    ).otherwise(0)
+    rates = days.crossJoin(curs).select(
+        "rate_day",
+        "cur",
+        (
+            1.0
+            + (
+                (F.dayofmonth("rate_day") * 7 + cur_off * 13) % 50
+            ).cast("double")
+            / 1000.0
+        ).alias("rate"),
+    )
+    fx = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("od"),
+        F.element_at(
+            F.array(F.lit("USD"), F.lit("EUR"), F.lit("GBP")),
+            (F.col("o_custkey") % 3 + 1).cast("int"),
+        ).alias("cur"),
+    )
+    normalized = fx.join(
+        F.broadcast(rates),
+        (fx.cur == rates.cur) & (fx.od == rates.rate_day),
+    ).select(
+        fx.cur,
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.round(F.col("o_totalprice") / F.col("rate") * 100, 0)
+        .cast("long")
+        .alias("usd_cents"),
+    )
+    return (
+        normalized.groupBy("cur")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum("cents") / F.lit(100.0)).alias("raw_total"),
+            (F.sum("usd_cents") / F.lit(100.0)).alias("normalized_total"),
+        )
+        .orderBy("cur")
+    )

@@ -1430,3 +1430,82 @@ def t19_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# --- t20: code-vs-prose detection ----------------------------------------------
+_T20_SYM_FLAG = 0.05   # symbol-char share above this → code-like
+_T20_KW_FLAG = 2       # at least this many code keywords → code-like
+
+
+@register(
+    "t20_code_detection",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             length(text)
+               - length(regexp_replace(text, '[{}\[\]();=<>|&]', '', 'g'))
+               AS n_sym,
+             len(regexp_extract_all(lower(text),
+                 '\b(def|return|import|class|void|func|var|const|if|else)\b'))
+               AS n_kw
+      FROM documents WHERE length(text) > 0
+    ),
+    scored AS (
+      SELECT lang,
+             (n_sym / CAST(n_chars AS DOUBLE) > 0.05 AND n_kw >= 2) AS is_code
+      FROM feats
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                        AS n_docs,
+           CAST(count(*) FILTER (WHERE is_code) AS BIGINT) AS n_code_like,
+           round(count(*) FILTER (WHERE is_code)
+                 / CAST(count(*) AS DOUBLE), 6)            AS code_share
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def t20_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the mixture-routing signal that decides
+    whether a document feeds the code pipeline or the text pipeline
+    (mislabeling costs both: code tokenizes terribly as prose, prose
+    pollutes code corpora): a doc is code-like when BOTH the structural-
+    symbol share (braces/brackets/operators per char) and the programming-
+    keyword count clear thresholds — two cheap orthogonal signals, per the
+    public heuristic-prefilter practice (a learned classifier replaces the
+    thresholds at quality, not plumbing, cost).  Counting is exact
+    integers; the one division is share-of-counts.
+
+    Scale: two scan-fused regex projections + a lang-grain rollup — no
+    shuffle beyond the 5-row combine.  No reference counterpart."""
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_sym = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[{}\[\]();=<>|&]", "")
+    )
+    n_kw = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")),
+            F.lit(r"\b(def|return|import|class|void|func|var|const|if|else)\b"),
+            F.lit(0),
+        )
+    )
+    is_code = (
+        (n_sym / F.length("text").cast("double") > _T20_SYM_FLAG)
+        & (n_kw >= _T20_KW_FLAG)
+    )
+    return (
+        d.select("lang", is_code.alias("is_code"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("is_code"), 1)).alias("n_code_like"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_code_like").cast("long").alias("n_code_like"),
+            F.round(
+                F.col("n_code_like") / F.col("n_docs").cast("double"), 6
+            ).alias("code_share"),
+        )
+        .orderBy("lang")
+    )
