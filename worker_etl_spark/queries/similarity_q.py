@@ -958,3 +958,100 @@ def s06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "adist", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --- s07: embedding vector-quality audit ---------------------------------------
+_S07_MAD_K = 3
+
+
+@register(
+    "s07_vector_quality_audit",
+    oracle=f"""
+    WITH s AS ({_sq_scale_sql()}),
+    v AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x / s.scale * {_SQ_BITS}, 0) AS BIGINT))
+               AS code
+      FROM embeddings, s
+    ),
+    norms AS (
+      SELECT label,
+             CAST(list_dot_product(code::DOUBLE[], code::DOUBLE[]) AS BIGINT) AS n2
+      FROM v
+    ),
+    mu AS (
+      SELECT label, count(*) AS n, CAST(sum(n2) // count(*) AS BIGINT) AS mean_n2
+      FROM norms GROUP BY label
+    ),
+    dev AS (
+      SELECT o.label, m.n, m.mean_n2, abs(o.n2 - m.mean_n2) AS d, o.n2
+      FROM norms o JOIN mu m USING (label)
+    ),
+    mad AS (
+      SELECT label, CAST(sum(d) // any_value(n) AS BIGINT) AS mad_n2
+      FROM dev GROUP BY label
+    )
+    SELECT d.label,
+           CAST(any_value(d.n) AS BIGINT)                     AS n_vectors,
+           CAST(count(*) FILTER (WHERE d.n2 = 0) AS BIGINT)   AS n_zero,
+           CAST(count(*) FILTER (WHERE d.d > {_S07_MAD_K} * m.mad_n2) AS BIGINT)
+                                                              AS n_outliers,
+           CAST(any_value(d.mean_n2) AS BIGINT)               AS mean_norm2,
+           CAST(m.mad_n2 AS BIGINT)                           AS mad_norm2
+    FROM dev d JOIN mad m USING (label)
+    GROUP BY d.label, m.mad_n2
+    ORDER BY d.label
+    """,
+)
+def s07_vector_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QUALITY audit — the vector-store intake gate: all-zero
+    vectors (failed encoder calls) and extreme-norm outliers (truncation,
+    fp overflow, wrong normalization) poison both ANN recall and
+    training; per label-group the audit counts zeros and K·MAD norm
+    outliers.  Runs on the int8-quantized codes so every statistic
+    (squared norm, mean, MAD) is EXACT integer arithmetic — q56's robust-
+    stats pattern applied to vector norms.
+
+    Scale shape: one scan quantizes + computes norms (scan-fused JVM
+    transforms), then the two-pass broadcast-back MAD plan at label
+    grain.  Composes as the intake step ahead of s02-s06; a production
+    deploy alerts on n_zero > 0."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    vn = _quantize_codes(e.select("vec_id", "embedding")).join(
+        e.select("vec_id", "label"), "vec_id"
+    )
+    norms = vn.select("label", dot("code", "code").cast("long").alias("n2"))
+    mu = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(n2) div count(*) AS BIGINT)").alias("mean_n2"),
+    )
+    dev = norms.join(F.broadcast(mu), "label").select(
+        "label", "n", "mean_n2", "n2", F.abs(F.col("n2") - F.col("mean_n2")).alias("d")
+    )
+    mad = dev.groupBy("label").agg(
+        F.expr("CAST(sum(d) div first(n) AS BIGINT)").alias("mad_n2")
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .groupBy("label", "mad_n2")
+        .agg(
+            F.first("n").cast("long").alias("n_vectors"),
+            F.count(F.when(F.col("n2") == 0, 1)).cast("long").alias("n_zero"),
+            F.count(F.when(F.col("d") > _S07_MAD_K * F.col("mad_n2"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+            F.first("mean_n2").cast("long").alias("mean_norm2"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_zero",
+            "n_outliers",
+            "mean_norm2",
+            F.col("mad_n2").cast("long").alias("mad_norm2"),
+        )
+        .orderBy("label")
+    )

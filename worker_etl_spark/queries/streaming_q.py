@@ -549,3 +549,57 @@ def evt10_disorder_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- evt11: weekly seasonality profile -----------------------------------------
+@register(
+    "evt11_seasonality_profile",
+    oracle="""
+    WITH cells AS (
+      SELECT isodow(ts) AS dow, hour(ts) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(hr AS BIGINT)  AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(c) / 100.0 AS total_value
+    FROM cells GROUP BY dow, hr
+    HAVING count(*) >= 5
+    ORDER BY dow, hr
+    """,
+)
+def evt11_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heatmap (ISO day-of-week × hour) of purchase
+    activity — the calendar profile behind capacity planning, anomaly
+    baselines (q56's MAD thresholds become per-cell at scale), and
+    trigger scheduling; sparse cells below a support floor are suppressed
+    (a single-purchase cell is noise, not seasonality).  Day-of-week
+    convention pinned to ISO (Mon=1) on both engines — Spark's default
+    `dayofweek` is Sunday-first, a classic silent off-by-one against
+    other systems, so the query uses `weekday()+1`.
+
+    Scale: one scan + one 168-cell-max aggregate, map-side combined;
+    cent-exact sums."""
+    e = read_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    cells = e.filter(F.col("event_type") == "purchase").select(
+        (F.weekday(ts) + 1).alias("dow"),  # ISO: Mon=1 (dayofweek is Sun=1)
+        F.hour(ts).alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    return (
+        cells.groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("c") / F.lit(100.0)).alias("total_value"),
+        )
+        .filter(F.col("n") >= 5)
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hr").cast("long").alias("hr"),
+            F.col("n").cast("long").alias("n"),
+            "total_value",
+        )
+        .orderBy("dow", "hr")
+    )

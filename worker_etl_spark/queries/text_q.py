@@ -1509,3 +1509,99 @@ def t20_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- t22: language-ID evaluation metrics ---------------------------------------
+@register(
+    "t22_langid_metrics",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_sql_lang_scores()}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS truth, {_sql_argmax()} AS predicted FROM scores
+    ),
+    per_class AS (
+      SELECT c.lang,
+             (SELECT count(*) FROM pred WHERE truth = c.lang AND predicted = c.lang) AS tp,
+             (SELECT count(*) FROM pred WHERE truth != c.lang AND predicted = c.lang) AS fp,
+             (SELECT count(*) FROM pred WHERE truth = c.lang AND predicted != c.lang) AS fn
+      FROM (SELECT DISTINCT lang FROM documents) c
+    )
+    SELECT lang,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(tp / greatest(CAST(tp + fp AS DOUBLE), 1), 6) AS precision,
+           round(tp / greatest(CAST(tp + fn AS DOUBLE), 1), 6) AS recall
+    FROM per_class ORDER BY lang
+    """,
+)
+def t22_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation IN the engine: per-class precision/recall of
+    the t03 marker-word language identifier against the corpus's ground-
+    truth labels — the evaluation loop that decides whether a heuristic
+    filter is good enough to gate data (t03 emits the confusion matrix;
+    this derives the decision metrics).  Counts are exact; P/R are exact-
+    integer ratios rounded at 6dp.
+
+    Scale shape: one scan scores and predicts (same projections as t03),
+    then a truth×predicted-grain aggregate pivots into per-class TP/FP/FN
+    with conditional sums — the confusion matrix never leaves the
+    executor as rows, only class-grain counters do."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    scores = d.select(
+        "lang",
+        *[count_in(tok, LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    pr = scores.select(F.col("lang").alias("truth"), pred.alias("predicted"))
+    classes = d.select(F.col("lang")).distinct()
+    cells = pr.groupBy("truth", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    tp = cells.filter(F.col("truth") == F.col("predicted")).select(
+        F.col("truth").alias("lang"), F.col("n").alias("tp")
+    )
+    fp = (
+        cells.filter(F.col("truth") != F.col("predicted"))
+        .groupBy(F.col("predicted").alias("lang"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        cells.filter(F.col("truth") != F.col("predicted"))
+        .groupBy(F.col("truth").alias("lang"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    return (
+        classes.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .join(fn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+        )
+        .select(
+            "lang",
+            "tp",
+            "fp",
+            "fn",
+            F.round(
+                F.col("tp")
+                / F.greatest((F.col("tp") + F.col("fp")).cast("double"), F.lit(1.0)),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("tp")
+                / F.greatest((F.col("tp") + F.col("fn")).cast("double"), F.lit(1.0)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("lang")
+    )
