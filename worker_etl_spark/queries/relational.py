@@ -3425,3 +3425,52 @@ def q72_asof_rate_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur")
     )
+
+
+# --- q76: cumulative-unique growth curve ----------------------------------------
+@register(
+    "q76_cumulative_uniques",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT)  AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily ORDER BY day
+    """,
+)
+def q76_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-unique growth curve (new + total distinct users by day)
+    — the growth chart behind every "users over time" dashboard, and a
+    shape worth stating because the naive formulation (per-day
+    COUNT(DISTINCT) over all history) rescans the fact once per day: the
+    scalable identity is that a user adds to the curve exactly at their
+    FIRST event, so one per-user min + a day-grain count + a running sum
+    over |days| rows produces the entire curve in one pass.
+
+    Scale: one map-side-combined min per user, one tiny day aggregate,
+    one |days|-row window — fact scanned once, ever."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("new_users").cast("long").alias("new_users"),
+            F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )

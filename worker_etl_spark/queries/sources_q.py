@@ -1529,3 +1529,82 @@ def src15_latin1_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"), "label"
     ).orderBy("n_nationkey")
+
+
+# --- src16: nested JSON flattening ----------------------------------------------
+@register(
+    "src16_nested_json_flatten",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS okey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey <= 100
+    )
+    SELECT o.o_orderkey::BIGINT            AS order_id,
+           o.o_orderstatus                 AS status,
+           li.l_linenumber::BIGINT         AS line_no,
+           CAST(round(li.l_quantity) AS BIGINT) AS qty,
+           round(li.l_extendedprice, 2)    AS price
+    FROM orders o JOIN li ON o.o_orderkey = li.okey
+    ORDER BY order_id, line_no
+    """,
+)
+def src16_nested_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON ingest → relational flatten: API exports ship orders as
+    documents with embedded line-item ARRAYS; the engine writes such a
+    feed (struct header + array<struct> detail), reads it back with
+    schema inference, and flattens via ``inline``/``explode`` into the
+    relational grain — the document→table normalization every JSON
+    integration needs, exercising array-of-struct inference, dot-path
+    projection, and generator-based flattening together.
+
+    Scale: JSONL is line-splittable, inference samples (schema given
+    explicitly in production), and the explode multiplies only by true
+    detail cardinality with map-side flattening — no shuffle until a
+    downstream aggregate.  The oracle rebuilds the same join relationally."""
+    import json as _json
+
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    docs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("line_no"),
+                        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+                        F.round(F.col("l_extendedprice"), 2).alias("price"),
+                    )
+                )
+            ).alias("lines")
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="src16_")
+    path = os.path.join(tmp, "orders.jsonl")
+    # the engine WRITES the nested feed too (to_json over struct+array)
+    docs.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("lines"),
+            )
+        ).alias("j")
+    ).coalesce(1).write.mode("overwrite").text(path)
+    back = spark.read.json(path)
+    return (
+        back.select(
+            "order_id",
+            "status",
+            F.inline("lines"),
+        )
+        .select(
+            F.col("order_id").cast("long").alias("order_id"),
+            "status",
+            F.col("line_no").cast("long").alias("line_no"),
+            F.col("qty").cast("long").alias("qty"),
+            "price",
+        )
+        .orderBy("order_id", "line_no")
+    )

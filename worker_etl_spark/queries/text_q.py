@@ -1605,3 +1605,83 @@ def t22_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- t23: readability scoring (Flesch-style proxy) ------------------------------
+@register(
+    "t23_readability",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT lang,
+             len({sql_tokens(sql_norm_text('text'))}) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+             -- syllable proxy: vowel GROUPS per doc (the public
+             -- Flesch-family approximation when no dictionary is loaded)
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)       AS n_docs,
+           CAST(sum(n_words) AS BIGINT)   AS total_words,
+           CAST(sum(n_sents) AS BIGINT)   AS total_sentences,
+           CAST(sum(n_syll) AS BIGINT)    AS total_syllables,
+           -- corpus-level Flesch reading ease from the exact totals
+           round(206.835 - 1.015 * (sum(n_words) / CAST(sum(n_sents) AS DOUBLE))
+                         - 84.6 * (sum(n_syll) / CAST(sum(n_words) AS DOUBLE)),
+                 4) AS flesch_ease
+    FROM feats GROUP BY lang ORDER BY lang
+    """,
+)
+def t23_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch reading ease, public formula, with the
+    standard vowel-group syllable proxy) — the audience-level quality
+    axis the length/repetition filters don't capture: a corpus can be
+    clean and non-repetitive yet uniformly impenetrable (or uniformly
+    trivial), and mixture designers balance reading levels explicitly.
+    All three inputs (words, sentence-terminator runs, vowel groups) are
+    exact integer counts; the formula applies once per language to the
+    exact totals, so the one double expression evaluates identical
+    operands on both engines.
+
+    Scale: three scan-fused regex projections + a lang-grain rollup —
+    the t01/t02 shape with a third counting unit (sentences).
+    No reference counterpart (SURVEY.md §2 Part B)."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    feats = d.select(
+        "lang",
+        F.size(tokens(norm_text(F.col("text")))).alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))),
+            F.lit(1),
+        ).alias("n_sents"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+        ).alias("n_syll"),
+    )
+    return (
+        feats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_sents").alias("total_sentences"),
+            F.sum("n_syll").alias("total_syllables"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_words").cast("long").alias("total_words"),
+            F.col("total_sentences").cast("long").alias("total_sentences"),
+            F.col("total_syllables").cast("long").alias("total_syllables"),
+            F.round(
+                F.lit(206.835)
+                - 1.015
+                * (F.col("total_words") / F.col("total_sentences").cast("double"))
+                - 84.6
+                * (F.col("total_syllables") / F.col("total_words").cast("double")),
+                4,
+            ).alias("flesch_ease"),
+        )
+        .orderBy("lang")
+    )
