@@ -3474,3 +3474,128 @@ def q76_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- q77: bitemporal as-of reporting (transaction-time restatement) -------------
+_Q77_CORR_STRIDE = 10      # every Nth event gets a late correction
+_Q77_CORR_DELAY_DAYS = 2   # arriving this many days after the fact
+_Q77_CORR_CENTS = 500      # revision amount
+_Q77_MID_DAY = 15          # mid-period reporting cutoff (days from corpus start)
+
+
+@register(
+    "q77_bitemporal_restatement",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS valid_day,
+             CAST(date_trunc('day', ts) AS DATE) AS tx_day,
+             CAST(round(value * 100) AS BIGINT)  AS cents
+      FROM events
+    ),
+    corrections AS (
+      SELECT event_id, event_type, valid_day,
+             valid_day + {_Q77_CORR_DELAY_DAYS} AS tx_day,
+             cents + {_Q77_CORR_CENTS} AS cents
+      FROM base WHERE event_id % {_Q77_CORR_STRIDE} = 0
+    ),
+    feed AS (SELECT * FROM base UNION ALL SELECT * FROM corrections),
+    bounds AS (SELECT min(valid_day) + {_Q77_MID_DAY} AS t_mid,
+                      max(tx_day) AS t_end FROM feed),
+    versions AS (
+      SELECT f.event_type, f.event_id, f.cents, c.label,
+             row_number() OVER (PARTITION BY c.label, f.event_id
+                                ORDER BY f.tx_day DESC) AS rn
+      FROM feed f,
+           bounds b,
+           (SELECT unnest(['mid', 'end']) AS label) c
+      WHERE f.tx_day <= CASE c.label WHEN 'mid' THEN b.t_mid ELSE b.t_end END
+    ),
+    totals AS (
+      SELECT event_type, label, sum(cents) AS total_c
+      FROM versions WHERE rn = 1 GROUP BY event_type, label
+    )
+    SELECT m.event_type,
+           m.total_c / 100.0                 AS total_as_of_mid,
+           e.total_c / 100.0                 AS total_as_of_end,
+           (e.total_c - m.total_c) / 100.0   AS restatement
+    FROM (SELECT * FROM totals WHERE label = 'mid') m
+    JOIN (SELECT * FROM totals WHERE label = 'end') e USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def q77_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of reporting — the finance/compliance primitive the
+    lake's single-axis time travel (w09 = transaction time only) can't
+    answer alone: with facts carrying BOTH a valid time (when it
+    happened) and a transaction time (when we learned it), "the report
+    as run mid-period" and "the report as known today" differ exactly by
+    the late corrections — the RESTATEMENT, which auditors require to be
+    reproducible.  Per (cutoff, event) the latest version with
+    tx ≤ cutoff wins (one rank window over the doubled feed); totals are
+    cent-exact.
+
+    Scale shape: corrections are a filtered projection (no second scan
+    of raw history at real scale — they arrive as their own feed);
+    the two cutoffs multiply the feed by a 2-row literal, the version
+    resolution is one (cutoff, event)-keyed window, and the report is
+    type-grain.  Composes with q50: SCD2 is what this feed becomes when
+    MATERIALIZED with validity intervals."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("valid_day"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("tx_day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    corrections = base.filter(
+        F.col("event_id") % _Q77_CORR_STRIDE == 0
+    ).select(
+        "event_id",
+        "event_type",
+        "valid_day",
+        F.date_add("valid_day", _Q77_CORR_DELAY_DAYS).alias("tx_day"),
+        (F.col("cents") + _Q77_CORR_CENTS).alias("cents"),
+    )
+    feed = base.unionByName(corrections)
+    bounds = feed.agg(
+        F.date_add(F.min("valid_day"), _Q77_MID_DAY).alias("t_mid"),
+        F.max("tx_day").alias("t_end"),
+    )
+    cutoffs = feed.sparkSession.createDataFrame(
+        [("mid",), ("end",)], "label string"
+    )
+    asof = (
+        feed.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(cutoffs))
+        .filter(
+            F.col("tx_day")
+            <= F.when(F.col("label") == "mid", F.col("t_mid")).otherwise(
+                F.col("t_end")
+            )
+        )
+    )
+    w = W.partitionBy("label", "event_id").orderBy(F.desc("tx_day"))
+    totals = (
+        asof.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type", "label")
+        .agg(F.sum("cents").alias("total_c"))
+    )
+    mid = totals.filter(F.col("label") == "mid").select(
+        "event_type", F.col("total_c").alias("mc")
+    )
+    end = totals.filter(F.col("label") == "end").select(
+        "event_type", F.col("total_c").alias("ec")
+    )
+    return (
+        mid.join(end, "event_type")
+        .select(
+            "event_type",
+            (F.col("mc") / F.lit(100.0)).alias("total_as_of_mid"),
+            (F.col("ec") / F.lit(100.0)).alias("total_as_of_end"),
+            ((F.col("ec") - F.col("mc")) / F.lit(100.0)).alias("restatement"),
+        )
+        .orderBy("event_type")
+    )
