@@ -879,3 +879,89 @@ def p11_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("risky_row_share"),
     )
+
+
+# --- p13: right-to-erasure propagation audit -----------------------------------
+_P13_FORGET_STRIDE = 37  # deterministic erasure request set: user_id % stride == 0
+
+
+@register(
+    "p13_erasure_propagation",
+    oracle=f"""
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % {_P13_FORGET_STRIDE} = 0
+    ),
+    kept AS (
+      SELECT e.* FROM events e LEFT JOIN forget f USING (user_id)
+      WHERE f.user_id IS NULL
+    )
+    SELECT 'events' AS surface,
+           CAST((SELECT count(*) FROM events) AS BIGINT)          AS rows_before,
+           CAST((SELECT count(*) FROM kept) AS BIGINT)            AS rows_after,
+           CAST((SELECT count(DISTINCT user_id) FROM forget) AS BIGINT)
+                                                                  AS users_erased,
+           CAST((SELECT count(*) FROM kept k JOIN forget f USING (user_id))
+                AS BIGINT)                                        AS residual_rows
+    UNION ALL
+    SELECT 'daily_rollup',
+           CAST((SELECT count(*) FROM (SELECT date_trunc('day', ts), user_id
+                                       FROM events GROUP BY 1, 2)) AS BIGINT),
+           CAST((SELECT count(*) FROM (SELECT date_trunc('day', ts), user_id
+                                       FROM kept GROUP BY 1, 2)) AS BIGINT),
+           CAST((SELECT count(DISTINCT user_id) FROM forget) AS BIGINT),
+           CAST((SELECT count(*) FROM (SELECT user_id FROM kept GROUP BY user_id)
+                 k JOIN forget f USING (user_id)) AS BIGINT)
+    ORDER BY surface
+    """,
+)
+def p13_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation audit (GDPR/CCPA deletion, the
+    governance op every user-data pipeline must prove, not just run):
+    given an erasure request set, the serving view drops every requested
+    user via a broadcast anti-join (w08's merge-on-read delete pattern —
+    the base table never rewrites on the request path), and the audit
+    proves propagation on EVERY derived surface: raw rows AND the
+    user-grain rollup both report before/after counts plus a residual-row
+    count that must be zero — the compliance evidence.
+
+    Scale shape: the request set is tiny (broadcast); each surface pays
+    one anti-join fused into its own scan; the residual check is the same
+    join inverted.  Composes with w08 (physical deletes at compaction)
+    and p11 (k-anonymity of what remains)."""
+    e = read_table(spark, sf_dir, "events")
+    forget = (
+        e.filter(F.col("user_id") % _P13_FORGET_STRIDE == 0)
+        .select("user_id")
+        .distinct()
+    )
+    kept = e.join(F.broadcast(forget), "user_id", "left_anti")
+
+    def surface(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        residual = (
+            after.select("user_id").distinct().join(F.broadcast(forget), "user_id")
+        )
+        return (
+            before.agg(F.count(F.lit(1)).alias("rows_before"))
+            .crossJoin(after.agg(F.count(F.lit(1)).alias("rows_after")))
+            .crossJoin(forget.agg(F.count(F.lit(1)).alias("users_erased")))
+            .crossJoin(residual.agg(F.count(F.lit(1)).alias("residual_rows")))
+            .select(
+                F.lit(name).alias("surface"),
+                F.col("rows_before").cast("long").alias("rows_before"),
+                F.col("rows_after").cast("long").alias("rows_after"),
+                F.col("users_erased").cast("long").alias("users_erased"),
+                F.col("residual_rows").cast("long").alias("residual_rows"),
+            )
+        )
+
+    daily_before = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily_after = kept.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        surface("events", e, kept)
+        .unionByName(surface("daily_rollup", daily_before, daily_after))
+        .orderBy("surface")
+    )
