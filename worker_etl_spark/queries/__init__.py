@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     "t22_langid_metrics", "s07_vector_quality_audit", "evt11_seasonality_profile",
     "src16_nested_json_flatten", "t23_readability", "q76_cumulative_uniques",
     "q77_bitemporal_restatement", "p13_erasure_propagation",
+    "q79_triangle_count", "evt12_dynamic_gap_sessions",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -3599,3 +3599,141 @@ def q77_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q79: triangle counting (oriented wedge join) -------------------------------
+_Q79_MIN_CODAYS = 28  # co-activity edge threshold (distinct shared days)
+
+
+@register(
+    "q79_triangle_count",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    edges AS (
+      SELECT a.user_id AS ua, b.user_id AS ub
+      FROM ud a JOIN ud b ON a.d = b.d AND a.user_id < b.user_id
+      GROUP BY 1, 2 HAVING count(*) >= {_Q79_MIN_CODAYS}
+    ),
+    deg AS (
+      SELECT u, count(*) AS dg FROM (
+        SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges
+      ) GROUP BY u
+    ),
+    oriented AS (
+      -- orient each edge from lower to higher (degree, id): every triangle
+      -- is counted exactly once at its lowest-rank apex
+      SELECT CASE WHEN (da.dg, e.ua) < (db.dg, e.ub) THEN e.ua ELSE e.ub END AS src,
+             CASE WHEN (da.dg, e.ua) < (db.dg, e.ub) THEN e.ub ELSE e.ua END AS dst
+      FROM edges e JOIN deg da ON da.u = e.ua JOIN deg db ON db.u = e.ub
+    ),
+    wedges AS (
+      SELECT o1.dst AS v, o2.dst AS w
+      FROM oriented o1 JOIN oriented o2
+        ON o1.src = o2.src AND o1.dst < o2.dst
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM wedges wd JOIN edges e
+        ON e.ua = least(wd.v, wd.w) AND e.ub = greatest(wd.v, wd.w)
+    ),
+    open_wedges AS (SELECT sum(dg * (dg - 1) / 2) AS n_wedges FROM deg)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT)   AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT n_tri FROM tri) AS BIGINT)      AS n_triangles,
+           round(3.0 * (SELECT n_tri FROM tri)
+                 / greatest(CAST((SELECT n_wedges FROM open_wedges) AS DOUBLE), 1),
+                 6)                                     AS transitivity
+    """,
+)
+def q79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting with the degree-ORIENTED wedge join
+    (the public MapReduce-era algorithm that made web-scale triangle
+    counts feasible): orienting every edge from its lower-(degree, id)
+    endpoint guarantees each triangle is generated as exactly ONE wedge
+    at its lowest apex AND bounds wedge fan-out by the oriented
+    out-degree (≈√|E| worst case) instead of the raw max degree — the
+    difference between a hub exploding the join and not.  The graph is
+    user co-activity (≥{_Q79_MIN_CODAYS} shared active days); transitivity
+    = 3·triangles / open wedges closes the clustering-coefficient
+    report.
+
+    Scale notes, stated honestly: the co-occurrence edge builder joins
+    per day — per-key fan-out = users-per-day², the same frequency-cap
+    obligation as d05's shingle blocking (cap or sample hot days at
+    100 TB); the wedge join and closure check are key-equi on node ids.
+    Graph family: connected components (d07), PageRank (q54), triangles
+    (q79)."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    a, b = ud.alias("a"), ud.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _Q79_MIN_CODAYS)
+        .select("ua", "ub")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("ua").alias("u"))
+        .unionAll(edges.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("dg").alias("dga"))
+    db = deg.select(F.col("u").alias("ub"), F.col("dg").alias("dgb"))
+    lower_first = (F.col("dga") < F.col("dgb")) | (
+        (F.col("dga") == F.col("dgb")) & (F.col("ua") < F.col("ub"))
+    )
+    oriented = (
+        edges.join(da, "ua")
+        .join(db, "ub")
+        .select(
+            F.when(lower_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+            F.when(lower_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    tri = wedges.join(
+        edges,
+        (edges.ua == F.least(F.col("v"), F.col("w")))
+        & (edges.ub == F.greatest(F.col("v"), F.col("w"))),
+    ).agg(F.count(F.lit(1)).alias("n_tri"))
+    counts = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum((F.col("dg") * (F.col("dg") - 1) / 2).cast("long")).alias(
+                "n_wedges"
+            ),
+        )
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri)
+    )
+    out = counts.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_tri").cast("long").alias("n_triangles"),
+        F.round(
+            3.0
+            * F.col("n_tri")
+            / F.greatest(F.col("n_wedges").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("transitivity"),
+    )
+    return out

@@ -603,3 +603,89 @@ def evt11_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+# --- evt12: dynamic-gap session windows ----------------------------------------
+_EVT12_GAP_PURCHASE_S = 2700   # purchases keep sessions alive 45 min
+_EVT12_GAP_DEFAULT_S = 900     # everything else: 15 min
+
+
+@register(
+    "evt12_dynamic_gap_sessions",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase'
+                  THEN {_EVT12_GAP_PURCHASE_S}000000
+                  ELSE {_EVT12_GAP_DEFAULT_S}000000 END AS gap_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, us, gap_us,
+             CASE WHEN us > coalesce(max(us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_s
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid,
+             us, gap_us
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             (max(us + gap_us) - min(us)) AS span_us
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_sessions,
+           CAST(sum(n_events) AS BIGINT)                     AS n_events,
+           CAST(max(n_events) AS BIGINT)                     AS max_session_events,
+           CAST(sum(span_us) // count(*) // 1000000 AS BIGINT)
+                                                             AS avg_span_seconds
+    FROM per_session
+    """,
+)
+def evt12_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (``session_window`` with a per-EVENT
+    gap expression — Spark's native support for the real-world rule
+    "a purchase keeps the session alive longer than a pageview"): each
+    event extends its session by its own type-dependent gap, sessions
+    merge while they overlap.  The oracle re-derives the identical
+    sessionization with the variable-gap island algorithm (new session ⇔
+    ts exceeds the running max of prior ts+gap), proving the engine's
+    native operator against first principles in exact epoch-µs integers.
+
+    Scale: the native operator is a streaming-capable one-shuffle
+    aggregate with watermark-bounded state (evt02's static-gap runtime,
+    same machinery); the oracle's window formulation is the batch-only
+    equivalent.  The corpus-level report keeps the output engine-
+    comparable at any scale."""
+    e = read_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.lit(f"{_EVT12_GAP_PURCHASE_S} seconds"),
+    ).otherwise(F.lit(f"{_EVT12_GAP_DEFAULT_S} seconds"))
+    sessions = (
+        e.select("user_id", ts.alias("ts"), "event_type")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("s_us"),
+            F.unix_micros(F.col("win.end")).alias("e_us"),
+            "n_events",
+        )
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.expr(
+            "CAST(sum(e_us - s_us) div count(*) div 1000000 AS BIGINT)"
+        ).alias("avg_span_seconds"),
+    )
