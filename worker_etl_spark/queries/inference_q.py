@@ -992,3 +992,107 @@ def i17_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("term_e9").cast("long").alias("mi_bits_e9"),
     )
+
+
+# --- i18: PII column detection --------------------------------------------------
+_I18_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_I18_PHONE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_I18_FLAG_SHARE = 0.10  # column is PII-likely above this match rate
+
+
+@register(
+    "i18_pii_column_scan",
+    oracle=f"""
+    WITH synth AS (
+      -- deterministic mixed-content frame: a clean column, a dirty column
+      -- with embedded emails/phones on key strides, and a numeric column
+      SELECT c_name AS clean_name,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN 'contact me at user' || CAST(c_custkey AS VARCHAR)
+                       || '@example.com'
+                  WHEN c_custkey % 7 = 0
+                  THEN 'call +1-555-' || CAST(1000 + c_custkey % 9000 AS VARCHAR)
+                  ELSE 'no contact info here' END AS notes,
+             CAST(c_acctbal AS VARCHAR) AS balance
+      FROM customer
+    ),
+    melted AS (
+      SELECT 'clean_name' AS column_name, clean_name AS v FROM synth
+      UNION ALL SELECT 'notes', notes FROM synth
+      UNION ALL SELECT 'balance', balance FROM synth
+    )
+    SELECT column_name,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(count(*) FILTER (WHERE regexp_matches(v, '{_I18_EMAIL}')) AS BIGINT)
+             AS n_email,
+           CAST(count(*) FILTER (WHERE regexp_matches(v, '{_I18_PHONE}')) AS BIGINT)
+             AS n_phone,
+           (count(*) FILTER (WHERE regexp_matches(v, '{_I18_EMAIL}')
+                                OR regexp_matches(v, '{_I18_PHONE}'))
+            / CAST(count(*) AS DOUBLE) > {_I18_FLAG_SHARE}) AS pii_likely
+    FROM melted GROUP BY column_name ORDER BY column_name
+    """,
+)
+def i18_pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII COLUMN detection — the schema-level privacy scanner that runs
+    BEFORE cell-level redaction (t06) makes sense: a column whose content
+    matches identifier patterns above a rate threshold gets flagged for
+    the redaction/quarantine policy, catching PII that landed in
+    free-text columns no schema annotation covers.  Patterns are the
+    shared Java-regex ∩ RE2 dialect (t06's), counting is exact, and the
+    synthetic mixed-content frame is deterministic so the oracle replays
+    the scan.
+
+    Scale shape: unpivot-melt (Expand, no shuffle — i08's plan) then one
+    (column)-grain conditional-count aggregate: the scanner costs one
+    scan for ANY number of columns.  Composes: i18 flags → t06 redacts →
+    p11 audits what remains."""
+    c = read_table(spark, sf_dir, "customer")
+    synth = c.select(
+        F.col("c_name").alias("clean_name"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(
+                F.lit("contact me at user"),
+                F.col("c_custkey").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(
+                F.lit("call +1-555-"),
+                (1000 + F.col("c_custkey") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("no contact info here"))
+        .alias("notes"),
+        F.col("c_acctbal").cast("string").alias("balance"),
+    )
+    melted = synth.unpivot(
+        ids=[], values=["clean_name", "notes", "balance"],
+        variableColumnName="column_name", valueColumnName="v",
+    )
+    email = F.col("v").rlike(_I18_EMAIL)
+    phone = F.col("v").rlike(_I18_PHONE)
+    return (
+        melted.groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.count(F.when(email, 1)).alias("n_email"),
+            F.count(F.when(phone, 1)).alias("n_phone"),
+            (
+                F.count(F.when(email | phone, 1))
+                / F.count(F.lit(1)).cast("double")
+                > _I18_FLAG_SHARE
+            ).alias("pii_likely"),
+        )
+        .select(
+            "column_name",
+            F.col("n_values").cast("long").alias("n_values"),
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_phone").cast("long").alias("n_phone"),
+            "pii_likely",
+        )
+        .orderBy("column_name")
+    )

@@ -1608,3 +1608,72 @@ def src16_nested_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_id", "line_no")
     )
+
+
+# --- src17: zip-archive ingest (distributed member extraction) -----------------
+@register(
+    "src17_zip_archive_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           n_regionkey::BIGINT AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def src17_zip_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive ingest: a ``.zip`` of CSV members (the format bulk exports
+    actually arrive in) decompressed DISTRIBUTED-side — ``binaryFile``
+    streams each archive as one Arrow row, a ``mapInPandas`` kernel
+    enumerates members with stdlib ``zipfile`` and emits (member, line)
+    rows, and the untyped lines parse through the usual split+cast tail.
+    Parallelism is per ARCHIVE (an archive is one task, like gzip's
+    non-splittable contract in src07); a drop of many zips scales across
+    executors with zero driver involvement — the driver never opens an
+    archive.
+
+    The xlsx reader already exploits zip-as-container (excel.py); this
+    generalizes the capability to arbitrary CSV archives."""
+    import io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src17_")
+    path = os.path.join(tmp, "nations.zip")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for part in range(3):  # three CSV members, interleaved rows
+            body = "".join(
+                f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n"
+                for r in n
+                if r.n_nationkey % 3 == part
+            )
+            zf.writestr(f"part_{part}.csv", body)
+
+    def unzip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"member": [], "line": []}
+            for blob in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                    for name in sorted(zf.namelist()):
+                        for line in zf.read(name).decode().splitlines():
+                            if line.strip():
+                                out["member"].append(name)
+                                out["line"].append(line)
+            yield pd.DataFrame(out)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(unzip, schema="member string, line string")
+    )
+    parts = F.split(F.col("line"), ",")
+    return (
+        raw.select(
+            parts.getItem(0).cast("long").alias("n_nationkey"),
+            parts.getItem(1).alias("n_name"),
+            parts.getItem(2).cast("long").alias("n_regionkey"),
+        )
+        .orderBy("n_nationkey")
+    )
