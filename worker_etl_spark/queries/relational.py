@@ -3737,3 +3737,190 @@ def q79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("transitivity"),
     )
     return out
+
+
+# --- q82: rolling regression slope (windowed trend detection) -------------------
+_Q82_WIN = 20  # trailing events per user in the regression window
+
+
+@register(
+    "q82_rolling_trend",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS x
+      FROM events
+    ),
+    moments AS (
+      SELECT user_id, x, ts,
+             count(*)    OVER w AS n,
+             sum(x)      OVER w AS sx,
+             sum(y)      OVER w AS sy,
+             sum(x * x)  OVER w AS sxx,
+             sum(x * y)  OVER w AS sxy
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY x
+                   ROWS BETWEEN {_Q82_WIN - 1} PRECEDING AND CURRENT ROW)
+    ),
+    slopes AS (
+      SELECT user_id,
+             round((n * sxy - sx * sy)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+             x
+      FROM moments WHERE n = {_Q82_WIN}
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           round(max(slope), 4)     AS max_slope,
+           round(min(slope), 4)     AS min_slope
+    FROM slopes GROUP BY user_id ORDER BY user_id LIMIT 40
+    """,
+)
+def q82_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING regression slope — windowed trend detection (is this
+    user's spend accelerating?): a {_Q82_WIN}-event OLS slope at every
+    position, from the same exact-integer moment sums as q66/t19 but
+    carried by WINDOW frames, so all five moments share one partition
+    sort and each slope is a closed form over bit-exact integers.  Full
+    windows only (partial-window slopes are statistical noise); per user
+    the max/min slope summarize the steepest up/down trend.
+
+    Scale: one shuffle on user_id; five windowed sums share a single
+    frame pass (Spark evaluates same-frame aggregates together);
+    everything after is user-grain.  The constant-window integer-moment
+    trick generalizes to any rolling closed-form statistic."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    ).withColumn(
+        "x",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(_Q82_WIN - 1), W.currentRow)
+    )
+    moments = seq.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    slopes = moments.filter(F.col("n") == _Q82_WIN).select(
+        "user_id",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            4,
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.round(F.max("slope"), 4).alias("max_slope"),
+            F.round(F.min("slope"), 4).alias("min_slope"),
+        )
+        .orderBy("user_id")
+        .limit(40)
+    )
+
+
+# --- q83: cross-device identity stitching ---------------------------------------
+_Q83_DEV_BASE = 1_000_000  # device node-id offset (disjoint from user ids)
+
+
+@register(
+    "q83_identity_stitching",
+    oracle=f"""
+    WITH RECURSIVE links AS (
+      -- deterministic device observations: every 5th event is a shared
+      -- household device (two consecutive users alias onto it), the rest
+      -- are personal devices
+      SELECT DISTINCT user_id,
+             CASE WHEN event_id % 5 = 0
+                  THEN {_Q83_DEV_BASE} + user_id // 2
+                  ELSE {_Q83_DEV_BASE} + 500000 + user_id END AS device
+      FROM events
+    ),
+    und AS (
+      SELECT user_id AS a, device AS b FROM links
+      UNION
+      SELECT device, user_id FROM links
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    lbl AS (
+      SELECT src AS node, least(src, min(dst)) AS ident
+      FROM reach GROUP BY src
+    ),
+    users AS (
+      SELECT node AS user_id, ident FROM lbl WHERE node < {_Q83_DEV_BASE}
+    ),
+    identities AS (
+      SELECT ident, count(*) AS n_users FROM users GROUP BY ident
+    )
+    SELECT CAST((SELECT count(DISTINCT user_id) FROM links) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT)                   AS n_identities,
+           CAST(max(n_users) AS BIGINT)               AS largest_identity,
+           CAST(count(*) FILTER (WHERE n_users > 1) AS BIGINT)
+                                                      AS n_stitched
+    FROM identities
+    """,
+)
+def q83_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device identity stitching (the mar-tech identity-resolution
+    primitive): users observed on a shared device belong to one
+    IDENTITY, computed as connected components over the bipartite
+    user–device graph — the same `operators/graph.py` CC kernel the
+    dedup family uses (d07), re-targeted at a bipartite link set, which
+    is the whole point of keeping CC an operator rather than a query.
+    Device observations are a deterministic function of the events so
+    the oracle replays the graph; device nodes live in an offset id
+    space to keep the node universe disjoint.
+
+    Scale: links are a distinct projection of the event stream; CC runs
+    in O(diameter) join+min rounds (bipartite identity graphs are
+    shallow — user↔device chains); the identity report is label-grain."""
+    from worker_etl_spark.operators.graph import connected_components
+
+    e = _t(spark, sf_dir, "events")
+    links = e.select(
+        "user_id",
+        F.when(
+            F.col("event_id") % 5 == 0,
+            _Q83_DEV_BASE + F.expr("user_id div 2"),
+        )
+        .otherwise(_Q83_DEV_BASE + 500000 + F.col("user_id"))
+        .cast("long")
+        .alias("device"),
+    ).distinct()
+    labels = connected_components(
+        links.select(F.col("user_id").alias("src"), F.col("device").alias("dst"))
+    )
+    users = labels.filter(F.col("node") < _Q83_DEV_BASE).select(
+        F.col("node").alias("user_id"), F.col("lbl").alias("ident")
+    )
+    identities = users.groupBy("ident").agg(F.count(F.lit(1)).alias("n_users"))
+    n_users_total = links.select("user_id").distinct().count()
+    return identities.agg(
+        F.lit(n_users_total).cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_identities"),
+        F.max("n_users").cast("long").alias("largest_identity"),
+        F.count(F.when(F.col("n_users") > 1, 1)).cast("long").alias("n_stitched"),
+    )

@@ -1685,3 +1685,75 @@ def t23_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- t25: template/boilerplate page detection -----------------------------------
+_T25_MIN_GROUP = 3  # a skeleton shared by at least this many docs = template
+
+
+@register(
+    "t25_template_detection",
+    oracle=f"""
+    WITH skel AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[0-9]+', '0', 'g'), '\\s+', ' ', 'g'))) AS skeleton
+      FROM documents
+    ),
+    groups AS (
+      SELECT skeleton, count(*) AS n_docs, min(doc_id) AS exemplar
+      FROM skel GROUP BY skeleton
+    )
+    SELECT CAST(count(*) AS BIGINT)                                AS n_skeletons,
+           CAST(count(*) FILTER (WHERE n_docs >= {_T25_MIN_GROUP}) AS BIGINT)
+                                                                   AS n_templates,
+           CAST(sum(n_docs) FILTER (WHERE n_docs >= {_T25_MIN_GROUP}) AS BIGINT)
+                                                                   AS n_templated_docs,
+           round(coalesce(sum(n_docs) FILTER (WHERE n_docs >= {_T25_MIN_GROUP}), 0)
+                 / CAST(sum(n_docs) AS DOUBLE), 6)                  AS templated_share,
+           CAST(min(exemplar) FILTER (WHERE n_docs >= {_T25_MIN_GROUP}) AS BIGINT)
+                                                                   AS first_exemplar
+    FROM groups
+    """,
+)
+def t25_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate PAGE detection — the crawler-cleanup step
+    between exact dedup and near-dup: pages generated from one skeleton
+    ("Showing 23 results for ...") are distinct strings (d01 misses
+    them) yet not gradual variants (shingle near-dup over-pays for
+    them); masking the VARIABLE slots (digit runs → 0, whitespace
+    collapse, case fold) makes skeleton-mates hash-identical, so
+    template discovery is one exact groupBy on the masked fingerprint —
+    the public "structural dedup" recipe at its cheapest useful form
+    (URL-pattern + DOM-path masks extend the same pipeline).
+
+    Scale: one scan-fused masking projection + one fingerprint-grain
+    aggregate; the report is skeleton-grain.  Templated share feeding
+    p05's reweighting is the operational consumer."""
+    d = read_table(spark, sf_dir, "documents")
+    skeleton = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"[0-9]+", "0"),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    groups = (
+        d.select("doc_id", skeleton.alias("skeleton"))
+        .groupBy("skeleton")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("exemplar"))
+    )
+    is_t = F.col("n_docs") >= _T25_MIN_GROUP
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_skeletons"),
+        F.count(F.when(is_t, 1)).cast("long").alias("n_templates"),
+        F.sum(F.when(is_t, F.col("n_docs"))).cast("long").alias("n_templated_docs"),
+        F.round(
+            F.coalesce(F.sum(F.when(is_t, F.col("n_docs"))), F.lit(0))
+            / F.sum("n_docs").cast("double"),
+            6,
+        ).alias("templated_share"),
+        F.min(F.when(is_t, F.col("exemplar"))).cast("long").alias("first_exemplar"),
+    )
