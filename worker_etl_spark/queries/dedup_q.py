@@ -1257,3 +1257,99 @@ def d14_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- d15: blocked fuzzy entity join --------------------------------------------
+_D15_BLOCK_LEN = 4   # blocking key: name prefix
+_D15_MAX_EDITS = 1   # verification: edit distance bound
+
+
+@register(
+    "d15_fuzzy_entity_join",
+    oracle=f"""
+    WITH dirty AS (
+      -- the incoming feed: every 3rd name has one character corrupted,
+      -- keys are NOT shared (entity matching, not key join)
+      SELECT c_custkey AS feed_id,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN substring(c_name, 1, 5) || 'x' || substring(c_name, 7)
+                  ELSE c_name END AS feed_name
+      FROM customer
+    ),
+    blocked AS (
+      SELECT d.feed_id, m.c_custkey AS master_id,
+             levenshtein(d.feed_name, m.c_name) AS dist
+      FROM dirty d JOIN customer m
+        ON substring(d.feed_name, 1, {_D15_BLOCK_LEN})
+           = substring(m.c_name, 1, {_D15_BLOCK_LEN})
+      WHERE levenshtein(d.feed_name, m.c_name) <= {_D15_MAX_EDITS}
+    ),
+    best AS (
+      SELECT feed_id, master_id, dist,
+             row_number() OVER (PARTITION BY feed_id
+                                ORDER BY dist, master_id) AS rn
+      FROM blocked
+    )
+    SELECT CAST((SELECT count(*) FROM dirty) AS BIGINT)  AS n_feed,
+           CAST(count(*) AS BIGINT)                      AS n_matched,
+           CAST(count(*) FILTER (WHERE dist = 0) AS BIGINT) AS n_exact,
+           CAST(count(*) FILTER (WHERE dist > 0) AS BIGINT) AS n_fuzzy,
+           CAST(count(*) FILTER (WHERE feed_id = master_id) AS BIGINT)
+                                                         AS n_correct
+    FROM best WHERE rn = 1
+    """,
+)
+def d15_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked FUZZY entity join — the record-linkage workhorse when the
+    incoming feed shares NO key with the master table (CRM imports,
+    supplier onboarding): block on a cheap prefix so the edit-distance
+    verification never goes all-pairs (d05's cap discipline with a
+    prefix instead of shingle frequency), match within
+    ≤{_D15_MAX_EDITS} edits, resolve ties to the best (distance, id)
+    candidate per feed row.  The corruption is deterministic so the
+    oracle replays the whole linkage AND the audit can score accuracy
+    (n_correct = matches landing on the true entity).
+
+    Scale: prefix-equi join (shuffle-partitionable; hot prefixes cap
+    like d05's DF cap), levenshtein only on blocked survivors (d08's
+    rule), one rank window at feed grain."""
+    c = read_table(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("feed_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring(F.col("c_name"), 1, 5),
+                F.lit("x"),
+                F.expr("substring(c_name, 7)"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("feed_name"),
+    )
+    master = c.select(F.col("c_custkey").alias("master_id"), "c_name")
+    blocked = (
+        dirty.join(
+            master,
+            F.substring(F.col("feed_name"), 1, _D15_BLOCK_LEN)
+            == F.substring(F.col("c_name"), 1, _D15_BLOCK_LEN),
+        )
+        .withColumn("dist", F.levenshtein(F.col("feed_name"), F.col("c_name")))
+        .filter(F.col("dist") <= _D15_MAX_EDITS)
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("feed_id").orderBy("dist", "master_id")
+    best = blocked.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    n_feed = dirty.count()
+    return best.agg(
+        F.lit(n_feed).cast("long").alias("n_feed"),
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.count(F.when(F.col("dist") == 0, 1)).cast("long").alias("n_exact"),
+        F.count(F.when(F.col("dist") > 0, 1)).cast("long").alias("n_fuzzy"),
+        F.count(F.when(F.col("feed_id") == F.col("master_id"), 1))
+        .cast("long")
+        .alias("n_correct"),
+    )

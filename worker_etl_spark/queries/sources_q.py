@@ -1677,3 +1677,74 @@ def src17_zip_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+# --- w14: late-arriving dimension repair (inferred members) --------------------
+@register(
+    "w14_inferred_members",
+    oracle="""
+    WITH dim AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      WHERE n_nationkey % 7 != 0  -- simulate late-arriving dim rows
+    ),
+    orphan_keys AS (
+      SELECT DISTINCT c_nationkey AS k FROM customer
+      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM dim)
+    ),
+    repaired AS (
+      SELECT n_nationkey, n_name, FALSE AS inferred FROM dim
+      UNION ALL
+      SELECT k, 'UNKNOWN_' || CAST(k AS VARCHAR), TRUE FROM orphan_keys
+    )
+    SELECT r.inferred,
+           CAST(count(DISTINCT r.n_nationkey) AS BIGINT) AS n_dim_rows,
+           CAST(count(c.c_custkey) AS BIGINT)            AS n_facts_covered
+    FROM repaired r LEFT JOIN customer c ON c.c_nationkey = r.n_nationkey
+    GROUP BY r.inferred ORDER BY r.inferred
+    """,
+)
+def w14_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension repair — Kimball's "inferred member"
+    pattern (public): facts referencing a dimension key the dim feed
+    hasn't delivered yet must NOT drop (inner join) or null out (plain
+    outer join) — instead the pipeline inserts placeholder dim rows for
+    the orphan keys so every fact joins, and the placeholders flip to
+    real rows when the dim feed catches up (w02's upsert).  The audit
+    shows full fact coverage split by real-vs-inferred membership.
+
+    Scale shape: orphan keys come from one distinct anti-semi pass of the
+    fact's key column (pruned scan); placeholders are |orphans| generated
+    rows unioned under the dim; coverage check is the standard broadcast
+    dim join.  Composes: i11 DETECTS orphans, this REPAIRS them, w02
+    retires the repair."""
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    dim = n.filter(F.col("n_nationkey") % 7 != 0).select(
+        "n_nationkey", "n_name"
+    )
+    orphan_keys = (
+        c.select(F.col("c_nationkey").alias("k"))
+        .distinct()
+        .join(
+            dim.select(F.col("n_nationkey").alias("k")), "k", "left_anti"
+        )
+    )
+    inferred_rows = orphan_keys.select(
+        F.col("k").alias("n_nationkey"),
+        F.concat(F.lit("UNKNOWN_"), F.col("k").cast("string")).alias("n_name"),
+        F.lit(True).alias("inferred"),
+    )
+    repaired = dim.withColumn("inferred", F.lit(False)).unionByName(
+        inferred_rows
+    )
+    return (
+        repaired.join(
+            c, c.c_nationkey == repaired.n_nationkey, "left"
+        )
+        .groupBy("inferred")
+        .agg(
+            F.countDistinct("n_nationkey").cast("long").alias("n_dim_rows"),
+            F.count("c_custkey").cast("long").alias("n_facts_covered"),
+        )
+        .orderBy("inferred")
+    )

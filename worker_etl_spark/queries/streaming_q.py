@@ -689,3 +689,82 @@ def evt12_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(e_us - s_us) div count(*) div 1000000 AS BIGINT)"
         ).alias("avg_span_seconds"),
     )
+
+
+# --- evt13: data-freshness gap alerting ----------------------------------------
+_EVT13_EXPECTED_GAP_S = 1800  # alert when a stream goes quiet longer than this
+
+
+@register(
+    "evt13_freshness_gaps",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, (us - prev_us) AS gap_us
+      FROM seq WHERE prev_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                     AS n_intervals,
+           CAST(max(gap_us) // 1000000 AS BIGINT)       AS max_gap_seconds,
+           CAST(sum(gap_us) // count(*) // 1000000 AS BIGINT)
+                                                        AS avg_gap_seconds,
+           CAST(count(*) FILTER (WHERE gap_us > {_EVT13_EXPECTED_GAP_S} * 1000000)
+                AS BIGINT)                              AS n_gap_alerts
+    FROM gaps GROUP BY event_type ORDER BY event_type
+    """,
+)
+def evt13_freshness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness gap alerting — the ABSENCE detector completing
+    evt10's disorder diagnostics: a healthy stream's inter-arrival gaps
+    stay under the expected cadence, and every gap beyond the threshold
+    is a delivery incident (upstream outage, stuck partition, dead
+    producer) that row-level quality checks can't see because the
+    missing rows aren't there to fail them.  Per stream: interval count,
+    max/avg gap (exact epoch-µs integer arithmetic), and the alert
+    count at the {_EVT13_EXPECTED_GAP_S}s threshold.
+
+    Scale: one shuffle per the (type, ts) lag window, type-grain
+    rollup; in production the same statistic runs incrementally per
+    micro-batch with the previous batch's tail timestamp as state
+    (cusum_stateful's one-tuple pattern)."""
+    from pyspark.sql.window import Window as W
+
+    e = read_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.unix_micros(ts).alias("us"), "ts", "event_id"
+    ).withColumn("prev_us", F.lag("us").over(w))
+    gaps = seq.filter(F.col("prev_us").isNotNull()).select(
+        "event_type", (F.col("us") - F.col("prev_us")).alias("gap_us")
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.expr("CAST(max(gap_us) div 1000000 AS BIGINT)").alias(
+                "max_gap_seconds"
+            ),
+            F.expr(
+                "CAST(sum(gap_us) div count(*) div 1000000 AS BIGINT)"
+            ).alias("avg_gap_seconds"),
+            F.count(
+                F.when(F.col("gap_us") > _EVT13_EXPECTED_GAP_S * 1_000_000, 1)
+            )
+            .cast("long")
+            .alias("n_gap_alerts"),
+        )
+        .select(
+            "event_type",
+            F.col("n_intervals").cast("long").alias("n_intervals"),
+            "max_gap_seconds",
+            "avg_gap_seconds",
+            "n_gap_alerts",
+        )
+        .orderBy("event_type")
+    )
