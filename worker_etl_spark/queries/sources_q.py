@@ -1748,3 +1748,73 @@ def w14_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("inferred")
     )
+
+
+# --- src18: packed binary record ingest ----------------------------------------
+_SRC18_FMT = ">i16sh"  # big-endian: int32 key, 16-byte name, int16 region
+_SRC18_RECLEN = 22
+
+
+@register(
+    "src18_packed_binary_ingest",
+    oracle="""
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+           n_regionkey::BIGINT AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def src18_packed_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKED BINARY record ingest (big-endian int32 + fixed char field +
+    int16 — the mainframe/sensor wire layout src10's TEXT fixed-width is
+    the printable cousin of): ``binaryFile`` streams each blob,
+    a ``mapInPandas`` kernel slices {_SRC18_RECLEN}-byte records and
+    decodes them with stdlib ``struct`` — no text round trip, no parsing
+    ambiguity, endianness explicit in the format string.  Per-file
+    parallelism (records don't self-delimit, so files are the split
+    unit); a real deployment shards the feed into many objects exactly
+    like the gzip/zip contracts (src07/src17).
+
+    The decode loop is numpy-free by choice: struct.unpack_from on a
+    memoryview is already O(records) with zero copies."""
+    import struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src18_")
+    path = os.path.join(tmp, "nation.bin")
+    with open(path, "wb") as fh:
+        for r in n:
+            fh.write(
+                struct.pack(
+                    _SRC18_FMT,
+                    r.n_nationkey,
+                    r.n_name.encode()[:16].ljust(16),
+                    r.n_regionkey,
+                )
+            )
+
+    fmt, reclen = _SRC18_FMT, _SRC18_RECLEN
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"n_nationkey": [], "n_name": [], "n_regionkey": []}
+            for blob in pdf["content"]:
+                mv = memoryview(bytes(blob))
+                for off in range(0, len(mv), reclen):
+                    key, name, region = struct.unpack_from(fmt, mv, off)
+                    out["n_nationkey"].append(key)
+                    out["n_name"].append(name.rstrip(b" ").decode())
+                    out["n_regionkey"].append(region)
+            yield pd.DataFrame(out)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(
+            decode, schema="n_nationkey long, n_name string, n_regionkey long"
+        )
+    )
+    return raw.orderBy("n_nationkey")

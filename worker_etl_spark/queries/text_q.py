@@ -1757,3 +1757,72 @@ def t25_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("templated_share"),
         F.min(F.when(is_t, F.col("exemplar"))).cast("long").alias("first_exemplar"),
     )
+
+
+# --- t26: writing-system (script) detection -------------------------------------
+_T26_CJK = "[一-鿿]"          # CJK unified ideographs (U+4E00–U+9FFF)
+_T26_LATIN = "[A-Za-zÀ-ÿ]"    # basic latin + latin-1 supplement letters
+
+
+@register(
+    "t26_script_detection",
+    oracle=f"""
+    WITH feats AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{_T26_CJK}'))   AS n_cjk,
+             len(regexp_extract_all(text, '{_T26_LATIN}')) AS n_latin,
+             length(text) AS n_chars
+      FROM documents WHERE length(text) > 0
+    ),
+    scored AS (
+      SELECT lang,
+             CASE WHEN n_cjk > n_latin THEN 'cjk'
+                  WHEN n_latin > 0 THEN 'latin'
+                  ELSE 'other' END AS script,
+             n_cjk, n_latin
+      FROM feats
+    )
+    SELECT lang, script,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(n_cjk) AS BIGINT) AS total_cjk_chars,
+           CAST(sum(n_latin) AS BIGINT) AS total_latin_chars
+    FROM scored GROUP BY lang, script ORDER BY lang, script
+    """,
+)
+def t26_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system (SCRIPT) detection — the i18n layer UNDER language
+    ID: script is decidable from unicode ranges alone (no marker words,
+    no model), so it is the cheap first router — a doc whose dominant
+    script is CJK never needs the latin-language marker scan (t03), and
+    a LABEL/script disagreement (lang='en' but CJK-dominant) is a
+    mislabeling signal neither check finds alone.  Range counting via
+    character-class regex is exact in the shared Java∩RE2 dialect
+    (ranges verified cross-engine by the text-primitive fuzz suite's
+    alphabets).
+
+    Scale: two scan-fused range counts + a (lang, script) rollup."""
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_cjk = F.size(
+        F.regexp_extract_all("text", F.lit(_T26_CJK), F.lit(0))
+    )
+    n_latin = F.size(
+        F.regexp_extract_all("text", F.lit(_T26_LATIN), F.lit(0))
+    )
+    scored = d.select(
+        "lang",
+        F.when(n_cjk > n_latin, "cjk")
+        .when(n_latin > 0, "latin")
+        .otherwise("other")
+        .alias("script"),
+        n_cjk.alias("n_cjk"),
+        n_latin.alias("n_latin"),
+    )
+    return (
+        scored.groupBy("lang", "script")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_cjk").cast("long").alias("total_cjk_chars"),
+            F.sum("n_latin").cast("long").alias("total_latin_chars"),
+        )
+        .orderBy("lang", "script")
+    )
