@@ -121,6 +121,7 @@ _PRIORITY: list[str] = [
     "q82_rolling_trend", "t25_template_detection", "q83_identity_stitching",
     "w14_inferred_members", "evt13_freshness_gaps", "d15_fuzzy_entity_join",
     "src18_packed_binary_ingest", "t26_script_detection",
+    "t27_line_boilerplate", "w16_row_ttl_retention",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -1818,3 +1818,67 @@ def src18_packed_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return raw.orderBy("n_nationkey")
+
+
+# --- w16: row-level TTL retention view -----------------------------------------
+_W16_TTL_DAYS = 14  # rows older than this (vs corpus "now") are expired
+
+
+@register(
+    "w16_row_ttl_retention",
+    oracle=f"""
+    WITH now_ AS (SELECT max(ts) AS now_ts FROM events),
+    tagged AS (
+      SELECT e.event_type,
+             (e.ts < n.now_ts - INTERVAL {_W16_TTL_DAYS} DAY) AS expired,
+             CAST(round(e.value * 100) AS BIGINT) AS c
+      FROM events e, now_ n
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE NOT expired) AS BIGINT) AS n_live,
+           CAST(count(*) FILTER (WHERE expired) AS BIGINT)     AS n_expired,
+           sum(c) FILTER (WHERE NOT expired) / 100.0           AS live_value,
+           round(count(*) FILTER (WHERE expired)
+                 / CAST(count(*) AS DOUBLE), 6)                AS expired_share
+    FROM tagged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def w16_row_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level TTL retention — the policy layer every regulated event
+    store runs (keep N days, serve only live rows, report what the next
+    purge removes): rows age against the corpus watermark (max event
+    time — NOT wall clock, so replays and backfills age consistently and
+    the oracle is deterministic), the serving view filters live rows,
+    and the purge-forecast counts what physical deletion (w08's
+    merge-on-read, then compaction) will claim.
+
+    Scale: the TTL predicate is a scan-level filter — on a time-
+    partitioned layout (w01/w12) entire expired partitions prune without
+    reads, which is WHY retention policy should align with partition
+    grain; the report is one type-grain aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    now_ = e.agg(F.max(F.col("ts").cast("timestamp")).alias("now_ts"))
+    tagged = e.crossJoin(F.broadcast(now_)).select(
+        "event_type",
+        (
+            F.col("ts").cast("timestamp")
+            < F.col("now_ts") - F.expr(f"INTERVAL {_W16_TTL_DAYS} DAY")
+        ).alias("expired"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.count(F.when(~F.col("expired"), 1)).cast("long").alias("n_live"),
+            F.count(F.when(F.col("expired"), 1)).cast("long").alias("n_expired"),
+            (F.sum(F.when(~F.col("expired"), F.col("c"))) / F.lit(100.0)).alias(
+                "live_value"
+            ),
+            F.round(
+                F.count(F.when(F.col("expired"), 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("expired_share"),
+        )
+        .orderBy("event_type")
+    )

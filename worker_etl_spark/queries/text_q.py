@@ -1826,3 +1826,78 @@ def t26_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "script")
     )
+
+
+# --- t27: line-level boilerplate detection (CCNet-style) ------------------------
+_T27_MIN_DF = 5  # a line appearing in this many docs of one source = boilerplate
+
+
+@register(
+    "t27_line_boilerplate",
+    oracle=f"""
+    WITH lines AS (
+      SELECT DISTINCT doc_id, source,
+             trim(l) AS line
+      FROM documents,
+           unnest(string_split(text, chr(10))) AS t(l)
+      WHERE length(trim(l)) > 0
+    ),
+    df AS (
+      SELECT source, line, count(*) AS line_df
+      FROM lines GROUP BY source, line
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                            AS n_distinct_lines,
+           CAST(count(*) FILTER (WHERE line_df >= {_T27_MIN_DF}) AS BIGINT)
+                                                               AS n_boilerplate,
+           CAST(sum(line_df) FILTER (WHERE line_df >= {_T27_MIN_DF}) AS BIGINT)
+                                                               AS boilerplate_occurrences,
+           round(coalesce(sum(line_df) FILTER (WHERE line_df >= {_T27_MIN_DF}), 0)
+                 / CAST(sum(line_df) AS DOUBLE), 6)            AS boilerplate_share
+    FROM df GROUP BY source ORDER BY source
+    """,
+)
+def t27_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level boilerplate detection — the CCNet recipe's actual dedup
+    grain (public: CCNet dedups paragraphs/lines across a source before
+    any doc-level pass, because nav bars, footers, and cookie banners
+    repeat across a domain's pages while every PAGE stays unique): a
+    line occurring in ≥{_T27_MIN_DF} distinct docs of one source is
+    boilerplate, and the share of line occurrences that are boilerplate
+    is the strip-ratio estimate the cleaning pass will remove.  Per-doc
+    DISTINCT first, so a line repeated inside one doc counts once.
+
+    Scale: line explode → (doc, source, line) distinct → (source, line)
+    DF aggregate — t14's gram-frequency program at line grain, linear in
+    line volume; the strip itself is then a broadcast/semi-join of the
+    flagged lines back onto the explode (d11's survivor shape)."""
+    d = read_table(spark, sf_dir, "documents")
+    lines = (
+        spread(d.select("doc_id", "source", F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), "\n")).alias("l"),
+        )
+        .select("doc_id", "source", F.trim(F.col("l")).alias("line"))
+        .filter(F.length("line") > 0)
+        .distinct()
+    )
+    df_ = lines.groupBy("source", "line").agg(F.count(F.lit(1)).alias("line_df"))
+    is_bp = F.col("line_df") >= _T27_MIN_DF
+    return (
+        df_.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_lines"),
+            F.count(F.when(is_bp, 1)).cast("long").alias("n_boilerplate"),
+            F.sum(F.when(is_bp, F.col("line_df")))
+            .cast("long")
+            .alias("boilerplate_occurrences"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_bp, F.col("line_df"))), F.lit(0))
+                / F.sum("line_df").cast("double"),
+                6,
+            ).alias("boilerplate_share"),
+        )
+        .orderBy("source")
+    )
