@@ -122,6 +122,8 @@ _PRIORITY: list[str] = [
     "w14_inferred_members", "evt13_freshness_gaps", "d15_fuzzy_entity_join",
     "src18_packed_binary_ingest", "t26_script_detection",
     "t27_line_boilerplate", "w16_row_ttl_retention",
+    "evt14_incremental_view_maintenance", "q84_pareto_frontier",
+    "i19_benford_audit",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

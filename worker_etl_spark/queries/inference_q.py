@@ -1096,3 +1096,77 @@ def i18_pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# --- i19: Benford first-digit audit ---------------------------------------------
+_I19_SCALE = 1_000_000
+
+
+@register(
+    "i19_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS nn FROM obs),
+    spine AS (SELECT unnest(range(1, 10)) AS d)
+    SELECT s.d,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_observed,
+           -- observed and Benford-expected shares at 1e-6 fixed point
+           CAST(round(coalesce(o.n, 0) * {_I19_SCALE} / CAST(t.nn AS DOUBLE))
+                AS BIGINT) AS obs_share_e6,
+           CAST(round(log10(1.0 + 1.0 / s.d) * {_I19_SCALE}) AS BIGINT)
+                AS benford_share_e6
+    FROM spine s LEFT JOIN obs o ON o.d = s.d, tot t
+    ORDER BY s.d
+    """,
+)
+def i19_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (public forensic-accounting test): organic
+    multi-scale amounts put ~30.1% of first digits on 1 and ~4.6% on 9
+    (log10(1+1/d)); synthetic, capped, or fabricated feeds deviate — a
+    one-scan fingerprint that catches generated test data masquerading as
+    production, price-floor artifacts, and unit-mix bugs before any
+    statistical model sees the column.  Both the observed share and the
+    Benford expectation are emitted at 1e-6 fixed point from exact counts
+    (log10 of the 9 constant ratios is identical IEEE on both engines),
+    leaving the deviation judgment — and its threshold — to the consumer.
+
+    Scale: first digit is a string projection of the cent integer (no
+    float log in the hot path); one 9-key counting aggregate."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("nn"))
+    spine = o.sparkSession.range(1, 10).select(F.col("id").alias("d"))
+    return (
+        spine.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_observed"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0))
+                * _I19_SCALE
+                / F.col("nn").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("obs_share_e6"),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")) * _I19_SCALE, 0)
+            .cast("long")
+            .alias("benford_share_e6"),
+        )
+        .orderBy("d")
+    )

@@ -3924,3 +3924,70 @@ def q83_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_users").cast("long").alias("largest_identity"),
         F.count(F.when(F.col("n_users") > 1, 1)).cast("long").alias("n_stitched"),
     )
+
+
+# --- q84: Pareto frontier (2-D skyline) -----------------------------------------
+@register(
+    "q84_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      -- one point per part: (max quantity ever shipped, best price seen);
+      -- a part is dominated if another is >= on both axes and > on one
+      SELECT l_partkey,
+             CAST(max(round(l_quantity)) AS BIGINT)              AS q,
+             CAST(min(round(l_extendedprice * 100)) AS BIGINT)   AS p
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, q, p,
+             min(p) OVER (ORDER BY q DESC, p ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_p_at_higher_q
+      FROM pts
+    ),
+    sky AS (
+      SELECT l_partkey, q, p FROM ranked
+      WHERE best_p_at_higher_q IS NULL OR p < best_p_at_higher_q
+    )
+    SELECT CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points,
+           CAST(count(*) AS BIGINT)                   AS n_frontier,
+           CAST(max(q) AS BIGINT)                     AS max_quantity,
+           min(p) / 100.0                             AS best_price
+    FROM sky
+    """,
+)
+def q84_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D skyline, the classic "best tradeoffs" query —
+    here: parts maximizing shipped quantity while minimizing price): the
+    textbook formulation self-joins all pairs to test dominance (O(n²));
+    the scalable identity is that after sorting by (quantity DESC, price
+    ASC) a point is on the frontier iff its price beats the running
+    MINIMUM price of everything before it — one sort, one window, one
+    filter, O(n log n).  Ties handled exactly: equal-q points must
+    strictly beat the prior best price (the ASC tiebreak puts the
+    cheapest equal-q point first).
+
+    Scale: the sort is the documented axis (range-partition like w05 and
+    carry each partition's boundary min as the seed — the same
+    overlap-the-edges discipline as d14's SNM); everything else is
+    per-row.  Integer axes keep dominance exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    pts = l.groupBy("l_partkey").agg(
+        F.max(F.round(F.col("l_quantity"))).cast("long").alias("q"),
+        F.min(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("p"),
+    )
+    w = (
+        W.orderBy(F.desc("q"), F.asc("p"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = pts.withColumn("best_prior", F.min("p").over(w))
+    sky = ranked.filter(
+        F.col("best_prior").isNull() | (F.col("p") < F.col("best_prior"))
+    )
+    n_points = pts.count()
+    return sky.agg(
+        F.lit(n_points).cast("long").alias("n_points"),
+        F.count(F.lit(1)).cast("long").alias("n_frontier"),
+        F.max("q").cast("long").alias("max_quantity"),
+        (F.min("p") / F.lit(100.0)).alias("best_price"),
+    )

@@ -768,3 +768,109 @@ def evt13_freshness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- evt14: incremental view maintenance with retractions -----------------------
+@register(
+    "evt14_incremental_view_maintenance",
+    oracle="""
+    WITH deltas AS (
+      -- change feed over the base: strided deletes (retractions) and
+      -- strided value corrections (delete old + insert new)
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, +1 AS mult
+      FROM events
+      UNION ALL
+      SELECT event_type, CAST(round(value * 100) AS BIGINT), -1
+      FROM events WHERE event_id % 11 = 0          -- retraction
+      UNION ALL
+      SELECT event_type, CAST(round(value * 100) AS BIGINT), -1
+      FROM events WHERE event_id % 13 = 0          -- correction: retract old
+      UNION ALL
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) + 250, +1
+      FROM events WHERE event_id % 13 = 0          -- correction: insert new
+    ),
+    maintained AS (
+      SELECT event_type,
+             sum(mult) AS n, sum(mult * c) AS total_c
+      FROM deltas GROUP BY event_type
+    ),
+    recomputed AS (
+      SELECT event_type, count(*) AS n, sum(c) AS total_c FROM (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT)
+                 + CASE WHEN event_id % 13 = 0 THEN 250 ELSE 0 END AS c
+        FROM events WHERE event_id % 11 != 0
+      ) GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT)            AS n_maintained,
+           m.total_c / 100.0              AS total_maintained,
+           (m.n = r.n AND m.total_c = r.total_c) AS matches_recompute
+    FROM maintained m JOIN recomputed r USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def evt14_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS — the delta algebra
+    under every materialized aggregate that must honor deletes and
+    corrections (q52 merges append-only partials; real feeds retract):
+    each change is a ±1-multiplicity delta, a correction is retract-old +
+    insert-new, and the maintained view is the multiplicity-weighted
+    aggregate of deltas — never a rescan.  The audit PROVES the IVM
+    invariant by also recomputing from the net base and comparing exactly
+    (cent-BIGINT arithmetic; matches_recompute must be true on every
+    row — the invariant is part of the result contract).
+
+    Scale: maintenance cost is delta-volume, not base-volume — the whole
+    point; one multiplicity-weighted aggregate per refresh, algebraic so
+    partials merge (q52's property extended to deletions).  This is the
+    batch semantics of streaming OutputMode.Update sinks."""
+    e = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    base = e.select("event_type", "event_id", cents.alias("c"))
+    deltas = (
+        base.select("event_type", "c", F.lit(1).alias("mult"))
+        .unionByName(
+            base.filter(F.col("event_id") % 11 == 0).select(
+                "event_type", "c", F.lit(-1).alias("mult")
+            )
+        )
+        .unionByName(
+            base.filter(F.col("event_id") % 13 == 0).select(
+                "event_type", "c", F.lit(-1).alias("mult")
+            )
+        )
+        .unionByName(
+            base.filter(F.col("event_id") % 13 == 0).select(
+                "event_type", (F.col("c") + 250).alias("c"), F.lit(1).alias("mult")
+            )
+        )
+    )
+    maintained = deltas.groupBy("event_type").agg(
+        F.sum("mult").alias("n"),
+        F.sum(F.col("mult") * F.col("c")).alias("total_c"),
+    )
+    recomputed = (
+        base.filter(F.col("event_id") % 11 != 0)
+        .select(
+            "event_type",
+            (
+                F.col("c")
+                + F.when(F.col("event_id") % 13 == 0, 250).otherwise(0)
+            ).alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("rn"), F.sum("c").alias("rtotal"))
+    )
+    return (
+        maintained.join(recomputed, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_maintained"),
+            (F.col("total_c") / F.lit(100.0)).alias("total_maintained"),
+            (
+                (F.col("n") == F.col("rn"))
+                & (F.col("total_c") == F.col("rtotal"))
+            ).alias("matches_recompute"),
+        )
+        .orderBy("event_type")
+    )
