@@ -123,7 +123,8 @@ _PRIORITY: list[str] = [
     "src18_packed_binary_ingest", "t26_script_detection",
     "t27_line_boilerplate", "w16_row_ttl_retention",
     "evt14_incremental_view_maintenance", "q84_pareto_frontier",
-    "i19_benford_audit",
+    "i19_benford_audit", "q85_subtree_rollup", "t28_collocations",
+    "m10_payload_entropy",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

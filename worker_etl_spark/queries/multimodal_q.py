@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from worker_etl_spark.operators.multimodal import attach_payload, extract_features
 from worker_etl_spark.queries import register
-from worker_etl_spark.sources.tables import read_table
+from worker_etl_spark.sources.tables import read_table, spread
 
 _SQL_KIND = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
@@ -543,4 +543,100 @@ def m09_frame_motion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_change_bits",
         )
         .orderBy("doc_id")
+    )
+
+
+# --- m10: payload byte-entropy (compressibility/encryption probe) ---------------
+_M10_SCALE = 1_000_000_000
+
+
+@register(
+    "m10_payload_entropy",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id, {_SQL_KIND} AS kind,
+             upper(to_hex(encode(text))) AS h
+      FROM documents WHERE length(text) > 0
+    ),
+    bytes_ AS (
+      SELECT doc_id, kind,
+             substring(h, CAST(i * 2 + 1 AS INTEGER), 2) AS b
+      FROM hx, unnest(range(0, length(h) // 2)) AS t(i)
+    ),
+    counts AS (
+      SELECT doc_id, kind, b, count(*) AS c FROM bytes_ GROUP BY doc_id, kind, b
+    ),
+    ent AS (
+      SELECT c.doc_id, any_value(c.kind) AS kind,
+             CAST(round(log2(sum(c.c)) * {_M10_SCALE}) AS BIGINT)
+               - CAST(sum(CAST(round(c.c * log2(c.c) * {_M10_SCALE}) AS BIGINT))
+                      // sum(c.c) AS BIGINT) AS h_e9
+      FROM counts c GROUP BY c.doc_id
+    )
+    SELECT kind,
+           CAST(count(*) AS BIGINT)        AS n_payloads,
+           CAST(min(h_e9) AS BIGINT)       AS min_entropy_e9,
+           CAST(max(h_e9) AS BIGINT)       AS max_entropy_e9,
+           CAST(sum(h_e9) // count(*) AS BIGINT) AS avg_entropy_e9
+    FROM ent GROUP BY kind ORDER BY kind
+    """,
+)
+def m10_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload BYTE entropy — the compressibility/encryption probe (plain
+    text ≈ 4–5 bits/byte, compressed or encrypted payloads ≈ 8): when a
+    payload claims 'image' but scores like text (or vice versa) the
+    magic-byte check (m05) was spoofed or the upload corrupted — entropy
+    is the content-level second opinion no header can fake.  Shannon H =
+    log2(n) − Σ c·log2(c)/n from exact per-byte counts (t13's identity
+    at byte grain), carried at 1e-9 fixed point with per-term rounding
+    pinned before the cross-byte division so both engines produce the
+    identical BIGINT.
+
+    Scale: byte histogram per payload = explode + (doc, byte)-grain
+    count (≤256 rows per doc out of the combine); a numpy bincount
+    inside mapInPandas is the drop-in when payloads are real BLOBs —
+    the hex-space formulation here keeps the oracle exact."""
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    hx = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.upper(F.hex(F.encode(F.col("text"), "UTF-8"))).alias("h"),
+    )
+    bytes_ = spread(hx).select(
+        "doc_id",
+        "kind",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(length(h) / 2 AS INT) - 1),"
+                " i -> substring(h, i * 2 + 1, 2))"
+            )
+        ).alias("b"),
+    )
+    counts = bytes_.groupBy("doc_id", "kind", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ent = counts.groupBy("doc_id").agg(
+        F.first("kind").alias("kind"),
+        (
+            F.round(F.log2(F.sum("c")) * _M10_SCALE, 0).cast("long")
+            - F.expr(
+                f"CAST(sum(CAST(round(c * log2(c) * {_M10_SCALE}) AS BIGINT))"
+                " div sum(c) AS BIGINT)"
+            )
+        ).alias("h_e9"),
+    )
+    return (
+        ent.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+            F.min("h_e9").cast("long").alias("min_entropy_e9"),
+            F.max("h_e9").cast("long").alias("max_entropy_e9"),
+            F.expr("CAST(sum(h_e9) div count(*) AS BIGINT)").alias(
+                "avg_entropy_e9"
+            ),
+        )
+        .orderBy("kind")
     )

@@ -3991,3 +3991,71 @@ def q84_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("q").cast("long").alias("max_quantity"),
         (F.min("p") / F.lit(100.0)).alias("best_price"),
     )
+
+
+# --- q85: recursive subtree rollup (costed BOM explosion) ------------------------
+@register(
+    "q85_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE closure AS (
+      -- (ancestor, descendant) pairs in the halved-key hierarchy (q58)
+      SELECT s_suppkey AS anc, s_suppkey AS dsc FROM supplier
+      UNION ALL
+      SELECT c.anc, s.s_suppkey
+      FROM closure c JOIN supplier s
+        ON s.s_suppkey // 2 = c.dsc AND s.s_suppkey > c.dsc
+    ),
+    rolled AS (
+      SELECT c.anc,
+             count(*) AS subtree_size,
+             CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS subtree_cents
+      FROM closure c JOIN supplier s ON s.s_suppkey = c.dsc
+      GROUP BY c.anc
+    )
+    SELECT CAST(anc AS BIGINT)          AS s_suppkey,
+           CAST(subtree_size AS BIGINT) AS subtree_size,
+           subtree_cents / 100.0        AS subtree_acctbal
+    FROM rolled
+    ORDER BY subtree_size DESC, s_suppkey LIMIT 20
+    """,
+)
+def q85_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Costed subtree rollup — the BOM-explosion COST query on top of
+    q58's hierarchy walk: every node's total is itself plus all
+    descendants, which needs the ANCESTOR-DESCENDANT CLOSURE (recursive,
+    expanding downward), not just depth.  The closure is |nodes|·depth
+    rows (log-bounded here), each node's subtree aggregate is one
+    closure-grain join + rollup, cent-exact.
+
+    Scale: closure generation is q58's iterative-join machinery run on
+    the child relation; at enterprise BOM sizes the closure is the thing
+    you MATERIALIZE (the classic bridge table) because every costing
+    query reuses it — this query is that bridge table's builder and
+    first consumer in one."""
+    s = _t(spark, sf_dir, "supplier")
+    s.createOrReplaceTempView("q85_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE closure AS (
+          SELECT s_suppkey AS anc, s_suppkey AS dsc FROM q85_supplier
+          UNION ALL
+          SELECT c.anc, s.s_suppkey
+          FROM closure c JOIN q85_supplier s
+            ON s.s_suppkey DIV 2 = c.dsc AND s.s_suppkey > c.dsc
+        ),
+        rolled AS (
+          SELECT c.anc,
+                 count(*) AS subtree_size,
+                 CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS subtree_cents
+          FROM closure c JOIN q85_supplier s ON s.s_suppkey = c.dsc
+          GROUP BY c.anc
+        )
+        SELECT CAST(anc AS BIGINT)          AS s_suppkey,
+               CAST(subtree_size AS BIGINT) AS subtree_size,
+               subtree_cents / CAST(100 AS DOUBLE) AS subtree_acctbal
+        FROM rolled
+        ORDER BY subtree_size DESC, s_suppkey LIMIT 20
+        """
+    )

@@ -1901,3 +1901,95 @@ def t27_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- t28: collocation extraction (pointwise mutual information) -----------------
+_T28_MIN_COUNT = 10   # bigram support floor (PMI explodes on rare pairs)
+_T28_SCALE = 1_000_000_000
+_T28_TOP = 15
+
+
+@register(
+    "t28_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens(sql_norm_text('text'))} AS toks FROM documents
+    ),
+    bigrams AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM toks, unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+    ),
+    bg AS (SELECT w1, w2, count(*) AS cb FROM bigrams GROUP BY w1, w2),
+    u1 AS (SELECT w1, sum(cb) AS c1 FROM bg GROUP BY w1),
+    u2 AS (SELECT w2, sum(cb) AS c2 FROM bg GROUP BY w2),
+    n AS (SELECT sum(cb) AS nn FROM bg),
+    scored AS (
+      SELECT bg.w1, bg.w2, bg.cb,
+             CAST(round(ln((bg.cb * n.nn) / CAST(u1.c1 * u2.c2 AS DOUBLE))
+                        * {_T28_SCALE}) AS BIGINT) AS pmi_e9
+      FROM bg JOIN u1 USING (w1) JOIN u2 USING (w2), n
+      WHERE bg.cb >= {_T28_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(cb AS BIGINT) AS n_cooccur, pmi_e9
+    FROM scored
+    ORDER BY pmi_e9 DESC, w1, w2 LIMIT {_T28_TOP}
+    """,
+)
+def t28_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (the
+    standard phrase-mining statistic, public): word pairs that co-occur
+    far above chance (PMI = ln of the exact integer ratio n·c(w1,w2) /
+    (c(w1)·c(w2))) are the multi-word units a tokenizer or phrase table
+    should treat atomically — t07 counts bigrams, t16 scores
+    distinctiveness ACROSS sources, PMI scores cohesion WITHIN the
+    corpus.  A support floor keeps PMI's rare-pair explosion out
+    (the classic failure mode); scores carry at 1e-9 fixed point so the
+    rank cut is bit-stable.
+
+    Scale: the t18 LM shape — bigram explode, vocab-grain marginals
+    re-joined on word keys, 1-row total broadcast, top-k window."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = spread(
+        d.select(tokens(norm_text(F.col("text"))).alias("toks"))
+    ).filter(F.size("toks") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    u1 = bg.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    u2 = bg.groupBy("w2").agg(F.sum("cb").alias("c2"))
+    nn = bg.agg(F.sum("cb").alias("nn"))
+    scored = (
+        bg.filter(F.col("cb") >= _T28_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            F.round(
+                F.log(
+                    (F.col("cb") * F.col("nn"))
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                )
+                * _T28_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("pmi_e9"),
+        )
+    )
+    return (
+        scored.select(
+            "w1", "w2", F.col("cb").cast("long").alias("n_cooccur"), "pmi_e9"
+        )
+        .orderBy(F.desc("pmi_e9"), "w1", "w2")
+        .limit(_T28_TOP)
+    )
