@@ -124,7 +124,7 @@ _PRIORITY: list[str] = [
     "t27_line_boilerplate", "w16_row_ttl_retention",
     "evt14_incremental_view_maintenance", "q84_pareto_frontier",
     "i19_benford_audit", "q85_subtree_rollup", "t28_collocations",
-    "m10_payload_entropy",
+    "m10_payload_entropy", "q86_gini_concentration",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -4059,3 +4059,80 @@ def q85_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY subtree_size DESC, s_suppkey LIMIT 20
         """
     )
+
+
+# --- q86: revenue concentration (Gini / Lorenz) ----------------------------------
+@register(
+    "q86_gini_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_mktsegment, o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents, o_custkey) AS i
+      FROM per_cust
+    ),
+    sums AS (
+      SELECT c_mktsegment,
+             count(*) AS n,
+             sum(cents) AS s,
+             sum(i * cents) AS si
+      FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT)  AS n_customers,
+           s / 100.0          AS total_revenue,
+           -- Gini from exact integer sums: (2*Σi·x)/(n*Σx) - (n+1)/n
+           round((2.0 * si) / (CAST(n AS DOUBLE) * s)
+                 - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM sums ORDER BY c_mktsegment
+    """,
+)
+def q86_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per segment as the GINI coefficient (the
+    Lorenz-curve statistic, public): 0 = every customer contributes
+    equally, →1 = a few customers carry the segment — the number behind
+    "how exposed is this segment to its top accounts", and the same
+    statistic that measures token-frequency concentration in corpus work
+    (t19's Zipf slope is its cousin).  Computed from the sorted-rank
+    identity G = 2Σ(i·xᵢ)/(nΣx) − (n+1)/n: ranks and both sums are exact
+    integers (deterministic (cents, custkey) tiebreak), only the final
+    expression touches doubles.
+
+    Scale: one fact aggregate to customer grain, one per-segment rank
+    window (range-partition the sort at scale, as ever), one constant-
+    size moment reduce — q66's sufficient-statistics discipline applied
+    to an order statistic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+    sums = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("si"),
+    )
+    return sums.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("s") / F.lit(100.0)).alias("total_revenue"),
+        F.round(
+            (2.0 * F.col("si")) / (F.col("n").cast("double") * F.col("s"))
+            - (F.col("n") + 1) / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    ).orderBy("c_mktsegment")
