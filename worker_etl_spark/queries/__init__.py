@@ -125,6 +125,9 @@ _PRIORITY: list[str] = [
     "evt14_incremental_view_maintenance", "q84_pareto_frontier",
     "i19_benford_audit", "q85_subtree_rollup", "t28_collocations",
     "m10_payload_entropy", "q86_gini_concentration",
+    # new in round 7
+    "q87_market_basket", "evt15_ewma_smoothing", "i20_chi_square",
+    "p14_target_encoding", "v04_feature_hashing",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

@@ -965,3 +965,90 @@ def p13_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(surface("daily_rollup", daily_before, daily_after))
         .orderBy("surface")
     )
+
+
+# --- p14: smoothed target encoding (ML-prep categorical encoder) ----------------
+@register(
+    "p14_target_encoding",
+    oracle="""
+    WITH enc AS (
+      SELECT 'mktsegment' AS feature, c.c_mktsegment AS level,
+             count(*) AS n,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 2
+      UNION ALL
+      SELECT 'orderpriority' AS feature, o_orderpriority AS level,
+             count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      GROUP BY 2
+    ),
+    gstats AS (
+      SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS gc,
+             count(*) AS gn
+      FROM orders
+    )
+    SELECT feature, level,
+           CAST(n AS BIGINT) AS n,
+           round(cents / (100.0 * n), 4) AS raw_mean,
+           -- additive smoothing toward the global mean with pseudo-count m=100:
+           -- enc = (sum + m*global_mean) / (n + m), all sums exact cents
+           round((cents + 100.0 * gc / gn) / (100.0 * (n + 100)), 4)
+             AS encoded
+    FROM enc CROSS JOIN gstats
+    ORDER BY feature, level
+    """,
+)
+def p14_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of categorical features against a
+    numeric target — the standard ML-prep encoder: each level of
+    (customer market segment, order priority) maps to its mean order
+    total, shrunk toward the global mean with pseudo-count m = 100 so
+    rare levels don't memorize noise (enc = (sum + m*prior) / (n + m),
+    the empirical-Bayes form every gradient-boosting pipeline uses).
+    Emitted long-format (feature, level, n, raw_mean, encoded) — the
+    encoder TABLE a training job broadcast-joins onto the fact stream.
+
+    Scale: one aggregate per encoded feature over the fact table (map-
+    side combined; segment needs one broadcast dim join), a constant-size
+    global-prior frame cross-joined back.  Sums stay exact BIGINT cents
+    until the final division, so the hash is engine-stable.  Encoding
+    with the SAME statistics the model trains on leaks the target —
+    pair with p03's leakage-safe split (fit on train only)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cents = F.sum(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    ).alias("cents")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("level"))
+        .agg(F.count(F.lit(1)).alias("n"), cents)
+        .select(F.lit("mktsegment").alias("feature"), "level", "n", "cents")
+    )
+    pri = (
+        o.groupBy(F.col("o_orderpriority").alias("level"))
+        .agg(F.count(F.lit(1)).alias("n"), cents)
+        .select(F.lit("orderpriority").alias("feature"), "level", "n", "cents")
+    )
+    glob = o.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("gc"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    return (
+        seg.unionByName(pri)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "feature",
+            "level",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("cents") / (100.0 * F.col("n")), 4).alias("raw_mean"),
+            F.round(
+                (F.col("cents") + 100.0 * F.col("gc") / F.col("gn"))
+                / (100.0 * (F.col("n") + 100)),
+                4,
+            ).alias("encoded"),
+        )
+        .orderBy("feature", "level")
+    )

@@ -1170,3 +1170,75 @@ def i19_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --- i20: chi-square independence audit between two categorical columns ---------
+@register(
+    "i20_chi_square",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             count(*) AS o FROM orders GROUP BY 1, 2
+    ),
+    rowt AS (SELECT a, sum(o) AS ra FROM cell GROUP BY a),
+    colt AS (SELECT b, sum(o) AS cb FROM cell GROUP BY b),
+    n AS (SELECT sum(o) AS n FROM cell),
+    terms AS (
+      SELECT cell.a, cell.b, cell.o,
+             round(ra * cb / CAST(n AS DOUBLE), 4) AS expected,
+             -- (o - e)^2 / e with e = ra*cb/n, all inputs exact BIGINTs
+             (CAST(o AS DOUBLE) - ra * cb / CAST(n AS DOUBLE)) ** 2
+               / (ra * cb / CAST(n AS DOUBLE)) AS t
+      FROM cell JOIN rowt USING (a) JOIN colt USING (b) CROSS JOIN n
+    )
+    SELECT a AS o_orderpriority, b AS o_orderstatus,
+           CAST(o AS BIGINT) AS observed, expected,
+           round(t, 4)       AS chi2_term
+    FROM terms
+    ORDER BY a, b
+    """,
+)
+def i20_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (order priority x order status), reported per contingency cell:
+    observed count, expected count under independence (row_total x
+    col_total / N), and the cell's chi-square term (o-e)^2/e.  The full
+    statistic is the sum of the last column; emitting per-cell terms
+    keeps every float op a SINGLE expression over exact BIGINT counts —
+    no float summation whose order could differ across engines — so the
+    audit is value-hash-checked exactly.  This is the column-pair
+    dependence scan a profiling pass runs before treating features as
+    independent (i17's mutual information is the information-theoretic
+    twin; this is the classical-statistics one).
+
+    Scale: one hash aggregate to cell grain (cells = |A| x |B|, tiny),
+    row/col margins re-aggregated from the CELL frame (never a second
+    fact scan), margins broadcast back."""
+    o = read_table(spark, sf_dir, "orders")
+    cell = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("a"),
+            F.col("o_orderstatus").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    cell = cell.persist()
+    rowt = cell.groupBy("a").agg(F.sum("o").alias("ra"))
+    colt = cell.groupBy("b").agg(F.sum("o").alias("cb"))
+    n = cell.agg(F.sum("o").alias("n"))
+    e = F.col("ra") * F.col("cb") / F.col("n").cast("double")
+    return (
+        cell.join(F.broadcast(rowt), "a")
+        .join(F.broadcast(colt), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("a").alias("o_orderpriority"),
+            F.col("b").alias("o_orderstatus"),
+            F.col("o").cast("long").alias("observed"),
+            F.round(e, 4).alias("expected"),
+            F.round((F.col("o").cast("double") - e) ** 2 / e, 4).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )

@@ -4136,3 +4136,97 @@ def q86_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("c_mktsegment")
+
+
+# --- q87: market-basket association rules (support / confidence / lift) ---------
+@register(
+    "q87_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (
+      SELECT l_partkey, count(*) AS n_item FROM baskets GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           round(n_both / CAST(n_orders AS DOUBLE), 6)            AS support,
+           round(n_both / CAST(ia.n_item AS DOUBLE), 6)           AS confidence,
+           round(n_both * CAST(n_orders AS DOUBLE)
+                 / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 4)    AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q87_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the Apriori/FP-growth
+    k=2 core, public): for every pair of parts co-purchased in >= 3
+    orders, the classical trio — support P(a,b), confidence P(b|a), lift
+    P(a,b)/(P(a)P(b)) — ranked by lift.  No reference counterpart
+    (SURVEY.md §2 Part B); this is the recommender / co-occurrence shape
+    every training-data pipeline reaches for when it mines co-citation or
+    co-click structure.
+
+    Scale: pair generation is a SELF-JOIN ON THE BASKET KEY, so fan-out
+    per order is C(lines, 2) — bounded by basket size (TPC-H: <= 7
+    lines/order), never O(n_parts**2).  Counts flow through two hash
+    aggregates (map-side combined); the item-frequency dims joined back
+    are part-grain (small) and broadcast.  All three statistics derive
+    from exact BIGINT counts — the double division at the end is
+    order-independent, so the cross-engine hash is stable."""
+    b = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.select("l_orderkey").distinct().count()  # scalar dim, one job
+    a1, a2 = b.alias("a"), b.alias("b")
+    pair = (
+        a1.join(
+            a2,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    nd = F.lit(float(n_orders))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(F.col("n_both") / nd, 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_both") * nd / (F.col("n_a").cast("double") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )

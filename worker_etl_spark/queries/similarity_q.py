@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from worker_etl_spark.functions.text import hex_int, sql_hex_int, sql_tokens, tokens
 from worker_etl_spark.functions.vectors import dot, norm, sql_dot, sql_norm
 from worker_etl_spark.queries import register
 from worker_etl_spark.sources.tables import read_table
@@ -1054,4 +1055,65 @@ def s07_vector_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad_n2").cast("long").alias("mad_norm2"),
         )
         .orderBy("label")
+    )
+
+
+# --- v04: feature hashing (the hashing trick) over document tokens --------------
+@register(
+    "v04_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({sql_tokens('text')}) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang,
+             {sql_hex_int('tok')} % 16 AS bucket,
+             count(*) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    nrm AS (
+      SELECT lang, sum(tf * tf) AS sq FROM tf GROUP BY lang
+    )
+    SELECT lang,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(tf AS BIGINT)     AS tf,
+           round(tf / sqrt(CAST(sq AS DOUBLE)), 6) AS weight
+    FROM tf JOIN nrm USING (lang)
+    ORDER BY lang, bucket
+    """,
+)
+def v04_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, public): project an
+    unbounded token vocabulary into a FIXED 16-dimensional count vector
+    by hashing each token to a bucket — no vocabulary dictionary, no
+    fit/transform state, the same row-local map on every executor.
+    Emitted long-format per language: bucket term frequency plus the
+    L2-normalized weight (the unit vector a linear model or an LSH
+    stage consumes).  The bucket hash is the engine's portable
+    md5-prefix BIGINT (functions/text.py hex_int), identical in DuckDB,
+    so assignment is cross-engine exact; the only float op is one
+    division by sqrt(exact BIGINT).
+
+    Scale: explode -> two hash aggregates, all map-side combinable; the
+    output is (langs x 16) rows regardless of corpus size — the whole
+    point of hashed features at 100 TB (contrast t05's TF-IDF, which
+    must carry the vocabulary)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy(
+        "lang", (hex_int(F.col("tok")) % 16).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    nrm = tf.groupBy("lang").agg(F.sum(F.col("tf") * F.col("tf")).alias("sq"))
+    return (
+        tf.join(F.broadcast(nrm), "lang")
+        .select(
+            "lang",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf") / F.sqrt(F.col("sq").cast("double")), 6
+            ).alias("weight"),
+        )
+        .orderBy("lang", "bucket")
     )

@@ -874,3 +874,88 @@ def evt14_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("event_type")
     )
+
+
+# --- evt15: EWMA smoothing as an ordered fold over a bounded window -------------
+@register(
+    "evt15_ewma_smoothing",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS x
+      FROM events GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT event_type, hour, x,
+             list_reduce(
+               list_prepend(
+                 CAST(0.0 AS DOUBLE),
+                 list(x) OVER (PARTITION BY event_type ORDER BY hour
+                               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)
+               ),
+               (acc, v) -> acc * 0.5 + 0.5 * v
+             ) AS ewma
+      FROM hourly
+    )
+    SELECT event_type,
+           strftime(hour, '%Y-%m-%d %H:00') AS hour,
+           round(x, 2)                      AS hourly_value,
+           round(ewma, 4)                   AS ewma
+    FROM folded
+    ORDER BY event_type, hour
+    """,
+)
+def evt15_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event value per
+    type — the classic recursive smoother s_t = α·x_t + (1−α)·s_{t−1}
+    (α = 0.5) expressed WITHOUT a sequential scan: because weights decay
+    below double precision after ~50 halvings, the recurrence truncated
+    to the last 32 hours is exact to the emitted rounding, so it becomes
+    an ordered LEFT FOLD over a bounded window (`collect_list` ROWS 31
+    PRECEDING → `F.aggregate`).  Both engines fold the identical value
+    sequence left-to-right in IEEE doubles, so the cross-engine hash is
+    exact — the same discipline as evt08's CUSUM closed form, and the
+    streaming form is a trivial `applyInPandasWithState` with one float
+    of state per key.
+
+    Scale: one shuffle to hourly grain, one per-type sort; window state
+    is 32 doubles per row — no unbounded frame, no driver loop.  Hourly
+    totals are exact cent BIGINTs before the float fold, so partial-agg
+    order can't perturb the input sequence."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("x")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-31, W.currentRow)
+    )
+    folded = hourly.withColumn(
+        "ewma",
+        F.aggregate(
+            F.collect_list("x").over(w),
+            F.lit(0.0),
+            lambda acc, v: acc * F.lit(0.5) + F.lit(0.5) * v,
+        ),
+    )
+    return folded.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        F.round("x", 2).alias("hourly_value"),
+        F.round("ewma", 4).alias("ewma"),
+    ).orderBy("event_type", "hour")
