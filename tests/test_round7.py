@@ -80,3 +80,50 @@ def test_feature_hashing_unit_norm_and_dims(spark):
         sq = sum(r.weight**2 for r in rs)
         assert math.isclose(sq, 1.0, rel_tol=1e-3), (lang, sq)
         assert len({r.bucket for r in rs}) == len(rs)
+
+
+def test_supplier_affinity_bounds(spark):
+    rows = load_all()["q88_supplier_affinity"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.supp_a < r.supp_b
+        assert 0 < r.n_common <= min(r.deg_a, r.deg_b)
+        assert 0 < r.jaccard <= r.cosine <= 1  # AM-GM: union >= geo-mean
+    js = [r.jaccard for r in rows]
+    assert js == sorted(js, reverse=True)
+
+
+def test_covariance_matrix_psd_and_symmetric_diag(spark):
+    import numpy as np
+
+    rows = load_all()["v05_covariance_matrix"].fn(spark, SF).collect()
+    d = max(r.j for r in rows)
+    assert len(rows) == d * (d + 1) // 2  # full upper triangle
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r.i - 1, r.j - 1] = m[r.j - 1, r.i - 1] = r.corr
+    assert np.allclose(np.diag(m), 1.0)
+    # correlation matrices are PSD up to the emitted rounding
+    assert np.linalg.eigvalsh(m).min() > -1e-3
+
+
+def test_weighted_sample_is_deterministic_topk(spark):
+    fn = load_all()["p15_weighted_sample"].fn
+    a = [tuple(r) for r in fn(spark, SF).collect()]
+    b = [tuple(r) for r in fn(spark, SF).collect()]
+    assert a == b  # pure function of the data, not rand()
+    langs = {t[0] for t in a}
+    for lang in langs:
+        ranks = [t[1] for t in a if t[0] == lang]
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_equi_depth_bins_are_equal_and_ordered(spark):
+    rows = load_all()["i21_equi_depth_bins"].fn(spark, SF).collect()
+    assert [r.bin for r in rows] == list(range(1, 11))
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # equi-depth up to remainder
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi <= cur.lo  # non-overlapping, ordered ranges
+        assert prev.lo <= prev.hi

@@ -128,6 +128,8 @@ _PRIORITY: list[str] = [
     # new in round 7
     "q87_market_basket", "evt15_ewma_smoothing", "i20_chi_square",
     "p14_target_encoding", "v04_feature_hashing",
+    "q88_supplier_affinity", "v05_covariance_matrix",
+    "p15_weighted_sample", "i21_equi_depth_bins",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

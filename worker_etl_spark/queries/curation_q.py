@@ -1052,3 +1052,73 @@ def p14_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature", "level")
     )
+
+
+# --- p15: deterministic weighted sampling without replacement (A-ES) ------------
+@register(
+    "p15_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             -- A-ES key u^(1/w): u = deterministic md5-uniform in (0,1],
+             -- w = n_chars, so selection probability tracks document length
+             round(pow(
+               ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 1) / 4294967296.0),
+               1.0 / n_chars), 9) AS k
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars, k,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY k DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars
+    FROM ranked WHERE rnk <= 5
+    ORDER BY lang, rnk
+    """,
+)
+def p15_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement per language via the
+    Efraimidis-Spirakis exponential-key scheme (A-ES, public): each doc
+    gets key u^(1/w) with u uniform and w its weight (chars here — a
+    proxy for token yield), and the top-k keys per stratum are a proper
+    weighted sample.  u comes from the portable md5-uniform, NOT rand():
+    the sample is a pure function of the data, so re-runs, retries and
+    the DuckDB oracle all select the identical docs — the p02/q28
+    reproducibility discipline extended from Bernoulli to weighted
+    sampling.
+
+    Scale: keys are row-local; top-k per stratum is a window that
+    partial-sorts per partition before the single per-key shuffle —
+    the distributed weighted-reservoir pattern, no global sort.  Keys
+    are rounded to 1e-9 with a doc_id tiebreak so an ulp of libm pow()
+    divergence can't reorder the cut."""
+    from pyspark.sql.window import Window as W
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            + 1
+        )
+        / F.lit(4294967296.0)
+    )
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.pow(u, F.lit(1.0) / F.col("n_chars")), 9
+        ).alias("k"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "rnk", "doc_id", "n_chars")
+        .orderBy("lang", "rnk")
+    )

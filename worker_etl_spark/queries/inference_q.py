@@ -1242,3 +1242,95 @@ def i20_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_orderstatus")
     )
+
+
+# --- i21: equi-depth binning (quantile discretization) ---------------------------
+@register(
+    "i21_equi_depth_bins",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT)       AS n,
+           round(min(o_totalprice), 2)    AS lo,
+           round(max(o_totalprice), 2)    AS hi,
+           round(sum(cents) / 100.0, 2)   AS total,
+           round(sum(cents) / (100.0 * count(*)), 4) AS mean
+    FROM ranked GROUP BY bin ORDER BY bin
+    """,
+)
+def i21_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) discretization of a numeric column into 10
+    bins — the binning a feature pipeline runs before WOE encoding,
+    monotonic-constraint models, or histogram-based drift checks
+    (i10's PSI consumes exactly these bin edges).  The (value, key)
+    tiebreak gives every engine the same bin boundaries even across
+    duplicate values; per-bin totals stay exact cents.
+
+    Scale: exact ntile needs GLOBAL ranks, but a bare `ntile() OVER
+    (ORDER BY ...)` window collapses to one reducer.  This lowering
+    computes the identical ranks distributed: range-repartition on the
+    sort key, rank WITHIN each range partition (parallel windows), and
+    add per-partition offsets — a frame of #partitions rows cumulated
+    and broadcast back, never the data.  Ranks then map to ntile's
+    first-bins-get-the-remainder sizing closed-form.  For approximate
+    edges at a fraction of the cost, q21's approx-quantile path is the
+    sketch-based alternative."""
+    from pyspark.sql.window import Window as W
+
+    o = read_table(spark, sf_dir, "orders")
+    k = 10
+    parts = o.select(
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    ).repartitionByRange(32, "o_totalprice", "o_orderkey")
+    # PERSIST before branching: range boundaries come from a per-execution
+    # sample, so the sizes branch and the rank branch MUST read the same
+    # materialized partitioning or offsets won't match actual partitions
+    # (at cluster scale: checkpoint instead of memory cache)
+    withpid = parts.withColumn("pid", F.spark_partition_id()).persist()
+    # per-range-partition row counts: #partitions rows — the ONLY frame the
+    # single-partition cumulative window ever sees
+    sizes = withpid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = sizes.select(
+        "pid",
+        (
+            F.sum("cnt").over(
+                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("off"),
+    ).fillna({"off": 0})
+    local_w = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        withpid.withColumn("lrn", F.row_number().over(local_w))
+        .join(F.broadcast(offs), "pid")
+        .withColumn("rn", F.col("off") + F.col("lrn"))
+    )
+    n_rows = o.count()  # scalar for the ntile sizing closed form
+    q, r = n_rows // k, n_rows % k
+    # ntile(k): first r bins have q+1 rows, the rest q (SQL-standard sizing)
+    bin_col = F.when(
+        F.col("rn") <= r * (q + 1),
+        ((F.col("rn") - 1) / (q + 1)).cast("long") + 1,
+    ).otherwise(
+        F.lit(r) + ((F.col("rn") - r * (q + 1) - 1) / q).cast("long") + 1
+    )
+    return (
+        ranked.withColumn("bin", bin_col.cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total"),
+            F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 4).alias(
+                "mean"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -4230,3 +4230,96 @@ def q87_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --- q88: link prediction via common neighbors / Jaccard on a bipartite graph ---
+@register(
+    "q88_supplier_affinity",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ),
+    deg AS (
+      SELECT l_suppkey, count(*) AS deg FROM sp GROUP BY l_suppkey
+    ),
+    common AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+             count(*) AS n_common
+      FROM sp a JOIN sp b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT supp_a, supp_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(da.deg AS BIGINT)   AS deg_a,
+           CAST(db.deg AS BIGINT)   AS deg_b,
+           round(n_common / CAST(da.deg + db.deg - n_common AS DOUBLE), 6)
+             AS jaccard,
+           -- Adamic-Adar's fixed-degree cousin: normalize by geometric mean
+           round(n_common / sqrt(CAST(da.deg AS DOUBLE) * db.deg), 6)
+             AS cosine
+    FROM common
+    JOIN deg da ON da.l_suppkey = supp_a
+    JOIN deg db ON db.l_suppkey = supp_b
+    ORDER BY jaccard DESC, supp_a, supp_b
+    LIMIT 25
+    """,
+)
+def q88_supplier_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier-part bipartite graph: for every
+    supplier pair, the common-neighbor count (shared parts) and its two
+    classical normalizations — Jaccard |A∩B|/|A∪B| and cosine
+    |A∩B|/√(|A||B|) — ranked by Jaccard.  The co-occurrence projection
+    behind "suppliers with interchangeable catalogs" (procurement) and
+    "accounts with shared artifacts" (entity resolution); q87 mines
+    RULES from baskets, this scores NODE similarity on the projected
+    graph.
+
+    Scale: the pair generator joins ON THE SHARED PART, so fan-out per
+    part is C(suppliers_per_part, 2) — blocked by the same key
+    discipline as d05's rare-shingle join, never |S|² (skewed parts
+    would get a frequency cap, same as d05's DF cap).  Degrees are a
+    supplier-grain dim, broadcast back; both scores divide exact
+    BIGINTs, so the hash is engine-stable."""
+    sp = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    deg = sp.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = sp.alias("a"), sp.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("supp_a"),
+            F.col("b.l_suppkey").alias("supp_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("l_suppkey").alias("supp_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_suppkey").alias("supp_b"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common")
+                / F.sqrt(F.col("deg_a").cast("double") * F.col("deg_b")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
+        .limit(25)
+    )

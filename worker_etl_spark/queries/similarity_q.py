@@ -1117,3 +1117,110 @@ def v04_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --- v05: covariance / correlation matrix of the embedding columns --------------
+@register(
+    "v05_covariance_matrix",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             CAST(round(unnest(embedding) * 10000) AS BIGINT) AS qx
+      FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM embeddings),
+    s AS (SELECT i, sum(qx) AS s FROM comp GROUP BY i),
+    ss AS (
+      SELECT a.i AS i, b.i AS j, sum(a.qx * b.qx) AS ss
+      FROM comp a JOIN comp b
+        ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    num AS (
+      SELECT i, j, CAST(ss * n - sa.s * sb.s AS DOUBLE) AS cnum, n
+      FROM ss JOIN s sa USING (i) JOIN s sb ON sb.i = ss.j CROSS JOIN n
+    )
+    SELECT i, j,
+           round(cnum / (CAST(n AS DOUBLE) * (n - 1) * 1e8), 8) AS cov,
+           round(cnum / sqrt(
+             (SELECT cnum FROM num d WHERE d.i = num.i AND d.j = num.i)
+             * (SELECT cnum FROM num d WHERE d.i = num.j AND d.j = num.j)
+           ), 6) AS corr
+    FROM num
+    ORDER BY i, j
+    """,
+)
+def v05_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation between every pair of
+    embedding dimensions — the d x d second-moment structure behind PCA
+    whitening, redundancy pruning, and drift monitoring of a vector
+    column.  Components are quantized to a 1e-4 grid FIRST, so the three
+    sufficient statistics (n, per-dim sums, pairwise product sums) are
+    exact BIGINTs whatever the partial-aggregation order; covariance and
+    correlation then derive from them in a single float expression each
+    (cov = (n*SS - S_i*S_j) / (n(n-1)q^2)), keeping the cross-engine
+    hash exact — the q66 discipline lifted from one pair to the full
+    upper triangle.
+
+    Scale: one pass to explode (n*d component rows), one self-join ON
+    vec_id (fan-out d^2 per vector — the O(n*d^2) gram cost, embarrass-
+    ingly map-side combinable into d(d+1)/2 cells), dims joined back at
+    d-grain.  For d in the thousands you'd switch to the s01-style
+    Arrow/BLAS outer-product kernel; at catalog d = 64 the relational
+    lowering IS the right plan."""
+    e = read_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        (F.posexplode("embedding")).alias("p", "x"),
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("i"),  # 1-based like generate_subscripts
+        F.round(F.col("x") * 10000, 0).cast("long").alias("qx"),
+    )
+    n_vec = e.count()  # scalar dim, one job
+    s = comp.groupBy("i").agg(F.sum("qx").alias("s"))
+    a, b = comp.alias("a"), comp.alias("b")
+    ss = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.qx") * F.col("b.qx")).alias("ss"))
+    )
+    sa = s.select(F.col("i"), F.col("s").alias("s_i"))
+    sb = s.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    num = (
+        ss.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("ss") * n_vec - F.col("s_i") * F.col("s_j")).cast(
+                    "double"
+                )
+            ).alias("cnum"),
+        )
+    )
+    diag = num.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cnum").alias("dnum")
+    )
+    di = diag.select(F.col("d").alias("i"), F.col("dnum").alias("var_i"))
+    dj = diag.select(F.col("d").alias("j"), F.col("dnum").alias("var_j"))
+    denom = float(n_vec) * (n_vec - 1) * 1e8
+    return (
+        num.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(F.col("cnum") / F.lit(denom), 8).alias("cov"),
+            F.round(
+                F.col("cnum") / F.sqrt(F.col("var_i") * F.col("var_j")), 6
+            ).alias("corr"),
+        )
+        .orderBy("i", "j")
+    )
