@@ -130,6 +130,7 @@ _PRIORITY: list[str] = [
     "p14_target_encoding", "v04_feature_hashing",
     "q88_supplier_affinity", "v05_covariance_matrix",
     "p15_weighted_sample", "i21_equi_depth_bins",
+    "evt16_holt_trend", "i22_referential_integrity", "p16_l_diversity",
     # green only in round 1 (code unchanged/improved since — refresh the row)
     "t02_quality_score", "t03_langid", "t04_fingerprint",
     "s01_topk_bruteforce", "s02_topk_lsh",

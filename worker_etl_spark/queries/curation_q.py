@@ -1122,3 +1122,78 @@ def p15_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rnk", "doc_id", "n_chars")
         .orderBy("lang", "rnk")
     )
+
+
+# --- p16: l-diversity audit (the sensitive-attribute half of p11) ----------------
+@register(
+    "p16_l_diversity",
+    oracle="""
+    WITH cell AS (
+      SELECT c_mktsegment, n_name,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS sens,
+             count(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT c_mktsegment, n_name,
+             count(*)  AS l_distinct,
+             sum(n)    AS group_size,
+             max(n)    AS mode_count
+      FROM cell GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT)                         AS n_groups,
+           CAST(min(l_distinct) AS BIGINT)                  AS l_diversity,
+           CAST(count(*) FILTER (WHERE l_distinct < 3) AS BIGINT)
+                                                            AS n_groups_below_3,
+           round(avg(CAST(l_distinct AS DOUBLE)), 4)        AS avg_distinct,
+           -- worst-case homogeneity: share of the group held by its most
+           -- common sensitive value (1.0 = attribute disclosed outright)
+           round(max(mode_count / CAST(group_size AS DOUBLE)), 6)
+                                                            AS max_homogeneity
+    FROM grp
+    """,
+)
+def p16_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., public) — the
+    complement to p11's k-anonymity: a QI group can be large (k-safe)
+    yet still leak its sensitive attribute if every member SHARES one
+    value.  Over the same (segment x nation) quasi-identifier with the
+    account-balance band as the sensitive attribute: the table's
+    l-diversity (min distinct sensitive values per group), how many
+    groups fall below l = 3, and the worst single-value homogeneity —
+    the homogeneity-attack number.
+
+    Scale: one dim-broadcast join, one (QI x sensitive)-grain count, one
+    QI-grain re-aggregate of those counts, one constant-size rollup —
+    the same one-scan discipline as p11, and the two audits share the
+    first aggregate in a combined release gate."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    cell = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_mktsegment",
+            "n_name",
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias("sens"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grp = cell.groupBy("c_mktsegment", "n_name").agg(
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.sum("n").alias("group_size"),
+        F.max("n").alias("mode_count"),
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l_distinct").cast("long").alias("l_diversity"),
+        F.count(F.when(F.col("l_distinct") < 3, 1))
+        .cast("long")
+        .alias("n_groups_below_3"),
+        F.round(F.avg(F.col("l_distinct").cast("double")), 4).alias(
+            "avg_distinct"
+        ),
+        F.round(
+            F.max(F.col("mode_count") / F.col("group_size").cast("double")), 6
+        ).alias("max_homogeneity"),
+    )

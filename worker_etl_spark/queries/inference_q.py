@@ -1334,3 +1334,109 @@ def i21_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- i22: referential-integrity audit over every FK edge -------------------------
+_I22_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _i22_edge_sql(label, child, ckey, parent, pkey) -> str:
+    return f"""
+    SELECT '{label}' AS edge,
+           (SELECT count(*) FROM {child}) AS n_child_rows,
+           (SELECT count(DISTINCT {ckey}) FROM {child}) AS n_child_keys,
+           (SELECT count(*) FROM (
+              SELECT DISTINCT {ckey} FROM {child}
+              WHERE {ckey} IS NOT NULL
+                AND {ckey} NOT IN (SELECT {pkey} FROM {parent})
+           )) AS n_orphan_keys,
+           (SELECT count(*) FROM {child}
+            WHERE {ckey} IS NOT NULL
+              AND {ckey} NOT IN (SELECT {pkey} FROM {parent})
+           ) AS n_orphan_rows
+    """
+
+
+@register(
+    "i22_referential_integrity",
+    oracle="""
+    WITH edges AS (
+    """
+    + "\n    UNION ALL\n".join(_i22_edge_sql(*e) for e in _I22_EDGES)
+    + """
+    )
+    SELECT edge,
+           CAST(n_child_rows AS BIGINT)  AS n_child_rows,
+           CAST(n_child_keys AS BIGINT)  AS n_child_keys,
+           CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+           CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+           round(n_orphan_rows / CAST(n_child_rows AS DOUBLE), 6)
+             AS orphan_row_rate
+    FROM edges ORDER BY edge
+    """,
+)
+def i22_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across EVERY foreign-key edge of the
+    schema in one report: child row/key counts, orphan keys (distinct
+    child keys with no parent), orphan rows, and the orphan-row rate —
+    the load-time gate a warehouse runs because distributed file drops
+    and partial loads break FKs silently (no engine enforces them at
+    this scale).  i11's constraint audit checks single-table invariants;
+    this is the CROSS-table half.
+
+    Scale: each edge costs one LEFT ANTI join of the child's DISTINCT
+    keys (key-grain, shuffle bounded by key cardinality) against the
+    parent, with the parent side broadcast when it's a dim; child
+    row-grain counts come from one aggregate per child table, reused
+    across edges that share a child.  Orphan ROW counts re-join the
+    orphan KEY set (small by construction) back to the child — never a
+    second full-table anti join."""
+    tables = {
+        t: read_table(spark, sf_dir, t)
+        for t in {"lineitem", "orders", "customer", "supplier",
+                  "part", "nation", "region"}
+    }
+    out = None
+    for label, child, ckey, parent, pkey in _I22_EDGES:
+        cdf, pdf = tables[child], tables[parent]
+        keys = (
+            cdf.select(F.col(ckey).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("rows_per_key"))
+        )
+        parent_keys = pdf.select(F.col(pkey).alias("k")).distinct()
+        orphans = keys.join(F.broadcast(parent_keys), "k", "left_anti")
+        stats = keys.agg(
+            F.sum("rows_per_key").alias("n_child_rows"),
+            F.count(F.lit(1)).alias("n_child_keys"),
+        )
+        ostats = orphans.agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_orphan_keys"),
+            F.coalesce(F.sum("rows_per_key"), F.lit(0)).alias("n_orphan_rows"),
+        )
+        row = (
+            stats.crossJoin(ostats)
+            .select(
+                F.lit(label).alias("edge"),
+                F.col("n_child_rows").cast("long"),
+                F.col("n_child_keys").cast("long"),
+                F.col("n_orphan_keys").cast("long"),
+                F.col("n_orphan_rows").cast("long"),
+                F.round(
+                    F.col("n_orphan_rows")
+                    / F.col("n_child_rows").cast("double"),
+                    6,
+                ).alias("orphan_row_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge")

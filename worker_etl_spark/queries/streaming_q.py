@@ -959,3 +959,105 @@ def evt15_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 2).alias("hourly_value"),
         F.round("ewma", 4).alias("ewma"),
     ).orderBy("event_type", "hour")
+
+
+# --- evt16: Holt double-exponential trend as a struct-state fold -----------------
+@register(
+    "evt16_holt_trend",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS x
+      FROM events GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT event_type, hour, x,
+             list_reduce(
+               list_prepend(
+                 {l: CAST(0.0 AS DOUBLE), b: CAST(0.0 AS DOUBLE)},
+                 list({l: x, b: CAST(0.0 AS DOUBLE)})
+                   OVER (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)
+               ),
+               (acc, v) -> {
+                 l: 0.5 * v.l + 0.5 * (acc.l + acc.b),
+                 b: 0.3 * (0.5 * v.l + 0.5 * (acc.l + acc.b) - acc.l)
+                    + 0.7 * acc.b
+               }
+             ) AS st
+      FROM hourly
+    )
+    SELECT event_type,
+           strftime(hour, '%Y-%m-%d %H:00') AS hour,
+           round(x, 2)                      AS hourly_value,
+           round(st.l, 4)                   AS level,
+           round(st.b, 4)                   AS trend,
+           round(st.l + st.b, 4)            AS forecast_next
+    FROM folded
+    ORDER BY event_type, hour
+    """,
+)
+def evt16_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha = 0.5,
+    beta = 0.3) of hourly event value per type, with the one-step-ahead
+    forecast level+trend — evt15's EWMA upgraded to a TWO-component
+    recursive state, folded as a struct accumulator over a bounded
+    window.  The recurrence's companion matrix has spectral radius
+    sqrt(0.5), so a 64-term truncation sits ~1e-10 under the emitted
+    rounding; both engines fold the identical struct expression
+    left-to-right in IEEE doubles (Spark higher-order `aggregate` with a
+    struct zero, DuckDB `list_reduce` over struct elements), so the
+    cross-engine hash is exact.  The streaming form carries two floats
+    of state per key — the flat-state shape
+    `applyInPandasWithState` wants.
+
+    Scale: identical to evt15 — one shuffle to hourly grain, one
+    per-type sort, 64 structs of window state per row, no driver loop."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("x")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-63, W.currentRow)
+    )
+
+    def step(acc, v):
+        # identical association as the oracle: l' first, then b' reuses it
+        l_new = F.lit(0.5) * v["l"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.3) * (l_new - acc["l"]) + F.lit(0.7) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    folded = hourly.withColumn(
+        "st",
+        F.aggregate(
+            F.collect_list(
+                F.struct(F.col("x").alias("l"), F.lit(0.0).alias("b"))
+            ).over(w),
+            F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b")),
+            step,
+        ),
+    )
+    return folded.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        F.round("x", 2).alias("hourly_value"),
+        F.round(F.col("st")["l"], 4).alias("level"),
+        F.round(F.col("st")["b"], 4).alias("trend"),
+        F.round(F.col("st")["l"] + F.col("st")["b"], 4).alias("forecast_next"),
+    ).orderBy("event_type", "hour")
