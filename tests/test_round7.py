@@ -41,6 +41,26 @@ def test_ewma_fold_matches_sequential_recurrence(spark):
             assert abs(r.ewma - s) < 2e-4, (r.event_type, r.hour)
 
 
+def test_holt_convolution_matches_sequential_recurrence(spark):
+    """ADVICE round-3: validate evt16's quantized-weight convolution
+    against a sequential Python replay of the Holt recurrence.  The
+    1e-10 weight grid keeps the lowering within ~1e-5 of the exact
+    recurrence at test scale, well under the 1e-4 emit grid."""
+    rows = load_all()["evt16_holt_trend"].fn(spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for seq in by_type.values():
+        assert [r.hour for r in seq] == sorted(r.hour for r in seq)
+        lvl = trd = 0.0
+        for r in seq:
+            lvl, prev = 0.5 * r.hourly_value + 0.5 * (lvl + trd), lvl
+            trd = 0.3 * (lvl - prev) + 0.7 * trd
+            assert abs(r.level - lvl) < 3e-4, (r.event_type, r.hour)
+            assert abs(r.trend - trd) < 3e-4, (r.event_type, r.hour)
+            assert abs(r.forecast_next - (lvl + trd)) < 5e-4
+
+
 def test_chi_square_margins_and_terms(spark):
     rows = load_all()["i20_chi_square"].fn(spark, SF).collect()
     n_orders = (

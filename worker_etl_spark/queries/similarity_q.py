@@ -1126,7 +1126,8 @@ def v04_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH comp AS (
       SELECT vec_id,
              generate_subscripts(embedding, 1) AS i,
-             CAST(round(unnest(embedding) * 10000) AS BIGINT) AS qx
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS qx
       FROM embeddings
     ),
     n AS (SELECT count(*) AS n FROM embeddings),
@@ -1142,11 +1143,12 @@ def v04_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ss JOIN s sa USING (i) JOIN s sb ON sb.i = ss.j CROSS JOIN n
     )
     SELECT i, j,
-           round(cnum / (CAST(n AS DOUBLE) * (n - 1) * 1e8), 8) AS cov,
-           round(cnum / sqrt(
+           floor(cnum / (CAST(n AS DOUBLE) * (n - 1) * 1e8) * 1e8 + 0.5)
+             / CAST(100000000 AS DOUBLE) AS cov,
+           floor(cnum / sqrt(
              (SELECT cnum FROM num d WHERE d.i = num.i AND d.j = num.i)
              * (SELECT cnum FROM num d WHERE d.i = num.j AND d.j = num.j)
-           ), 6) AS corr
+           ) * 1e6 + 0.5) / CAST(1000000 AS DOUBLE) AS corr
     FROM num
     ORDER BY i, j
     """,
@@ -1161,7 +1163,12 @@ def v05_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation then derive from them in a single float expression each
     (cov = (n*SS - S_i*S_j) / (n(n-1)q^2)), keeping the cross-engine
     hash exact — the q66 discipline lifted from one pair to the full
-    upper triangle.
+    upper triangle.  Both the quantizer and the emits use the tie-free
+    `floor(x·10^k + 0.5)` grid rather than round(): Spark's round()
+    HALF-UPs the double's shortest decimal repr while DuckDB rounds the
+    binary value, and sf0.001 has components within 1e-9 of a .5 tie
+    (the round-3 parity failure); floor(x·10^k + 0.5) is the identical
+    IEEE op sequence in both engines, so equal inputs give equal bits.
 
     Scale: one pass to explode (n*d component rows), one self-join ON
     vec_id (fan-out d^2 per vector — the O(n*d^2) gram cost, embarrass-
@@ -1176,7 +1183,7 @@ def v05_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("p") + 1).alias("i"),  # 1-based like generate_subscripts
-        F.round(F.col("x") * 10000, 0).cast("long").alias("qx"),
+        F.floor(F.col("x").cast("double") * 10000 + F.lit(0.5)).alias("qx"),
     )
     n_vec = e.count()  # scalar dim, one job
     s = comp.groupBy("i").agg(F.sum("qx").alias("s"))
@@ -1217,9 +1224,18 @@ def v05_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            F.round(F.col("cnum") / F.lit(denom), 8).alias("cov"),
-            F.round(
-                F.col("cnum") / F.sqrt(F.col("var_i") * F.col("var_j")), 6
+            (
+                F.floor(F.col("cnum") / F.lit(denom) * F.lit(1e8) + F.lit(0.5))
+                / F.lit(1e8)
+            ).alias("cov"),
+            (
+                F.floor(
+                    F.col("cnum")
+                    / F.sqrt(F.col("var_i") * F.col("var_j"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
             ).alias("corr"),
         )
         .orderBy("i", "j")

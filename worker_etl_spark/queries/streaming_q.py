@@ -11,6 +11,8 @@ a true streaming test (tests/test_event_time.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -883,59 +885,63 @@ def evt14_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> Data
     WITH hourly AS (
       SELECT event_type,
              date_trunc('hour', ts) AS hour,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
-               AS x
+             sum(CAST(round(value * 100) AS BIGINT)) AS xc
       FROM events GROUP BY 1, 2
     ),
     folded AS (
-      SELECT event_type, hour, x,
+      SELECT event_type, hour, xc,
              list_reduce(
                list_prepend(
-                 CAST(0.0 AS DOUBLE),
-                 list(x) OVER (PARTITION BY event_type ORDER BY hour
-                               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)
+                 CAST(0 AS BIGINT),
+                 list(xc) OVER (PARTITION BY event_type ORDER BY hour
+                                ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)
                ),
-               (acc, v) -> acc * 0.5 + 0.5 * v
-             ) AS ewma
+               (acc, v) -> acc // 2 + v * 2147483648
+             ) AS t
       FROM hourly
     )
     SELECT event_type,
            strftime(hour, '%Y-%m-%d %H:00') AS hour,
-           round(x, 2)                      AS hourly_value,
-           round(ewma, 4)                   AS ewma
+           CAST(xc AS DOUBLE) / 100.0       AS hourly_value,
+           floor((CAST(t AS DOUBLE) / 4294967296.0 / 100.0) * 10000 + 0.5)
+             / CAST(10000 AS DOUBLE)        AS ewma
     FROM folded
     ORDER BY event_type, hour
     """,
 )
 def evt15_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of hourly event value per
-    type — the classic recursive smoother s_t = α·x_t + (1−α)·s_{t−1}
-    (α = 0.5) expressed WITHOUT a sequential scan: because weights decay
-    below double precision after ~50 halvings, the recurrence truncated
-    to the last 32 hours is exact to the emitted rounding, so it becomes
-    an ordered LEFT FOLD over a bounded window (`collect_list` ROWS 31
-    PRECEDING → `F.aggregate`).  Both engines fold the identical value
-    sequence left-to-right in IEEE doubles, so the cross-engine hash is
-    exact — the same discipline as evt08's CUSUM closed form, and the
-    streaming form is a trivial `applyInPandasWithState` with one float
-    of state per key.
+    type — the recursive smoother s_t = α·x_t + (1−α)·s_{t−1} (α = 0.5)
+    expressed WITHOUT a sequential scan: weights decay below the emitted
+    rounding after 32 halvings, so the recurrence truncated to the last
+    32 hours becomes an ordered LEFT FOLD over a bounded window
+    (`collect_list` ROWS 31 PRECEDING → `F.aggregate`).
+
+    Cross-engine exactness (the q52/q66 integer discipline, applied
+    after the round-3 parity failure on a round() half-tie): the fold is
+    carried ENTIRELY in 64-bit integers.  Hourly totals are exact cent
+    BIGINTs `xc`; the state is T = s·2^32 (s in cents), with step
+    T' = T/2 + xc·2^31.  Within a ≤32-element window every term of T
+    holds a factor 2^(31-lag) ≥ 2, so the halving is always exact
+    integer division — no float enters the fold.  The emit then casts
+    the identical integer to double in both engines (exact: |T| <
+    2^53 while hourly totals stay under ~$21M, far past the test SFs;
+    beyond that both engines round the cast identically), divides by
+    the exact power of two, and rounds on a tie-free grid
+    `floor(x·10⁴ + 0.5)/10⁴` — pure IEEE ops with no decimal-repr
+    HALF_UP anywhere, so the hash is exact by construction.
 
     Scale: one shuffle to hourly grain, one per-type sort; window state
-    is 32 doubles per row — no unbounded frame, no driver loop.  Hourly
-    totals are exact cent BIGINTs before the float fold, so partial-agg
-    order can't perturb the input sequence."""
+    is 32 longs per row — no unbounded frame, no driver loop.  The
+    streaming form is a trivial `applyInPandasWithState` with one long
+    of state per key."""
     e = read_table(spark, sf_dir, "events")
     hourly = (
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
         )
         .agg(
-            (
-                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
-                    "double"
-                )
-                / 100.0
-            ).alias("x")
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("xc")
         )
     )
     from pyspark.sql.window import Window as W
@@ -946,118 +952,163 @@ def evt15_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-31, W.currentRow)
     )
     folded = hourly.withColumn(
-        "ewma",
+        "t",
         F.aggregate(
-            F.collect_list("x").over(w),
-            F.lit(0.0),
-            lambda acc, v: acc * F.lit(0.5) + F.lit(0.5) * v,
+            F.collect_list("xc").over(w),
+            F.lit(0).cast("long"),
+            lambda acc, v: F.shiftright(acc, 1) + v * F.lit(2147483648),
         ),
     )
+    ewma_d = folded["t"].cast("double") / F.lit(4294967296.0) / F.lit(100.0)
     return folded.select(
         "event_type",
         F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
-        F.round("x", 2).alias("hourly_value"),
-        F.round("ewma", 4).alias("ewma"),
+        (F.col("xc").cast("double") / F.lit(100.0)).alias("hourly_value"),
+        (F.floor(ewma_d * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("ewma"),
     ).orderBy("event_type", "hour")
 
 
-# --- evt16: Holt double-exponential trend as a struct-state fold -----------------
+# --- evt16: Holt double-exponential trend as a quantized-weight convolution -----
+# The Holt recurrence  l' = α·x + (1−α)(l+b);  b' = β(l'−l) + (1−β)b  is linear,
+# so (l,b)_t = Σ_k A^k·c·x_{t−k} with A = [[α, α], [β(α−1)+... ]] — concretely for
+# α=0.5, β=0.3: A = [[0.5, 0.5], [−0.15, 0.85]], c = (0.5, 0.15).  Spectral
+# radius √0.5, so a 64-lag truncation sits ~1e-10 under the emitted rounding.
+# The weights A^k·c are computed ONCE here in Python doubles and quantized to an
+# exact 1e-10 integer grid; BOTH engines then evaluate the identical
+# integer-weight convolution over exact cent BIGINTs — sufficient statistics are
+# bit-identical by construction (the round-3 parity failure was a struct-lambda
+# fold whose emit rounded differently per engine; DuckDB 1.0 additionally
+# mis-evaluates acc-field references inside struct-literal lambdas, so the
+# oracle is now a lambda-free rn self-join against a VALUES weight table).
+_HOLT_SCALE = 10_000_000_000  # 1e10: weight error ≤ 32·xc/1e12 ≪ the 1e-4 grid
+
+
+def _holt_weights() -> list[tuple[int, int]]:
+    lw, bw = 0.5, 0.15  # A^0·c
+    out = []
+    for _ in range(64):
+        out.append(
+            (
+                math.floor(lw * _HOLT_SCALE + 0.5),
+                math.floor(bw * _HOLT_SCALE + 0.5),
+            )
+        )
+        lw, bw = 0.5 * lw + 0.5 * bw, -0.15 * lw + 0.85 * bw
+    return out
+
+
+_HOLT_W = _holt_weights()
+_HOLT_VALUES = ", ".join(
+    f"({k}, {wl}, {wb})" for k, (wl, wb) in enumerate(_HOLT_W)
+)
+
+
 @register(
     "evt16_holt_trend",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT event_type,
              date_trunc('hour', ts) AS hour,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
-               AS x
+             sum(CAST(round(value * 100) AS BIGINT)) AS xc
       FROM events GROUP BY 1, 2
     ),
-    folded AS (
-      SELECT event_type, hour, x,
-             list_reduce(
-               list_prepend(
-                 {l: CAST(0.0 AS DOUBLE), b: CAST(0.0 AS DOUBLE)},
-                 list({l: x, b: CAST(0.0 AS DOUBLE)})
-                   OVER (PARTITION BY event_type ORDER BY hour
-                         ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)
-               ),
-               (acc, v) -> {
-                 l: 0.5 * v.l + 0.5 * (acc.l + acc.b),
-                 b: 0.3 * (0.5 * v.l + 0.5 * (acc.l + acc.b) - acc.l)
-                    + 0.7 * acc.b
-               }
-             ) AS st
+    idx AS (
+      SELECT event_type, hour, xc,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour)
+                  AS BIGINT) AS rn
       FROM hourly
+    ),
+    hw(k, wl, wb) AS (VALUES {_HOLT_VALUES}),
+    conv AS (
+      SELECT a.event_type, a.hour, a.xc,
+             sum(b.xc * hw.wl) AS l_num,
+             sum(b.xc * hw.wb) AS b_num
+      FROM idx a
+      JOIN idx b ON b.event_type = a.event_type
+                AND b.rn BETWEEN a.rn - 63 AND a.rn
+      JOIN hw ON hw.k = a.rn - b.rn
+      GROUP BY 1, 2, 3
     )
     SELECT event_type,
            strftime(hour, '%Y-%m-%d %H:00') AS hour,
-           round(x, 2)                      AS hourly_value,
-           round(st.l, 4)                   AS level,
-           round(st.b, 4)                   AS trend,
-           round(st.l + st.b, 4)            AS forecast_next
-    FROM folded
+           CAST(xc AS DOUBLE) / 100.0       AS hourly_value,
+           floor(CAST(l_num AS DOUBLE) / 1e12 * 10000 + 0.5)
+             / CAST(10000 AS DOUBLE)        AS level,
+           floor(CAST(b_num AS DOUBLE) / 1e12 * 10000 + 0.5)
+             / CAST(10000 AS DOUBLE)        AS trend,
+           floor(CAST(l_num + b_num AS DOUBLE) / 1e12 * 10000 + 0.5)
+             / CAST(10000 AS DOUBLE)        AS forecast_next
+    FROM conv
     ORDER BY event_type, hour
     """,
 )
 def evt16_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt double-exponential smoothing (level + trend, alpha = 0.5,
-    beta = 0.3) of hourly event value per type, with the one-step-ahead
-    forecast level+trend — evt15's EWMA upgraded to a TWO-component
-    recursive state, folded as a struct accumulator over a bounded
-    window.  The recurrence's companion matrix has spectral radius
-    sqrt(0.5), so a 64-term truncation sits ~1e-10 under the emitted
-    rounding; both engines fold the identical struct expression
-    left-to-right in IEEE doubles (Spark higher-order `aggregate` with a
-    struct zero, DuckDB `list_reduce` over struct elements), so the
-    cross-engine hash is exact.  The streaming form carries two floats
-    of state per key — the flat-state shape
-    `applyInPandasWithState` wants.
+    """Holt double-exponential smoothing (level + trend, α = 0.5,
+    β = 0.3) of hourly event value per type, with the one-step-ahead
+    forecast level+trend — evt15's EWMA upgraded to a two-component
+    linear recurrence, lowered to a 64-lag integer-weight convolution
+    (see `_holt_weights` above for the derivation and the cross-engine
+    exactness argument).  L = Σ W_l(k)·xc_{t−k} and B = Σ W_b(k)·xc
+    are exact BIGINT sums whatever the partial-agg order; the emit
+    casts them to double (exact below 2^53; identically rounded by both
+    engines beyond) and lands on the tie-free grid
+    `floor(x·10⁴ + 0.5)/10⁴`.
 
-    Scale: identical to evt15 — one shuffle to hourly grain, one
-    per-type sort, 64 structs of window state per row, no driver loop."""
+    Scale: one shuffle to hourly grain, one per-type sort, 64 longs of
+    window state per row, weights broadcast as a 64-element array
+    literal — no driver loop, no Python kernel.  The streaming form
+    carries two longs of state per key, the flat-state shape
+    `applyInPandasWithState` wants."""
     e = read_table(spark, sf_dir, "events")
     hourly = (
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
         )
         .agg(
-            (
-                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
-                    "double"
-                )
-                / 100.0
-            ).alias("x")
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("xc")
         )
     )
     from pyspark.sql.window import Window as W
 
-    w = (
+    win = (
         W.partitionBy("event_type")
         .orderBy("hour")
         .rowsBetween(-63, W.currentRow)
     )
+    wl_lit = F.array(*[F.lit(wl).cast("long") for wl, _ in _HOLT_W])
+    wb_lit = F.array(*[F.lit(wb).cast("long") for _, wb in _HOLT_W])
 
-    def step(acc, v):
-        # identical association as the oracle: l' first, then b' reuses it
-        l_new = F.lit(0.5) * v["l"] + F.lit(0.5) * (acc["l"] + acc["b"])
-        b_new = F.lit(0.3) * (l_new - acc["l"]) + F.lit(0.7) * acc["b"]
-        return F.struct(l_new.alias("l"), b_new.alias("b"))
+    # element j (0-based) of an n-element frame is lag k = n-1-j, so its
+    # 1-based weight index is n - j.
+    def _conv(weights):
+        return F.aggregate(
+            F.transform(
+                "arr",
+                lambda x, j: x
+                * F.element_at(weights, F.size(F.col("arr")) - j),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
 
-    folded = hourly.withColumn(
-        "st",
-        F.aggregate(
-            F.collect_list(
-                F.struct(F.col("x").alias("l"), F.lit(0.0).alias("b"))
-            ).over(w),
-            F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b")),
-            step,
-        ),
+    conv = hourly.withColumn("arr", F.collect_list("xc").over(win)).select(
+        "event_type",
+        "hour",
+        "xc",
+        _conv(wl_lit).alias("l_num"),
+        _conv(wb_lit).alias("b_num"),
     )
-    return folded.select(
+
+    def _emit4(col):
+        return F.floor(col.cast("double") / F.lit(1e12) * 10000 + F.lit(0.5)) / F.lit(
+            10000.0
+        )
+
+    return conv.select(
         "event_type",
         F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
-        F.round("x", 2).alias("hourly_value"),
-        F.round(F.col("st")["l"], 4).alias("level"),
-        F.round(F.col("st")["b"], 4).alias("trend"),
-        F.round(F.col("st")["l"] + F.col("st")["b"], 4).alias("forecast_next"),
+        (F.col("xc").cast("double") / F.lit(100.0)).alias("hourly_value"),
+        _emit4(F.col("l_num")).alias("level"),
+        _emit4(F.col("b_num")).alias("trend"),
+        _emit4(F.col("l_num") + F.col("b_num")).alias("forecast_next"),
     ).orderBy("event_type", "hour")
