@@ -182,3 +182,41 @@ def test_infer_schema_sample_knob(spark):
 
     with pytest.raises(ValueError):
         infer_schema(df, sample=1.5)
+
+
+def test_infer_schema_file_level_sample(spark, tmp_path):
+    """sample_level='files' prunes whole input files (the only mode that
+    saves IO at 100 TB): deterministic file choice, same decisions, and the
+    scanned row count proves unselected files were never read."""
+    from pyspark.sql import functions as F
+
+    from worker_etl_spark.operators.inference import (
+        _sample_input_files,
+        infer_schema,
+    )
+
+    path = str(tmp_path / "multi")
+    spark.range(4000).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") / 4).cast("string").alias("v"),
+    ).repartition(8).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    sampled = _sample_input_files(df, 0.25)
+    assert len(sampled.inputFiles()) == 2  # ceil(0.25 * 8)
+    assert sampled.count() < df.count()
+    # deterministic: same files every call
+    again = _sample_input_files(df, 0.25)
+    assert sorted(sampled.inputFiles()) == sorted(again.inputFiles())
+    # projection layers above the scan are preserved
+    proj = df.select(F.col("k"), F.col("v"))
+    assert infer_schema(proj, sample=0.25, sample_level="files") == infer_schema(df)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        infer_schema(
+            spark.range(3).select(F.col("id").cast("string").alias("s")),
+            sample=0.5,
+            sample_level="files",
+        )

@@ -327,3 +327,56 @@ def test_w11_diff_is_one_key_shuffle(spark):
     plan = _plan(spark, "w11_snapshot_diff_cdc")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _assert_no_global_window(plan: str, name: str) -> None:
+    """Every Window operator must be keyed: a `Window [...] windowspec`
+    preceded by a SinglePartition exchange is the all-data-to-one-task
+    shape the round-3 verdict flagged in d14/p08."""
+    for seg in plan.split("Window ")[1:]:
+        # the exchange feeding the window appears just below it in the tree
+        head = seg.split("Window ")[0]
+        assert "SinglePartition" not in head.split("FileScan")[0], (
+            f"{name}: unpartitioned WindowExec survived the ranks.py rewrite"
+        )
+
+
+def test_ranked_queries_have_no_single_partition_window(spark):
+    """d14 / p08 / i21 route their global order through
+    operators/ranks.py (range-partitioned rank + broadcast offsets) —
+    the plans must carry only pid-partitioned windows."""
+    for name in (
+        "d14_sorted_neighborhood",
+        "p08_curriculum_buckets",
+        "i21_equi_depth_bins",
+    ):
+        _assert_no_global_window(_plan(spark, name), name)
+
+
+def test_ranks_rn_matches_naive_global_sort(spark):
+    """The distributed rank is EXACT: equal to the single-partition
+    row_number on the same total order (checked on the sf0.001 corpus,
+    string-surrogate path included)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from worker_etl_spark.operators.ranks import (
+        codepoint_surrogate,
+        global_row_number,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.substring(F.lower("text"), 1, 12).alias("k")
+    )
+    got, total = global_row_number(
+        d, ["k", "doc_id"], surrogate=codepoint_surrogate(F.col("k"))
+    )
+    want = d.withColumn("rn", F.row_number().over(W.orderBy("k", "doc_id")))
+    assert total == d.count()
+    mism = (
+        got.alias("g")
+        .join(want.alias("w"), "doc_id")
+        .filter(F.col("g.rn") != F.col("w.rn"))
+        .count()
+    )
+    assert mism == 0

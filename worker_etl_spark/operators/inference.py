@@ -309,7 +309,37 @@ def _decide_types(df: DataFrame, str_cols: list[str]) -> dict[str, str]:
     return decisions
 
 
-def infer_schema(df: DataFrame, sample=None, sample_seed: int = 42) -> list[dict]:
+def _sample_input_files(df: DataFrame, fraction: float) -> DataFrame:
+    """Keep a deterministic *fraction* of the frame's input files and
+    re-read only those — file-granular sampling that actually prunes reads
+    (a row predicate still pays for every byte).  File choice is by md5 of
+    the file NAME (driver-side, once per file — not per row), so the same
+    files are picked on any cluster; ties broken by name.  The stringify/
+    projection layers above the scan are re-applied by selecting the same
+    columns from the re-read."""
+    import hashlib
+    import math
+
+    files = sorted(df.inputFiles())
+    if not files:
+        raise ValueError("sample_level='files' needs a file-backed DataFrame")
+    keep_n = max(1, math.ceil(fraction * len(files)))
+    ranked = sorted(files, key=lambda p: (hashlib.md5(p.rsplit("/", 1)[-1].encode()).hexdigest(), p))
+    keep = ranked[:keep_n]
+    spark = df.sparkSession
+    reread = spark.read.format("parquet").load(keep)
+    # preserve the caller's projection (e.g. i01/i07's stringification)
+    return reread.select(
+        *[F.col(f.name).cast(f.dataType) for f in df.schema.fields]
+    )
+
+
+def infer_schema(
+    df: DataFrame,
+    sample=None,
+    sample_seed: int = 42,
+    sample_level: str = "rows",
+) -> list[dict]:
     """I4: ``[{'name', 'type'}]`` for every column, reference precedence.
 
     String columns go through the two-phase counter scan (same decisions as
@@ -319,17 +349,29 @@ def infer_schema(df: DataFrame, sample=None, sample_seed: int = 42) -> list[dict
     *sample* is the 100 TB posture knob (SURVEY §4.2): the reference scans
     ALL rows (etl.py:860-913) and that stays the default, but at scale a
     counter scan over a sample decides the same types for a fraction of the
-    I/O.  Pass a float fraction for seeded Bernoulli row sampling
-    (``df.sample`` — pushed to the scan, no shuffle), or a boolean Column
-    for deterministic content-hash sampling (reproducible across engines
-    and cluster layouts, the q28 pattern — what the oracle-checked i07
-    query uses).
+    cost.  Three modes:
+
+    - float fraction + ``sample_level="rows"``: seeded Bernoulli row
+      sampling (``df.sample`` — no shuffle; prunes CPU, not reads).
+    - float fraction + ``sample_level="files"``: deterministically keep
+      ``ceil(fraction · #files)`` of the frame's input files (ranked by a
+      stable hash of the file name) and re-read only those — the ONLY mode
+      that prunes IO: unselected files are never opened, so a 10% sample
+      of a 100 TB table reads ~10 TB.  Requires a file-backed frame whose
+      lineage is a pure scan (columns/filters re-applied by re-reading).
+    - boolean Column: deterministic content sampling, reproducible across
+      engines and cluster layouts — what the oracle-checked i07 query
+      uses (an integer multiplicative hash of the row key; never a per-row
+      hex-string hash, which round-3 measured as costing more than the
+      full scan it shortcut).
     """
     if sample is not None:
         if isinstance(sample, float):
             if not 0.0 < sample <= 1.0:
                 raise ValueError(f"sample fraction must be in (0, 1], got {sample}")
-            if sample < 1.0:
+            if sample_level == "files":
+                df = _sample_input_files(df, sample)
+            elif sample < 1.0:
                 df = df.sample(fraction=sample, seed=sample_seed)
         else:
             df = df.filter(sample)

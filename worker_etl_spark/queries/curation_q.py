@@ -608,18 +608,22 @@ def p08_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank; ntile's equal-COUNT buckets differ from i10's fixed-WIDTH
     bins).
 
-    Scale note: a global ntile is a single total order — the documented
-    serialization axis.  At 100 TB the same schedule is produced scalably by
-    rank()/count() arithmetic over a range-partitioned sort
-    (``repartitionByRange`` + ``sortWithinPartitions``), which w05 already
-    demonstrates; the operator semantics checked here are identical.
+    Scale note: ntile needs a global total order, but NOT a global sort —
+    the rank comes from `operators/ranks.py`'s range-partitioned
+    row_number (deterministic boundaries → parallel per-range windows +
+    broadcast offsets, i21's pattern shared), and ntile's
+    first-tiles-get-the-remainder sizing is closed-form arithmetic on
+    the exact rank.  No single-partition WindowExec anywhere in the plan
+    (asserted in tests/test_plans.py).
     No reference counterpart (SURVEY.md §2 Part B)."""
-    from pyspark.sql.window import Window as W
+    from worker_etl_spark.operators.ranks import global_row_number, ntile_from_rn
 
     d = read_table(spark, sf_dir, "documents")
-    w = W.orderBy("n_chars", "doc_id")
-    ranked = d.select(
-        "doc_id", "n_chars", "lang", F.ntile(_CURR_BUCKETS).over(w).alias("bucket")
+    ranked, n_rows = global_row_number(
+        d.select("doc_id", "n_chars", "lang"), ["n_chars", "doc_id"]
+    )
+    ranked = ranked.withColumn(
+        "bucket", ntile_from_rn(F.col("rn"), n_rows, _CURR_BUCKETS)
     )
     return (
         ranked.groupBy("bucket")

@@ -1195,19 +1195,30 @@ def d14_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     weakness: dups whose keys sort far apart are invisible — the audit
     reports recall against exact-duplicate ground truth).
 
-    Scale shape: one global sort for the rank (the documented
-    serialization axis — production SNM range-partitions the sort exactly
-    like w05 and overlaps window edges), then a band self-join on rank
-    difference with bounded fan-out; ground truth is a fingerprint
-    aggregate.  Window semantics, not pair storage: candidates stream."""
-    from pyspark.sql.window import Window as W
+    Scale shape: the global rank comes from `operators/ranks.py`'s
+    range-partitioned row_number (deterministic code-point boundaries →
+    parallel per-range windows + broadcast offsets — i21's pattern,
+    shared), NOT a single-partition `row_number() OVER (ORDER BY ...)`;
+    then a band self-join on rank difference with bounded fan-out;
+    ground truth is a fingerprint aggregate.  Window semantics, not pair
+    storage: candidates stream."""
+    from worker_etl_spark.operators.ranks import (
+        codepoint_surrogate,
+        global_row_number,
+    )
 
     d = read_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
         F.substring(norm_text(F.col("text")), 1, _D14_KEY_LEN).alias("k"),
         hex_int(norm_text(F.col("text")), 15).alias("fp"),
-    ).withColumn("r", F.row_number().over(W.orderBy("k", "doc_id")))
+    )
+    keyed, _ = global_row_number(
+        keyed,
+        ["k", "doc_id"],
+        surrogate=codepoint_surrogate(F.col("k")),
+        rn_name="r",
+    )
     a = keyed.select(
         F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), F.col("r").alias("ra")
     )

@@ -74,27 +74,42 @@ def i01_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+# Deterministic ~10% sample by a Knuth multiplicative hash of the row key —
+# pure 64-bit integer arithmetic, identical in any engine, no md5 hex-string
+# materialization per row (the round-3 verdict measured the md5 predicate
+# costing MORE than the full scan it was meant to shortcut).
 _SAMPLED_LINEITEM = """(
       SELECT * FROM lineitem
-      WHERE (('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
-                                   CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT) % 100 < 10
+      WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
     ) AS smp"""
 
 
 @register("i07_sampled_infer", oracle=_infer_oracle_sql(_SAMPLED_LINEITEM), headline=True)
 def i07_sampled_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i01's inference through the ``sample`` knob — the 100 TB posture
-    (SURVEY §4.2): the counter scan reads a deterministic ~10% content-hash
-    sample (q28's md5 pattern, reproducible on any engine or cluster layout)
-    instead of every row, and must still decide the identical types.  The
+    (SURVEY §4.2): the counter scan decides types from a deterministic
+    ~10% sample (Knuth multiplicative hash of the integer row key mod
+    100 — a one-instruction JVM predicate, reproducible on any engine or
+    cluster layout) and must still decide the identical types.  The
     oracle re-runs the full counter program over the SAME sample, so the
-    knob's filter semantics are value-checked, not just the final types."""
-    from worker_etl_spark.functions.text import hex_int
+    knob's filter semantics are value-checked, not just the final types.
 
+    IO honesty at 100 TB: a row predicate prunes CPU, not reads — every
+    byte still comes off disk.  The reads-pruning variant is
+    ``infer_schema(..., sample=0.1, sample_level="files")``, which
+    prunes whole input files before the scan (unit-tested in
+    tests/test_inference.py); it is not oracle-checkable because the
+    file split is engine-specific, so this query pins the row-predicate
+    contract instead."""
     l = read_table(spark, sf_dir, "lineitem")
     stringified = l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])
-    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-    schema = inference.infer_schema(stringified, sample=hex_int(key) % 100 < 10)
+    # the knob filters the already-stringified frame, so cast the key back
+    # (exact for integer-valued strings; still no hashing, no hex strings)
+    pred = (
+        F.col("l_orderkey").cast("bigint") * F.lit(2654435761)
+        + F.col("l_linenumber").cast("bigint")
+    ) % 100 < 10
+    schema = inference.infer_schema(stringified, sample=pred)
     return spark.createDataFrame(
         [(f["name"], f["type"]) for f in schema],
         "column_name string, inferred_type string",
@@ -1222,7 +1237,10 @@ def i20_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    cell = cell.persist()
+    # No persist: cell is a deterministic tiny aggregate; re-deriving the
+    # margins from its plan is cheaper than pinning executor memory for the
+    # lifetime of a session that runs hundreds of registry queries
+    # (round-3 ADVICE: persisted-and-never-unpersisted leak).
     rowt = cell.groupBy("a").agg(F.sum("o").alias("ra"))
     colt = cell.groupBy("b").agg(F.sum("o").alias("cb"))
     n = cell.agg(F.sum("o").alias("n"))
@@ -1272,15 +1290,16 @@ def i21_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate values; per-bin totals stay exact cents.
 
     Scale: exact ntile needs GLOBAL ranks, but a bare `ntile() OVER
-    (ORDER BY ...)` window collapses to one reducer.  This lowering
-    computes the identical ranks distributed: range-repartition on the
-    sort key, rank WITHIN each range partition (parallel windows), and
-    add per-partition offsets — a frame of #partitions rows cumulated
-    and broadcast back, never the data.  Ranks then map to ntile's
-    first-bins-get-the-remainder sizing closed-form.  For approximate
-    edges at a fraction of the cost, q21's approx-quantile path is the
-    sketch-based alternative."""
-    from pyspark.sql.window import Window as W
+    (ORDER BY ...)` window collapses to one reducer.  The ranks come
+    from `operators/ranks.py` (this query is where the pattern was
+    born; it is now shared with d14/p08): deterministic range
+    boundaries → parallel per-range windows → broadcast offsets.
+    Determinism of the partition id also removed the old `persist()`
+    that pinned executor memory across the session (round-3 ADVICE).
+    Ranks then map to ntile's first-bins-get-the-remainder sizing
+    closed-form.  For approximate edges at a fraction of the cost,
+    q21's approx-quantile path is the sketch-based alternative."""
+    from worker_etl_spark.operators.ranks import global_row_number, ntile_from_rn
 
     o = read_table(spark, sf_dir, "orders")
     k = 10
@@ -1288,40 +1307,10 @@ def i21_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
         "o_orderkey",
-    ).repartitionByRange(32, "o_totalprice", "o_orderkey")
-    # PERSIST before branching: range boundaries come from a per-execution
-    # sample, so the sizes branch and the rank branch MUST read the same
-    # materialized partitioning or offsets won't match actual partitions
-    # (at cluster scale: checkpoint instead of memory cache)
-    withpid = parts.withColumn("pid", F.spark_partition_id()).persist()
-    # per-range-partition row counts: #partitions rows — the ONLY frame the
-    # single-partition cumulative window ever sees
-    sizes = withpid.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    offs = sizes.select(
-        "pid",
-        (
-            F.sum("cnt").over(
-                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-            )
-        ).alias("off"),
-    ).fillna({"off": 0})
-    local_w = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    ranked = (
-        withpid.withColumn("lrn", F.row_number().over(local_w))
-        .join(F.broadcast(offs), "pid")
-        .withColumn("rn", F.col("off") + F.col("lrn"))
     )
-    n_rows = o.count()  # scalar for the ntile sizing closed form
-    q, r = n_rows // k, n_rows % k
-    # ntile(k): first r bins have q+1 rows, the rest q (SQL-standard sizing)
-    bin_col = F.when(
-        F.col("rn") <= r * (q + 1),
-        ((F.col("rn") - 1) / (q + 1)).cast("long") + 1,
-    ).otherwise(
-        F.lit(r) + ((F.col("rn") - r * (q + 1) - 1) / q).cast("long") + 1
-    )
+    ranked, n_rows = global_row_number(parts, ["o_totalprice", "o_orderkey"])
     return (
-        ranked.withColumn("bin", bin_col.cast("int"))
+        ranked.withColumn("bin", ntile_from_rn(F.col("rn"), n_rows, k))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
