@@ -93,12 +93,87 @@ def test_rk_and_mulrk_records(tmp_path):
 def test_unsupported_inputs(tmp_path):
     with pytest.raises(ValueError):
         cfb_open_stream(b"not a compound file at all" * 40, "Workbook")
-    # BIFF5 version word → actionable refusal, not silent misread
-    p = write_minimal_xls(str(tmp_path / "v5.xls"), {"S": [["x"]]})
+    # pre-BIFF5 version word → actionable refusal, not silent misread
+    p = write_minimal_xls(str(tmp_path / "v4.xls"), {"S": [["x"]]})
     stream = bytearray(cfb_open_stream(open(p, "rb").read(), "Workbook"))
-    struct.pack_into("<H", stream, 4, 0x0500)
+    struct.pack_into("<H", stream, 4, 0x0400)
     with pytest.raises(NotImplementedError):
         parse_biff8(bytes(stream))
+
+
+def test_biff5_roundtrip(tmp_path):
+    """BIFF5 ('Book' stream, inline cp1252 labels, no SST) — the xlrd-era
+    generation the reference reads via etl.py:527; previously a documented
+    refusal, now a first-class read path."""
+    data = {
+        "Hoja1": [
+            ["ítem", "qty"],
+            ["café", 3],
+            ["naïve", -2.25],
+            [True, None],
+        ],
+        "S2": [["x"], ["1"]],
+    }
+    p = write_minimal_xls(str(tmp_path / "legacy.xls"), data, biff_version=5)
+    content = open(p, "rb").read()
+    assert is_cfb(content)
+    out = stdlib_xls_parser(content)  # dispatches via the 'Book' stream name
+    assert list(out) == ["Hoja1", "S2"]
+    assert out["Hoja1"] == [
+        ["ítem", "qty"],
+        ["café", "3"],
+        ["naïve", "-2.25"],
+        ["True"],
+    ]
+    assert out["S2"] == [["x"], ["1"]]
+
+
+def test_biff5_ministream_and_grid_pipeline(tmp_path):
+    p = write_minimal_xls(
+        str(tmp_path / "small5.xls"), {"S": [["v"], ["7"]]},
+        pad=False, biff_version=5,
+    )
+    assert stdlib_xls_parser(open(p, "rb").read()) == {"S": [["v"], ["7"]]}
+
+
+def test_sst_continue_split_roundtrip(tmp_path):
+    """SST strings split across CONTINUE records — including a string much
+    longer than the record limit (multiple continuations) and non-ASCII
+    payloads — must reconstruct character-for-character."""
+    long_s = "lorem-ipsum-" * 40  # 480 chars -> ~960 bytes of UTF-16
+    data = {
+        "S": [
+            [long_s, "short"],
+            ["ünïcødé-" + "x" * 50, long_s],  # SST dedups the repeat
+            ["tail"],
+        ]
+    }
+    p = write_minimal_xls(
+        str(tmp_path / "cont.xls"), data, sst_continue_limit=64
+    )
+    content = open(p, "rb").read()
+    stream = cfb_open_stream(content, "Workbook")
+    # the stream really does carry CONTINUE records (0x003C)
+    n_cont = 0
+    pos = 0
+    while pos + 4 <= len(stream):
+        rid, rlen = struct.unpack_from("<HH", stream, pos)
+        n_cont += rid == 0x003C
+        pos += 4 + rlen
+        if rid == 0x000A and pos > 200:
+            break
+    assert n_cont >= 3
+    out = stdlib_xls_parser(content)
+    assert out["S"][0] == [long_s, "short"]
+    assert out["S"][1] == ["ünïcødé-" + "x" * 50, long_s]
+    assert out["S"][2] == ["tail"]
+
+
+def test_sst_continue_limit_validation(tmp_path):
+    with pytest.raises(ValueError):
+        write_minimal_xls(
+            str(tmp_path / "bad.xls"), {"S": [["x"]]}, sst_continue_limit=4
+        )
 
 
 def test_default_parser_chain_dispatches_on_magic(tmp_path):

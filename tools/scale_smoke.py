@@ -138,10 +138,20 @@ SMOKE_QUERIES = [
     "i10_drift_psi",         # |bins|-key counting aggregate
 ]
 
-#: dedup growth ladder: d07/d10 re-run on documents-only corpora at these
-#: copy counts; sub-linear growth = time ratio below the data ratio.
+#: dedup growth ladder: the candidate-generating queries re-run on
+#: documents-only corpora at these copy counts; sub-linear growth = time
+#: ratio below the data ratio.  Round 4 extends the ladder from d07/d10 to
+#: every blocked-pair family (d05 rare-shingle blocking, d12 containment
+#: blocking, d14 sorted-neighborhood post-ranks.py) so each candidate
+#: generator's fan-out claim is MEASURED, not argued.
 DEDUP_LADDER = (10, 100)
-DEDUP_QUERIES = ("d07_dup_clusters", "d10_simhash_hamming")
+DEDUP_QUERIES = (
+    "d07_dup_clusters",
+    "d10_simhash_hamming",
+    "d05_ngram_jaccard",
+    "d12_containment_pairs",
+    "d14_sorted_neighborhood",
+)
 
 
 def build(spark, out_dir: str, copies: int, tables: dict | None = None) -> None:

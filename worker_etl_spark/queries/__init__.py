@@ -49,96 +49,253 @@ def register(name: str, oracle: str | None, headline: bool = False):
 #   5. everything already hash-green in round 2 (their rows stand).
 # Names not yet registered are skipped; registered names missing from the list
 # are appended in module insertion order, so nothing is ever dropped.
-# ROTATION NOTE (round 4+): once this round's driver gate lands, move the
-# entries that received fresh rows to the back and promote the remainder
-# (the r2-green relational/cleaning/inference block) into the window, so
-# every registered query accumulates a recent driver row across rounds.
+# ROTATION NOTE (round 5+): regenerate with tools/rotate_priority.py after
+# each driver gate lands — fresh-row entries move to the back, the oldest
+# never-checked block moves into the window.  REGISTRATION FREEZE (round-3
+# verdict): no new queries until the never-checked backlog (74 entries after
+# this window) fits inside one window; the three round-7 parity failures are
+# the evidence that unverified breadth is risk, not progress.
 _PRIORITY: list[str] = [
-    # fixed in round 2 but never re-checked by the driver
-    "t01_token_stats", "g01_grid_ingest_e2e",
-    # never driver-checked (round-2 additions)
-    "d07_dup_clusters", "d08_edit_distance_neardup", "d09_minhash_estimate",
-    "d10_simhash_hamming", "d11_dedup_survivors",
-    "s03_topk_ivf", "s04_ann_recall", "v01_embedding_centroids",
-    "t05_tfidf_topterms", "t06_pii_redaction", "t07_bigram_stats",
-    "t08_bpe_token_stats", "t09_cdc_chunking",
-    "p01_curation_pipeline", "p02_source_quota_sample", "p03_leakage_safe_split",
-    "m03_frame_samples", "m04_media_dedup", "m05_magic_byte_quarantine",
-    "g03_grid_fallback_whole_sheet", "g04_detection_config_knobs",
-    "src03_excel_native_ingest", "src04_jsonl_ingest",
-    "srm02_multi_object_batch",
-    "w01_partitioned_sink", "w02_upsert_sink", "w03_compaction_sink",
-    "w04_partitioned_bucketed_layout",
-    "evt01_watermarked_windows", "evt02_session_windows", "evt03_interval_join",
-    # new in round 3
-    "srm03_excel_object", "src05_xls_ingest", "i07_sampled_infer",
-    "t10_contamination", "p04_sequence_packing",
-    "q36_exists_urgent_customers", "q37_conditional_aggregates",
-    "q38_date_functions", "q39_string_functions", "v02_array_functions",
-    "evt04_interval_join_outer", "i08_column_profile",
-    "t11_repetition_filters", "p05_mixture_reweight", "t12_vocab_coverage",
-    "m06_frame_neardup", "src06_orc_ingest",
-    "q40_percentile_disc", "src07_gzip_csv_ingest",
-    # new in round 4
-    "q41_correlated_scalar_subquery", "q42_lateral_posexplode",
-    "q43_regex_family", "q44_null_semantics", "q45_map_functions",
-    "s05_quantized_topk", "p06_dataset_card", "evt05_stream_dedup",
-    "w05_sorted_layout", "m07_audio_energy",
-    "q46_pandas_udaf_quantiles", "q47_python_udtf_chunks",
-    "v03_kmeans_quantized", "evt06_stream_static_enrich",
-    "q48_window_value_family", "src08_corrupt_jsonl",
-    "src09_xls_datasource", "i09_merge_schema_scan", "q49_observed_aggregate",
-    # new in round 5
-    "q50_scd2_dimension", "q51_last_touch_attribution", "t13_word_entropy",
-    "w06_zorder_layout", "w07_dynamic_partition_overwrite",
-    "evt07_backfill_available_now", "q52_rollup_merge", "q53_cogroup_asof",
-    "w08_merge_on_read_delete", "w09_snapshot_time_travel",
-    # new in round 6
-    "q54_pagerank_transitions", "q55_calendar_gapfill", "q56_mad_anomalies",
-    "q57_market_share", "t14_substring_dup_share", "p07_per_source_cap",
-    "i10_drift_psi", "src10_fixed_width_ingest", "w10_manifest_pruning",
-    "q58_supplier_hierarchy", "q59_peak_trailing_spend",
-    "i11_constraint_audit", "p08_curriculum_buckets", "s06_pq_adc_topk",
-    "src11_multiline_csv_ingest", "q60_top_supplier", "m08_multipart_reassembly",
-    "evt08_cusum_alerts", "w11_snapshot_diff_cdc",
-    "d12_containment_pairs", "q62_sliding_distinct_users",
-    "t16_distinctive_terms", "q63_share_of_parent", "i13_fd_discovery",
-    "p09_dedup_token_yield", "t17_countmin_audit",
-    "t18_bigram_perplexity", "w12_partition_evolution", "src13_xml_ingest",
-    "q65_interval_coverage", "i14_median_imputation", "evt09_record_high_events",
-    "q66_exact_correlation", "src14_codec_roundtrip",
-    "q67_cohort_retention", "q68_ordered_funnel", "w13_compaction_plan",
-    "d13_banding_pr_audit", "p10_tokenizer_fertility", "evt10_disorder_diagnostics",
-    "m09_frame_motion_profile", "i16_column_entropy",
-    "i17_mutual_information", "t19_zipf_fit", "src15_latin1_csv_ingest",
-    "q70_grouping_id", "c04_html_strip", "d14_sorted_neighborhood",
-    "p11_k_anonymity_audit", "t20_code_detection", "q72_asof_rate_normalization",
-    "t22_langid_metrics", "s07_vector_quality_audit", "evt11_seasonality_profile",
-    "src16_nested_json_flatten", "t23_readability", "q76_cumulative_uniques",
-    "q77_bitemporal_restatement", "p13_erasure_propagation",
-    "q79_triangle_count", "evt12_dynamic_gap_sessions",
-    "i18_pii_column_scan", "src17_zip_archive_ingest",
-    "q82_rolling_trend", "t25_template_detection", "q83_identity_stitching",
-    "w14_inferred_members", "evt13_freshness_gaps", "d15_fuzzy_entity_join",
-    "src18_packed_binary_ingest", "t26_script_detection",
-    "t27_line_boilerplate", "w16_row_ttl_retention",
-    "evt14_incremental_view_maintenance", "q84_pareto_frontier",
-    "i19_benford_audit", "q85_subtree_rollup", "t28_collocations",
-    "m10_payload_entropy", "q86_gini_concentration",
-    # new in round 7
-    "q87_market_basket", "evt15_ewma_smoothing", "i20_chi_square",
-    "p14_target_encoding", "v04_feature_hashing",
-    "q88_supplier_affinity", "v05_covariance_matrix",
-    "p15_weighted_sample", "i21_equi_depth_bins",
-    "evt16_holt_trend", "i22_referential_integrity", "p16_l_diversity",
-    # green only in round 1 (code unchanged/improved since — refresh the row)
-    "t02_quality_score", "t03_langid", "t04_fingerprint",
-    "s01_topk_bruteforce", "s02_topk_lsh",
-    "m01_media_metadata", "m02_media_features",
+    # --- round-4 window (the driver records the first ~50) ---
+    # 1-3: wrong answers fixed this round (verdict #1) - rows required
+    # 4-9: materially changed this round (ranks.py / i22 NULLs / i07)
+    # 10-50: the never-checked round-4/5 blocks + round-6 head (verdict #2)
+    "evt15_ewma_smoothing",
+    "evt16_holt_trend",
+    "v05_covariance_matrix",
+    "d14_sorted_neighborhood",
+    "p08_curriculum_buckets",
+    "i21_equi_depth_bins",
+    "i20_chi_square",
+    "i22_referential_integrity",
+    "i07_sampled_infer",
+    "q40_percentile_disc",
+    "src07_gzip_csv_ingest",
+    "q41_correlated_scalar_subquery",
+    "q42_lateral_posexplode",
+    "q43_regex_family",
+    "q44_null_semantics",
+    "q45_map_functions",
+    "s05_quantized_topk",
+    "p06_dataset_card",
+    "evt05_stream_dedup",
+    "w05_sorted_layout",
+    "m07_audio_energy",
+    "q46_pandas_udaf_quantiles",
+    "q47_python_udtf_chunks",
+    "v03_kmeans_quantized",
+    "evt06_stream_static_enrich",
+    "q48_window_value_family",
+    "src08_corrupt_jsonl",
+    "src09_xls_datasource",
+    "i09_merge_schema_scan",
+    "q49_observed_aggregate",
+    "q50_scd2_dimension",
+    "q51_last_touch_attribution",
+    "t13_word_entropy",
+    "w06_zorder_layout",
+    "w07_dynamic_partition_overwrite",
+    "evt07_backfill_available_now",
+    "q52_rollup_merge",
+    "q53_cogroup_asof",
+    "w08_merge_on_read_delete",
+    "w09_snapshot_time_travel",
+    "q54_pagerank_transitions",
+    "q55_calendar_gapfill",
+    "q56_mad_anomalies",
+    "q57_market_share",
+    "t14_substring_dup_share",
+    "p07_per_source_cap",
+    "i10_drift_psi",
+    "src10_fixed_width_ingest",
+    "w10_manifest_pruning",
+    "q58_supplier_hierarchy",
+    # --- backlog: remaining never-checked, registry order ---
+    "q59_peak_trailing_spend",
+    "i11_constraint_audit",
+    "s06_pq_adc_topk",
+    "src11_multiline_csv_ingest",
+    "q60_top_supplier",
+    "m08_multipart_reassembly",
+    "evt08_cusum_alerts",
+    "w11_snapshot_diff_cdc",
+    "d12_containment_pairs",
+    "q62_sliding_distinct_users",
+    "t16_distinctive_terms",
+    "q63_share_of_parent",
+    "i13_fd_discovery",
+    "p09_dedup_token_yield",
+    "t17_countmin_audit",
+    "t18_bigram_perplexity",
+    "w12_partition_evolution",
+    "src13_xml_ingest",
+    "q65_interval_coverage",
+    "i14_median_imputation",
+    "evt09_record_high_events",
+    "q66_exact_correlation",
+    "src14_codec_roundtrip",
+    "q67_cohort_retention",
+    "q68_ordered_funnel",
+    "w13_compaction_plan",
+    "d13_banding_pr_audit",
+    "p10_tokenizer_fertility",
+    "evt10_disorder_diagnostics",
+    "m09_frame_motion_profile",
+    "i16_column_entropy",
+    "i17_mutual_information",
+    "t19_zipf_fit",
+    "src15_latin1_csv_ingest",
+    "q70_grouping_id",
+    "c04_html_strip",
+    "p11_k_anonymity_audit",
+    "t20_code_detection",
+    "q72_asof_rate_normalization",
+    "t22_langid_metrics",
+    "s07_vector_quality_audit",
+    "evt11_seasonality_profile",
+    "src16_nested_json_flatten",
+    "t23_readability",
+    "q76_cumulative_uniques",
+    "q77_bitemporal_restatement",
+    "p13_erasure_propagation",
+    "q79_triangle_count",
+    "evt12_dynamic_gap_sessions",
+    "i18_pii_column_scan",
+    "src17_zip_archive_ingest",
+    "q82_rolling_trend",
+    "t25_template_detection",
+    "q83_identity_stitching",
+    "w14_inferred_members",
+    "evt13_freshness_gaps",
+    "d15_fuzzy_entity_join",
+    "src18_packed_binary_ingest",
+    "t26_script_detection",
+    "t27_line_boilerplate",
+    "w16_row_ttl_retention",
+    "evt14_incremental_view_maintenance",
+    "q84_pareto_frontier",
+    "i19_benford_audit",
+    "q85_subtree_rollup",
+    "t28_collocations",
+    "m10_payload_entropy",
+    "q86_gini_concentration",
+    "q87_market_basket",
+    "p14_target_encoding",
+    "v04_feature_hashing",
+    "q88_supplier_affinity",
+    "p15_weighted_sample",
+    "p16_l_diversity",
+    # --- already driver-green, stalest green first ---
+    "t02_quality_score",
+    "t03_langid",
+    "t04_fingerprint",
+    "s01_topk_bruteforce",
+    "s02_topk_lsh",
+    "m01_media_metadata",
+    "m02_media_features",
     "g02_grid_detection",
-    "src01_csv_ingest", "src02_excel_ingest", "srm01_stream_ingest",
-    # round-2 green anchors (sanity rows inside the window)
-    "q01_pricing_summary", "i01_infer_types", "d01_exact_dedup",
+    "src01_csv_ingest",
+    "src02_excel_ingest",
+    "srm01_stream_ingest",
+    "q01_pricing_summary",
+    "i01_infer_types",
+    "d01_exact_dedup",
+    "q02_forecast_revenue",
+    "q03_top_orders",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_segment_stats",
+    "q07_topn_per_flag",
+    "q08_running_total",
+    "q09_distinct_parts",
+    "q10_setops",
+    "q11_customers_without_orders",
+    "q12_rollup",
+    "q13_pivot",
+    "q14_sessionize",
+    "q15_tumbling_windows",
+    "q16_sliding_windows",
+    "q17_json_props",
+    "q18_argmax",
+    "q19_asof_join",
+    "q20_range_join",
+    "q21_price_quantiles",
+    "q22_salted_skew_join",
+    "q23_cube_flags",
+    "q24_price_stats",
+    "q25_bucketed_join",
+    "q26_grouping_sets",
+    "q27_revenue_momentum",
+    "q28_hash_sample",
+    "q29_approx_stats",
+    "q30_small_qty_revenue",
+    "q31_moving_revenue",
+    "q32_rank_family",
+    "q33_collected_arrays",
+    "q34_full_outer_reconcile",
+    "q35_unpivot_metrics",
+    "c01_trim_null_normalize",
+    "c02_drop_all_null_rows",
+    "c03_sanitized_projection",
+    "i02_align_coerce",
+    "i03_catalog_schema_reingest",
+    "i04_coercion_metrics",
+    "i05_schema_evolution",
+    "i06_type_widening",
+    "d02_minhash_signatures",
+    "d03_lsh_buckets",
+    "d04_simhash",
+    "d05_ngram_jaccard",
+    "d06_embedding_neardup",
+    "t01_token_stats",
+    "g01_grid_ingest_e2e",
+    "d07_dup_clusters",
+    "d08_edit_distance_neardup",
+    "d09_minhash_estimate",
+    "d10_simhash_hamming",
+    "d11_dedup_survivors",
+    "s03_topk_ivf",
+    "s04_ann_recall",
+    "v01_embedding_centroids",
+    "t05_tfidf_topterms",
+    "t06_pii_redaction",
+    "t07_bigram_stats",
+    "t08_bpe_token_stats",
+    "t09_cdc_chunking",
+    "p01_curation_pipeline",
+    "p02_source_quota_sample",
+    "p03_leakage_safe_split",
+    "m03_frame_samples",
+    "m04_media_dedup",
+    "m05_magic_byte_quarantine",
+    "g03_grid_fallback_whole_sheet",
+    "g04_detection_config_knobs",
+    "src03_excel_native_ingest",
+    "src04_jsonl_ingest",
+    "srm02_multi_object_batch",
+    "w01_partitioned_sink",
+    "w02_upsert_sink",
+    "w03_compaction_sink",
+    "w04_partitioned_bucketed_layout",
+    "evt01_watermarked_windows",
+    "evt02_session_windows",
+    "evt03_interval_join",
+    "srm03_excel_object",
+    "src05_xls_ingest",
+    "t10_contamination",
+    "p04_sequence_packing",
+    "q36_exists_urgent_customers",
+    "q37_conditional_aggregates",
+    "q38_date_functions",
+    "q39_string_functions",
+    "v02_array_functions",
+    "evt04_interval_join_outer",
+    "i08_column_profile",
+    "t11_repetition_filters",
+    "p05_mixture_reweight",
+    "t12_vocab_coverage",
+    "m06_frame_neardup",
+    "src06_orc_ingest",
 ]
 
 

@@ -1345,11 +1345,13 @@ def _i22_edge_sql(label, child, ckey, parent, pkey) -> str:
            (SELECT count(*) FROM (
               SELECT DISTINCT {ckey} FROM {child}
               WHERE {ckey} IS NOT NULL
-                AND {ckey} NOT IN (SELECT {pkey} FROM {parent})
+                AND {ckey} NOT IN (SELECT {pkey} FROM {parent}
+                                   WHERE {pkey} IS NOT NULL)
            )) AS n_orphan_keys,
            (SELECT count(*) FROM {child}
             WHERE {ckey} IS NOT NULL
-              AND {ckey} NOT IN (SELECT {pkey} FROM {parent})
+              AND {ckey} NOT IN (SELECT {pkey} FROM {parent}
+                                 WHERE {pkey} IS NOT NULL)
            ) AS n_orphan_rows
     """
 
@@ -1381,39 +1383,60 @@ def i22_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     this scale).  i11's constraint audit checks single-table invariants;
     this is the CROSS-table half.
 
+    NULL semantics (round-3 ADVICE fix): n_child_rows counts EVERY
+    child row — including NULL-FK rows, which are exactly the dirty
+    data the audit exists to surface — so the orphan-row rate's
+    denominator matches the oracle's `count(*)`.  Orphans are
+    anti-join-semantics on both sides: NULL child keys are never
+    orphans, and NULL parent keys are filtered before the NOT IN so the
+    oracle can't collapse to empty when a parent key is NULL.
+
     Scale: each edge costs one LEFT ANTI join of the child's DISTINCT
     keys (key-grain, shuffle bounded by key cardinality) against the
-    parent, with the parent side broadcast when it's a dim; child
-    row-grain counts come from one aggregate per child table, reused
-    across edges that share a child.  Orphan ROW counts re-join the
-    orphan KEY set (small by construction) back to the child — never a
-    second full-table anti join."""
+    parent's distinct keys — broadcast ONLY when the parent is a true
+    dim (nation/region/supplier); orders and part key sets grow with
+    the fact tables, so they take the shuffle anti join and let AQE
+    pick the strategy.  Child row-grain counts come from ONE aggregate
+    per child table, reused across edges sharing a child.  Orphan ROW
+    counts come from the per-key row counts — never a second
+    full-table anti join."""
     tables = {
         t: read_table(spark, sf_dir, t)
         for t in {"lineitem", "orders", "customer", "supplier",
                   "part", "nation", "region"}
     }
+    dim_parents = {"nation", "region", "supplier"}
+    child_rows: dict[str, DataFrame] = {}
     out = None
     for label, child, ckey, parent, pkey in _I22_EDGES:
         cdf, pdf = tables[child], tables[parent]
+        if child not in child_rows:
+            child_rows[child] = cdf.agg(
+                F.count(F.lit(1)).alias("n_child_rows")
+            )
         keys = (
             cdf.select(F.col(ckey).alias("k"))
             .filter(F.col("k").isNotNull())
             .groupBy("k")
             .agg(F.count(F.lit(1)).alias("rows_per_key"))
         )
-        parent_keys = pdf.select(F.col(pkey).alias("k")).distinct()
-        orphans = keys.join(F.broadcast(parent_keys), "k", "left_anti")
-        stats = keys.agg(
-            F.sum("rows_per_key").alias("n_child_rows"),
-            F.count(F.lit(1)).alias("n_child_keys"),
+        parent_keys = (
+            pdf.select(F.col(pkey).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
         )
+        if parent in dim_parents:
+            parent_keys = F.broadcast(parent_keys)
+        orphans = keys.join(parent_keys, "k", "left_anti")
+        stats = keys.agg(F.count(F.lit(1)).alias("n_child_keys"))
         ostats = orphans.agg(
             F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_orphan_keys"),
             F.coalesce(F.sum("rows_per_key"), F.lit(0)).alias("n_orphan_rows"),
         )
         row = (
-            stats.crossJoin(ostats)
+            child_rows[child]
+            .crossJoin(stats)
+            .crossJoin(ostats)
             .select(
                 F.lit(label).alias("edge"),
                 F.col("n_child_rows").cast("long"),

@@ -2152,6 +2152,7 @@ def q52_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q53: cogrouped as-of merge (the 4th Python extension surface) --------------
 @register(
     "q53_cogroup_asof",
+    headline=True,  # keep the cogroup Python-kernel tax visible per-round
     oracle="""
     SELECT p.user_id,
            p.event_id           AS purchase_id,
@@ -2175,7 +2176,19 @@ def q53_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     too rigid.  Contract at 100 TB: one shuffle per side, kernel memory
     bounded by the largest single key group — same bound as any cogroup.
     The DuckDB ASOF LEFT JOIN oracle pins the semantics row-for-row,
-    including unmatched purchases and exact-timestamp matches."""
+    including unmatched purchases and exact-timestamp matches.
+
+    PRODUCTION STORY (round-3 scale smoke: 23.1 s at ~sf1, ~4x anything
+    else in the suite — the Python-kernel-per-group tax is the engine's
+    worst scaling coefficient): this query is the SURFACE PIN for the
+    cogroup extension point, not the plan you ship an as-of join on.
+    The production as-of is the JVM lowering the q19/q72 family uses —
+    union both sides, one per-key window sort, `last(ignorenulls)` to
+    propagate the most recent right-side row — which stays inside
+    whole-stage codegen and scales like any window aggregate.  q53 is
+    benched in the headline set precisely so the cogroup tax stays
+    visible next to the JVM alternative rather than hiding in a smoke
+    file."""
     import pandas as pd
 
     # Two INDEPENDENT reads on purpose: cogrouping two frames derived from
