@@ -380,3 +380,32 @@ def test_ranks_rn_matches_naive_global_sort(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_ranks_edge_cases_match_naive(spark):
+    """Degenerate orders the range-partitioned rank must survive: all-equal
+    keys (no usable boundaries -> one pid), heavy duplicates straddling
+    would-be boundaries, negatives, and a tiny frame."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from worker_etl_spark.operators.ranks import global_row_number
+
+    cases = [
+        [(0, i) for i in range(100)],                      # all-equal key
+        [(i % 3, i) for i in range(500)],                  # 3 fat duplicates
+        [((-1) ** i * (i // 7), i) for i in range(300)],   # negatives
+        [(5, 1), (3, 2)],                                  # tiny frame
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "k long, id long")
+        got, total = global_row_number(df, ["k", "id"])
+        want = df.withColumn("rn", F.row_number().over(W.orderBy("k", "id")))
+        assert total == len(rows)
+        mism = (
+            got.alias("g")
+            .join(want.alias("w"), "id")
+            .filter(F.col("g.rn") != F.col("w.rn"))
+            .count()
+        )
+        assert mism == 0, rows[:5]
