@@ -194,6 +194,13 @@ def main() -> None:
             "queries": timings,
             "dedup_growth": dedup_growth(spark),
         }
+        result["ladder_note"] = (
+            "growth ladder runs on a FRESH SparkSession: after the 44-query "
+            "main suite the old session's accumulated state (shuffle files, "
+            "listener/UI history, JVM heap fragmentation) inflated the "
+            "100-copy rung ~3-4x vs the same queries in a clean session, "
+            "which measured session debris, not the plans"
+        )
         print(json.dumps(result))
         if out_json:
             with open(out_json, "w") as fh:
@@ -203,15 +210,23 @@ def main() -> None:
 
 
 def dedup_growth(spark) -> dict:
-    """d07/d10 on documents-only corpora at each DEDUP_LADDER copy count.
+    """The blocked-pair candidate generators on documents-only corpora at
+    each DEDUP_LADDER copy count.
 
     The mutated-copy build keeps the near-dup rate constant, so candidate-
     pair volume should scale with the corpus, not its square: the evidence
     the band-join/blocking claim needs is ``t[100] / t[10]`` staying well
-    under the 10x data ratio."""
+    under the 10x data ratio.
+
+    Runs on a FRESH session: the main suite's session accumulates shuffle
+    files, listener history, and heap fragmentation that inflated the
+    100-copy rung ~3-4x (measured round 4 — identical queries in a clean
+    session showed ratio 3.1 where the stale session showed 19-24)."""
     from worker_etl_spark.queries import dedup_q
 
     dedup_q.clear_caches()  # drop the main smoke's persisted family frames
+    spark.stop()
+    spark = get_spark("scale_smoke_ladder")
     out: dict[str, dict] = {"copies": {}}
     for copies in DEDUP_LADDER:
         tmp = tempfile.mkdtemp(prefix=f"smoke_dedup_{copies}_")
