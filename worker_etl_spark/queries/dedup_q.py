@@ -812,7 +812,17 @@ def d10_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the band join is key-equi on (band, val) — 4x row
     amplification into a shuffle-partitionable join, per-key fan-out bounded
     by band-bucket occupancy, never O(n^2).  The hamming check itself is one
-    codegen'd xor+bit_count per surviving candidate.  No reference
+    codegen'd xor+bit_count per surviving candidate.
+
+    Band-width tuning law (measured by the growth ladder): on a corpus with
+    NO shared structure, band collisions are random and the candidate floor
+    is C(n,2)·bands·2^(-band_bits) — quadratic in n with a 2^-15 constant.
+    Keeping that floor linear requires band_bits ≳ log2(n·bands/2): 15 bits
+    covers ~10^5 docs, ~20 bits 10^6, ~31 bits 10^9 (widen the fingerprint
+    or the per-band slice as the corpus grows; the pigeonhole exactness
+    argument holds for any equal split with bands > _HAM_MAX).  The ladder's
+    mutated copies are exactly this worst case, so its d10 rung measures the
+    random-collision floor, not the near-dup load.  No reference
     counterpart (dedup is a driver-mandated extension, SURVEY.md §2)."""
     sim = _simhash_df(spark, sf_dir)
     bands = sim.select(
