@@ -57,6 +57,30 @@ def codepoint_surrogate(col, nchars: int = 3):
     return s
 
 
+def _assign_range_pid(
+    df: DataFrame, surrogate, partitions: int
+) -> DataFrame:
+    """Add a deterministic range-partition id ``_pid`` (and the surrogate as
+    ``_rksur``): boundaries from one approxQuantile driver action, pid =
+    #{boundaries below the surrogate} as a pure expression.  Equal
+    surrogates always share a pid, and the surrogate is monotone in the
+    caller's sort order, so pid order IS sort order at partition grain."""
+    kdf = df.withColumn("_rksur", surrogate.cast("double"))
+    probs = [i / partitions for i in range(1, partitions)]
+    # Balance-only boundaries: a loose sketch error keeps the pass cheap.
+    bounds = sorted(set(kdf.approxQuantile("_rksur", probs, 1.0 / (4 * partitions))))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("_rksur") > b, 1).otherwise(0),
+        )
+    else:
+        pid = F.lit(0)
+    return kdf.withColumn("_pid", pid)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -73,20 +97,7 @@ def global_row_number(
     (default: the leading column cast to double).
     """
     sur = surrogate if surrogate is not None else F.col(order_cols[0])
-    kdf = df.withColumn("_rksur", sur.cast("double"))
-    probs = [i / partitions for i in range(1, partitions)]
-    # Balance-only boundaries: a loose sketch error keeps the pass cheap.
-    bounds = sorted(set(kdf.approxQuantile("_rksur", probs, 1.0 / (4 * partitions))))
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        pid = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col("_rksur") > b, 1).otherwise(0),
-        )
-    else:
-        pid = F.lit(0)
-    withpid = kdf.withColumn("_pid", pid)
+    withpid = _assign_range_pid(df, sur, partitions)
     sizes = {
         r["_pid"]: r["cnt"]
         for r in withpid.groupBy("_pid")
@@ -113,6 +124,57 @@ def global_row_number(
         .drop("_rksur", "_pid")
     )
     return ranked, total
+
+
+def global_running_min(
+    df: DataFrame,
+    order_exprs: list,
+    value_col: str,
+    surrogate,
+    partitions: int = 32,
+    out_name: str = "running_min",
+) -> DataFrame:
+    """EXCLUSIVE running ``min(value_col)`` over the global *order_exprs*
+    order (the min of everything strictly BEFORE each row), without a
+    single-partition window — the skyline/record-high primitive.
+
+    Same deterministic-range pattern as ``global_row_number``, but the
+    broadcast side is per-partition prefix MINs instead of row offsets:
+    local exclusive running min within each range partition, combined via
+    ``least`` with the min over all earlier partitions (a collected ≤P-row
+    aggregate).  ``least`` ignores NULLs, and rows with no predecessor get
+    NULL — identical semantics to
+    ``min(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING TO -1)``.
+
+    *surrogate* must be a numeric Column monotone in the order (for a
+    multi-key order, pack the keys: e.g. ``(-q)*2^40 + p`` for
+    (q DESC, p ASC) when 0 ≤ p < 2^40).
+    """
+    withpid = _assign_range_pid(df, surrogate, partitions)
+    pid_mins = {
+        r["_pid"]: r["m"]
+        for r in withpid.groupBy("_pid")
+        .agg(F.min(value_col).alias("m"))
+        .collect()
+    }
+    prefix: dict[int, object] = {}
+    best = None
+    for p in sorted(pid_mins):
+        if best is not None:
+            prefix[p] = best
+        m = pid_mins[p]
+        if m is not None and (best is None or m < best):
+            best = m
+    local_w = W.partitionBy("_pid").orderBy(*order_exprs).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    local = F.min(value_col).over(local_w)
+    if prefix:
+        pmap = F.create_map(*[F.lit(v) for kv in prefix.items() for v in kv])
+        combined = F.least(local, pmap[F.col("_pid")])
+    else:
+        combined = local
+    return withpid.withColumn(out_name, combined).drop("_rksur", "_pid")
 
 
 def ntile_from_rn(rn, n_rows: int, k: int):

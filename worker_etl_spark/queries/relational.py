@@ -4003,20 +4003,30 @@ def q84_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly beat the prior best price (the ASC tiebreak puts the
     cheapest equal-q point first).
 
-    Scale: the sort is the documented axis (range-partition like w05 and
-    carry each partition's boundary min as the seed — the same
-    overlap-the-edges discipline as d14's SNM); everything else is
-    per-row.  Integer axes keep dominance exact."""
+    Scale: the global (q DESC, p ASC) running min comes from
+    `operators/ranks.py:global_running_min` — deterministic range
+    partitioning on the packed (−q·2⁴⁰ + p) surrogate, local exclusive
+    running mins in parallel windows, per-partition prefix mins
+    broadcast (≤P values, never the data) — no single-partition
+    WindowExec (the axis this docstring used to merely document is now
+    closed; found by tools/audit_windows.py).  Everything else is
+    per-row; integer axes keep dominance exact."""
+    from worker_etl_spark.operators.ranks import global_running_min
+
     l = _t(spark, sf_dir, "lineitem")
     pts = l.groupBy("l_partkey").agg(
         F.max(F.round(F.col("l_quantity"))).cast("long").alias("q"),
         F.min(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("p"),
     )
-    w = (
-        W.orderBy(F.desc("q"), F.asc("p"))
-        .rowsBetween(W.unboundedPreceding, -1)
+    # surrogate monotone in (q DESC, p ASC): p is positive cents < 2^40
+    sur = (-F.col("q")) * F.lit(1 << 40) + F.col("p")
+    ranked = global_running_min(
+        pts,
+        [F.desc("q"), F.asc("p")],
+        "p",
+        surrogate=sur,
+        out_name="best_prior",
     )
-    ranked = pts.withColumn("best_prior", F.min("p").over(w))
     sky = ranked.filter(
         F.col("best_prior").isNull() | (F.col("p") < F.col("best_prior"))
     )
