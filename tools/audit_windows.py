@@ -44,6 +44,7 @@ def main() -> None:
     spark = get_spark("audit_windows")
     registry = load_all()
     flagged: dict[str, int] = {}
+    nl_joins: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     for name, spec in registry.items():
         try:
@@ -55,7 +56,19 @@ def main() -> None:
         k = single_partition_windows(plan)
         if k:
             flagged[name] = k
-    out = {"flagged": flagged, "errors": errors, "n_queries": len(registry)}
+        # O(n^2)-shaped joins: every occurrence must be a deliberate,
+        # bounded pattern (1-row stats crossJoin, k-row seed frames, the
+        # q20 broadcast range join) — the sweep makes each one a decision.
+        cp = plan.count("CartesianProduct")
+        bnl = plan.count("BroadcastNestedLoopJoin")
+        if cp or bnl:
+            nl_joins[name] = {"cartesian": cp, "bnl": bnl}
+    out = {
+        "flagged": flagged,
+        "nested_loop_joins": nl_joins,
+        "errors": errors,
+        "n_queries": len(registry),
+    }
     print(json.dumps(out, indent=1))
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as fh:
