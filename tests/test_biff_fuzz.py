@@ -90,3 +90,79 @@ def test_roundtrip_fuzz(tmp_path_factory, sheets, pad):
         while norm_got and not norm_got[-1]:
             norm_got.pop()
         assert norm_got == exp, (name, norm_got, exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    strings=st.lists(_text, min_size=1, max_size=8),
+    limit=st.integers(min_value=8, max_value=96),
+)
+def test_sst_continue_split_fuzz(tmp_path_factory, strings, limit):
+    """Arbitrary BMP strings through arbitrary CONTINUE record limits: the
+    segmented SST writer and the continuation-aware reader must agree for
+    every split position (mid-string, at a header, multi-record spans)."""
+    tmp = tmp_path_factory.mktemp("sstfuzz")
+    rows = [[s] for s in strings]
+    p = write_minimal_xls(
+        os.path.join(str(tmp), "c.xls"), {"S": rows}, sst_continue_limit=limit
+    )
+    out = stdlib_xls_parser(open(p, "rb").read())
+    # every row has exactly one written string cell ('' included — it still
+    # gets a LABELSST record), so the readback is positionally exact
+    assert [r[0] for r in out["S"]] == strings
+
+
+_latin1_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+    max_size=30,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    sheets=st.dictionaries(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+            min_size=1,
+            max_size=12,
+        ),
+        st.lists(st.lists(st.one_of(st.none(), _latin1_text), max_size=4), max_size=5),
+        min_size=1,
+        max_size=2,
+    ),
+    pad=st.booleans(),
+)
+def test_biff5_roundtrip_fuzz(tmp_path_factory, sheets, pad):
+    """BIFF5 inline-label roundtrip over the cp1252-represratable range."""
+    # cp1252 cannot encode 0x80-0x9F block's gaps; keep encodable payloads
+    def enc_ok(s):
+        try:
+            s.encode("cp1252")
+            return True
+        except UnicodeEncodeError:
+            return False
+
+    sheets = {
+        n: [[c for c in row if c is None or enc_ok(c)] for row in rows]
+        for n, rows in sheets.items()
+        if enc_ok(n)
+    }
+    if not sheets:
+        return
+    tmp = tmp_path_factory.mktemp("b5fuzz")
+    p = write_minimal_xls(
+        os.path.join(str(tmp), "b5.xls"), sheets, pad=pad, biff_version=5
+    )
+    out = stdlib_xls_parser(open(p, "rb").read())
+    assert list(out) == list(sheets)
+    for name, rows in sheets.items():
+        exp = _expected(rows)
+        norm_got = []
+        for r in out[name]:
+            rr = list(r)
+            while rr and rr[-1] is None:
+                rr.pop()
+            norm_got.append(rr)
+        while norm_got and not norm_got[-1]:
+            norm_got.pop()
+        assert norm_got == exp, (name, norm_got, exp)

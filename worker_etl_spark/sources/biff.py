@@ -247,25 +247,28 @@ def _parse_sst(segs: list[bytes]) -> list[str]:
         wide = bool(grbit & 0x01)
         remaining = cch
         pieces: list[str] = []
+        bset = set(bounds)
         while remaining:
+            if pos in bset:
+                # character data resumes (or begins) at a CONTINUE start:
+                # the segment opens with a repeated fHighByte flags byte,
+                # and the continued portion may switch compressed/UTF-16
+                if pos >= len(data):
+                    raise ValueError("truncated SST: string runs past stream")
+                wide = bool(data[pos] & 0x01)
+                pos += 1
             nb = next_bound(pos)
             width = 2 if wide else 1
             take = min(remaining, (nb - pos) // width)
-            if take:
-                raw = data[pos : pos + take * width]
-                pieces.append(raw.decode("utf-16-le" if wide else "latin-1"))
-                pos += take * width
-                remaining -= take
-            if remaining:
-                if pos != nb:
-                    raise NotImplementedError(
-                        "SST character split mid-UTF-16-unit across a "
-                        "CONTINUE boundary — corrupt stream; install xlrd"
-                    )
-                if pos >= len(data):
-                    raise ValueError("truncated SST: string runs past stream")
-                wide = bool(data[pos] & 0x01)  # repeated fHighByte flags
-                pos += 1
+            if take <= 0:
+                raise NotImplementedError(
+                    "SST character split mid-UTF-16-unit across a "
+                    "CONTINUE boundary — corrupt stream; install xlrd"
+                )
+            raw = data[pos : pos + take * width]
+            pieces.append(raw.decode("utf-16-le" if wide else "latin-1"))
+            pos += take * width
+            remaining -= take
         out.append("".join(pieces))
         pos += 4 * crun + cab  # rich runs + phonetic continue raw
     return out
