@@ -409,3 +409,41 @@ def test_ranks_edge_cases_match_naive(spark):
             .count()
         )
         assert mism == 0, rows[:5]
+
+
+def test_running_min_matches_naive_global_window(spark):
+    """global_running_min == the single-partition exclusive running min on
+    the same total order, including ties, negatives, and the all-equal-key
+    degenerate case."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from worker_etl_spark.operators.ranks import global_running_min
+
+    cases = [
+        [(i % 7, (i * 13) % 101, i) for i in range(400)],   # duplicates
+        [(0, 5, i) for i in range(50)],                     # all equal
+        [((-1) ** i * i, -i, i) for i in range(200)],       # negatives
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "q long, p long, id long")
+        sur = (-F.col("q")) * F.lit(1 << 40) + F.col("p")
+        got = global_running_min(
+            df, [F.desc("q"), F.asc("p")], "p", surrogate=sur,
+            out_name="best_prior",
+        )
+        w = W.orderBy(F.desc("q"), F.asc("p")).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        want = df.withColumn("best_prior", F.min("p").over(w))
+        mism = (
+            got.alias("g")
+            .join(want.alias("w"), "id")
+            .filter(
+                ~(
+                    F.col("g.best_prior").eqNullSafe(F.col("w.best_prior"))
+                )
+            )
+            .count()
+        )
+        assert mism == 0, rows[:3]
