@@ -447,3 +447,36 @@ def test_running_min_matches_naive_global_window(spark):
             .count()
         )
         assert mism == 0, rows[:3]
+
+
+def test_ranks_unicode_string_keys_match_naive(spark):
+    """codepoint_surrogate must respect Spark's UTF8String (code-point)
+    ordering for CJK, accented, and astral-plane keys — the testdata corpus
+    is ASCII-heavy, so this pins the non-ASCII path explicitly.  (Verified:
+    F.ascii returns full code points, e.g. 的→30340, 𝄞→119070.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from worker_etl_spark.operators.ranks import (
+        codepoint_surrogate,
+        global_row_number,
+    )
+
+    keys = [
+        "zebra", "apple", "的确如此很好", "élan", "Übung", "zzz", "的的",
+        "éé", "", "apple pie", "中文文本分析", "中断", "𝄞music", "𝄞𝄞", "ascii",
+    ] * 5
+    df = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(keys)], "k string, id long"
+    )
+    got, total = global_row_number(
+        df, ["k", "id"], surrogate=codepoint_surrogate(F.col("k"))
+    )
+    want = df.withColumn("rn", F.row_number().over(W.orderBy("k", "id")))
+    mism = (
+        got.alias("g")
+        .join(want.alias("w"), "id")
+        .filter(F.col("g.rn") != F.col("w.rn"))
+        .count()
+    )
+    assert total == len(keys) and mism == 0
