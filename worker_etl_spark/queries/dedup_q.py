@@ -1281,7 +1281,6 @@ def d14_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- d15: blocked fuzzy entity join --------------------------------------------
-_D15_BLOCK_LEN = 4   # blocking key: name prefix
 _D15_MAX_EDITS = 1   # verification: edit distance bound
 
 
@@ -1297,13 +1296,39 @@ _D15_MAX_EDITS = 1   # verification: edit distance bound
                   ELSE c_name END AS feed_name
       FROM customer
     ),
+    fv AS (
+      SELECT feed_id, feed_name,
+             unnest(range(0, length(feed_name) + 1)) AS i
+      FROM dirty
+    ),
+    fvv AS (
+      SELECT feed_id, feed_name,
+             CASE WHEN i = 0 THEN feed_name
+                  ELSE substring(feed_name, 1, CAST(i - 1 AS INT))
+                       || substring(feed_name, CAST(i + 1 AS INT)) END AS v
+      FROM fv
+    ),
+    mv AS (
+      SELECT c_custkey AS master_id, c_name,
+             unnest(range(0, length(c_name) + 1)) AS i
+      FROM customer
+    ),
+    mvv AS (
+      SELECT master_id, c_name,
+             CASE WHEN i = 0 THEN c_name
+                  ELSE substring(c_name, 1, CAST(i - 1 AS INT))
+                       || substring(c_name, CAST(i + 1 AS INT)) END AS v
+      FROM mv
+    ),
+    cand AS (
+      SELECT DISTINCT f.feed_id, f.feed_name, m.master_id, m.c_name
+      FROM fvv f JOIN mvv m ON f.v = m.v
+    ),
     blocked AS (
-      SELECT d.feed_id, m.c_custkey AS master_id,
-             levenshtein(d.feed_name, m.c_name) AS dist
-      FROM dirty d JOIN customer m
-        ON substring(d.feed_name, 1, {_D15_BLOCK_LEN})
-           = substring(m.c_name, 1, {_D15_BLOCK_LEN})
-      WHERE levenshtein(d.feed_name, m.c_name) <= {_D15_MAX_EDITS}
+      SELECT feed_id, master_id,
+             levenshtein(feed_name, c_name) AS dist
+      FROM cand
+      WHERE levenshtein(feed_name, c_name) <= {_D15_MAX_EDITS}
     ),
     best AS (
       SELECT feed_id, master_id, dist,
@@ -1323,17 +1348,25 @@ _D15_MAX_EDITS = 1   # verification: edit distance bound
 def d15_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked FUZZY entity join — the record-linkage workhorse when the
     incoming feed shares NO key with the master table (CRM imports,
-    supplier onboarding): block on a cheap prefix so the edit-distance
-    verification never goes all-pairs (d05's cap discipline with a
-    prefix instead of shingle frequency), match within
-    ≤{_D15_MAX_EDITS} edits, resolve ties to the best (distance, id)
-    candidate per feed row.  The corruption is deterministic so the
-    oracle replays the whole linkage AND the audit can score accuracy
-    (n_correct = matches landing on the true entity).
+    supplier onboarding): deletion-neighborhood blocking (the public
+    FastSS / symmetric-delete recipe) generates each name's ≤len+1
+    one-deletion variants on both sides; any pair within edit distance
+    {_D15_MAX_EDITS} MUST share a variant (substitution: delete the
+    edited position on both; indel: the shorter string IS a variant of
+    the longer), so the variant equi-join is a COMPLETE candidate set
+    and levenshtein verifies exactly.  Ties resolve to the best
+    (distance, id) candidate per feed row.  The corruption is
+    deterministic so the oracle replays the whole linkage AND the audit
+    can score accuracy (n_correct = matches landing on the true entity).
 
-    Scale: prefix-equi join (shuffle-partitionable; hot prefixes cap
-    like d05's DF cap), levenshtein only on blocked survivors (d08's
-    rule), one rank window at feed grain."""
+    Scale: the round-4 full-registry bench caught the previous prefix-4
+    block degenerating to ALL-PAIRS on this data (every TPC-H customer
+    name starts 'Cust…' — 15k×15k levenshtein, 683 s at sf0.1);
+    blocking keys must be DISCRIMINATIVE, and delete-variants are by
+    construction (a variant collides only within edit distance 2).
+    Cost: ~len+1 row amplification into a shuffle-partitionable
+    equi-join, levenshtein only on distinct variant-sharing survivors
+    (d08's rule), one rank window at feed grain.  Now 683 s → ~2 s."""
     c = read_table(spark, sf_dir, "customer")
     dirty = c.select(
         F.col("c_custkey").alias("feed_id"),
@@ -1349,15 +1382,39 @@ def d15_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("feed_name"),
     )
     master = c.select(F.col("c_custkey").alias("master_id"), "c_name")
-    blocked = (
-        dirty.join(
-            master,
-            F.substring(F.col("feed_name"), 1, _D15_BLOCK_LEN)
-            == F.substring(F.col("c_name"), 1, _D15_BLOCK_LEN),
+
+    def delete_variants(df, name_col: str) -> DataFrame:
+        return df.withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.length(name_col)))
+        ).withColumn(
+            "v",
+            F.expr(
+                f"CASE WHEN i = 0 THEN {name_col} "
+                f"ELSE substring({name_col}, 1, i - 1) "
+                f"  || substring({name_col}, i + 1) END"
+            ),
         )
-        .withColumn("dist", F.levenshtein(F.col("feed_name"), F.col("c_name")))
-        .filter(F.col("dist") <= _D15_MAX_EDITS)
+
+    # dropDuplicates per side BEFORE the join: deleting any char of an
+    # identical run yields the same variant (TPC-H's zero-padded names have
+    # 6+ zero runs), so undeduped sides would square that multiplicity
+    # through the join (measured: ~4x on this corpus).
+    cand = (
+        delete_variants(dirty, "feed_name")
+        .select("feed_id", "feed_name", "v")
+        .dropDuplicates(["feed_id", "v"])
+        .join(
+            delete_variants(master, "c_name")
+            .select("master_id", "c_name", "v")
+            .dropDuplicates(["master_id", "v"]),
+            "v",
+        )
+        .select("feed_id", "feed_name", "master_id", "c_name")
+        .distinct()
     )
+    blocked = cand.withColumn(
+        "dist", F.levenshtein(F.col("feed_name"), F.col("c_name"))
+    ).filter(F.col("dist") <= _D15_MAX_EDITS)
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("feed_id").orderBy("dist", "master_id")
