@@ -127,3 +127,42 @@ def test_gapfill_empty_revenue_days_carry_forward(spark):
         else:
             assert r.rev is not None and r.filled_rev == r.rev
             last = r.rev
+
+
+def test_ranks_helpers_on_empty_frames(spark):
+    """global_row_number / global_running_min on zero-row inputs: no
+    boundaries, no offsets, empty output, zero total — not an exception
+    (the degenerate case a filtered-to-nothing upstream produces)."""
+    from pyspark.sql import functions as F
+
+    from worker_etl_spark.operators.ranks import (
+        codepoint_surrogate,
+        global_row_number,
+        global_running_min,
+        ntile_from_rn,
+    )
+
+    empty = spark.createDataFrame([], "k long, p long, id long")
+    ranked, total = global_row_number(empty, ["k", "id"])
+    assert total == 0 and ranked.count() == 0
+    assert "rn" in ranked.columns
+
+    rm = global_running_min(
+        empty, [F.asc("k")], "p", surrogate=F.col("k"), out_name="m"
+    )
+    assert rm.count() == 0 and "m" in rm.columns
+
+    # string-surrogate path, empty too
+    sempty = spark.createDataFrame([], "k string, id long")
+    sranked, stotal = global_row_number(
+        sempty, ["k", "id"], surrogate=codepoint_surrogate(F.col("k"))
+    )
+    assert stotal == 0 and sranked.count() == 0
+
+    # ntile closed form degenerates to rn when n < k
+    one = spark.createDataFrame([(1, 1)], "k long, id long")
+    r1, t1 = global_row_number(one, ["k", "id"])
+    assert t1 == 1
+    assert r1.select(ntile_from_rn(F.col("rn"), t1, 10).alias("b")).collect()[
+        0
+    ]["b"] == 1
