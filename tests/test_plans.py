@@ -480,3 +480,16 @@ def test_ranks_unicode_string_keys_match_naive(spark):
         .count()
     )
     assert total == len(keys) and mism == 0
+
+
+def test_i11_no_fact_broadcast(spark):
+    """Round-4 verdict #3: i11's FK probes must not FORCE a broadcast of
+    the orders/customer key sets — those are fact-sized at 100 TB and a
+    forced hint is a driver OOM there.  The analyzed plan must carry no
+    ResolvedHint at all (AQE may still *choose* broadcast from runtime
+    stats at small SF, which is fine — the bug was forcing it)."""
+    df = load_all()["i11_constraint_audit"].fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "i11 re-grew a forced broadcast"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -55,247 +55,243 @@ def register(name: str, oracle: str | None, headline: bool = False):
 # verdict): no new queries until the never-checked backlog (74 entries after
 # this window) fits inside one window; the three round-7 parity failures are
 # the evidence that unverified breadth is risk, not progress.
+# --- round-5 rotation: never-checked backlog (75) leads the window; ---
+# --- regenerated via tools/rotate_priority.py at round-5 start ---
 _PRIORITY: list[str] = [
-    # --- round-4 window (the driver records the first ~50) ---
-    # 1-3: wrong answers fixed this round (verdict #1) - rows required
-    # 4-9: materially changed this round (ranks.py / i22 NULLs / i07)
-    # 10-50: the never-checked round-4/5 blocks + round-6 head (verdict #2)
-    "evt15_ewma_smoothing",
-    "evt16_holt_trend",
-    "v05_covariance_matrix",
-    "d14_sorted_neighborhood",
-    "p08_curriculum_buckets",
-    "i21_equi_depth_bins",
-    "i20_chi_square",
-    "i22_referential_integrity",
-    "i07_sampled_infer",
-    "q40_percentile_disc",
-    "src07_gzip_csv_ingest",
-    "q41_correlated_scalar_subquery",
-    "q42_lateral_posexplode",
-    "q43_regex_family",
-    "q44_null_semantics",
-    "q45_map_functions",
-    "s05_quantized_topk",
-    "p06_dataset_card",
-    "evt05_stream_dedup",
-    "w05_sorted_layout",
-    "m07_audio_energy",
-    "q46_pandas_udaf_quantiles",
-    "q47_python_udtf_chunks",
-    "v03_kmeans_quantized",
-    "evt06_stream_static_enrich",
-    "q48_window_value_family",
-    "src08_corrupt_jsonl",
-    "src09_xls_datasource",
-    "i09_merge_schema_scan",
-    "q49_observed_aggregate",
-    "q50_scd2_dimension",
-    "q51_last_touch_attribution",
-    "t13_word_entropy",
-    "w06_zorder_layout",
-    "w07_dynamic_partition_overwrite",
-    "evt07_backfill_available_now",
-    "q52_rollup_merge",
-    "q53_cogroup_asof",
-    "w08_merge_on_read_delete",
-    "w09_snapshot_time_travel",
-    "q54_pagerank_transitions",
-    "q55_calendar_gapfill",
-    "q56_mad_anomalies",
-    "q57_market_share",
-    "t14_substring_dup_share",
-    "p07_per_source_cap",
-    "i10_drift_psi",
-    "src10_fixed_width_ingest",
-    "w10_manifest_pruning",
-    "q58_supplier_hierarchy",
-    # --- backlog: remaining never-checked, registry order ---
-    "q59_peak_trailing_spend",
-    "i11_constraint_audit",
-    "s06_pq_adc_topk",
-    "src11_multiline_csv_ingest",
-    "q60_top_supplier",
-    "m08_multipart_reassembly",
-    "evt08_cusum_alerts",
-    "w11_snapshot_diff_cdc",
-    "d12_containment_pairs",
-    "q62_sliding_distinct_users",
-    "t16_distinctive_terms",
-    "q63_share_of_parent",
-    "i13_fd_discovery",
-    "p09_dedup_token_yield",
-    "t17_countmin_audit",
-    "t18_bigram_perplexity",
-    "w12_partition_evolution",
-    "src13_xml_ingest",
-    "q65_interval_coverage",
-    "i14_median_imputation",
-    "evt09_record_high_events",
-    "q66_exact_correlation",
-    "src14_codec_roundtrip",
-    "q67_cohort_retention",
-    "q68_ordered_funnel",
-    "w13_compaction_plan",
-    "d13_banding_pr_audit",
-    "p10_tokenizer_fertility",
-    "evt10_disorder_diagnostics",
-    "m09_frame_motion_profile",
-    "i16_column_entropy",
-    "i17_mutual_information",
-    "t19_zipf_fit",
-    "src15_latin1_csv_ingest",
-    "q70_grouping_id",
-    "c04_html_strip",
-    "p11_k_anonymity_audit",
-    "t20_code_detection",
-    "q72_asof_rate_normalization",
-    "t22_langid_metrics",
-    "s07_vector_quality_audit",
-    "evt11_seasonality_profile",
-    "src16_nested_json_flatten",
-    "t23_readability",
-    "q76_cumulative_uniques",
-    "q77_bitemporal_restatement",
-    "p13_erasure_propagation",
-    "q79_triangle_count",
-    "evt12_dynamic_gap_sessions",
-    "i18_pii_column_scan",
-    "src17_zip_archive_ingest",
-    "q82_rolling_trend",
-    "t25_template_detection",
-    "q83_identity_stitching",
-    "w14_inferred_members",
-    "evt13_freshness_gaps",
-    "d15_fuzzy_entity_join",
-    "src18_packed_binary_ingest",
-    "t26_script_detection",
-    "t27_line_boilerplate",
-    "w16_row_ttl_retention",
-    "evt14_incremental_view_maintenance",
-    "q84_pareto_frontier",
-    "i19_benford_audit",
-    "q85_subtree_rollup",
-    "t28_collocations",
-    "m10_payload_entropy",
-    "q86_gini_concentration",
-    "q87_market_basket",
-    "p14_target_encoding",
-    "v04_feature_hashing",
-    "q88_supplier_affinity",
-    "p15_weighted_sample",
-    "p16_l_diversity",
-    # --- already driver-green, stalest green first ---
-    "t02_quality_score",
-    "t03_langid",
-    "t04_fingerprint",
-    "s01_topk_bruteforce",
-    "s02_topk_lsh",
-    "m01_media_metadata",
-    "m02_media_features",
-    "g02_grid_detection",
-    "src01_csv_ingest",
-    "src02_excel_ingest",
-    "srm01_stream_ingest",
-    "q01_pricing_summary",
-    "i01_infer_types",
-    "d01_exact_dedup",
-    "q02_forecast_revenue",
-    "q03_top_orders",
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q06_segment_stats",
-    "q07_topn_per_flag",
-    "q08_running_total",
-    "q09_distinct_parts",
-    "q10_setops",
-    "q11_customers_without_orders",
-    "q12_rollup",
-    "q13_pivot",
-    "q14_sessionize",
-    "q15_tumbling_windows",
-    "q16_sliding_windows",
-    "q17_json_props",
-    "q18_argmax",
-    "q19_asof_join",
-    "q20_range_join",
-    "q21_price_quantiles",
-    "q22_salted_skew_join",
-    "q23_cube_flags",
-    "q24_price_stats",
-    "q25_bucketed_join",
-    "q26_grouping_sets",
-    "q27_revenue_momentum",
-    "q28_hash_sample",
-    "q29_approx_stats",
-    "q30_small_qty_revenue",
-    "q31_moving_revenue",
-    "q32_rank_family",
-    "q33_collected_arrays",
-    "q34_full_outer_reconcile",
-    "q35_unpivot_metrics",
-    "c01_trim_null_normalize",
-    "c02_drop_all_null_rows",
-    "c03_sanitized_projection",
-    "i02_align_coerce",
-    "i03_catalog_schema_reingest",
-    "i04_coercion_metrics",
-    "i05_schema_evolution",
-    "i06_type_widening",
-    "d02_minhash_signatures",
-    "d03_lsh_buckets",
-    "d04_simhash",
-    "d05_ngram_jaccard",
-    "d06_embedding_neardup",
-    "t01_token_stats",
-    "g01_grid_ingest_e2e",
-    "d07_dup_clusters",
-    "d08_edit_distance_neardup",
-    "d09_minhash_estimate",
-    "d10_simhash_hamming",
-    "d11_dedup_survivors",
-    "s03_topk_ivf",
-    "s04_ann_recall",
-    "v01_embedding_centroids",
-    "t05_tfidf_topterms",
-    "t06_pii_redaction",
-    "t07_bigram_stats",
-    "t08_bpe_token_stats",
-    "t09_cdc_chunking",
-    "p01_curation_pipeline",
-    "p02_source_quota_sample",
-    "p03_leakage_safe_split",
-    "m03_frame_samples",
-    "m04_media_dedup",
-    "m05_magic_byte_quarantine",
-    "g03_grid_fallback_whole_sheet",
-    "g04_detection_config_knobs",
-    "src03_excel_native_ingest",
-    "src04_jsonl_ingest",
-    "srm02_multi_object_batch",
-    "w01_partitioned_sink",
-    "w02_upsert_sink",
-    "w03_compaction_sink",
-    "w04_partitioned_bucketed_layout",
-    "evt01_watermarked_windows",
-    "evt02_session_windows",
-    "evt03_interval_join",
-    "srm03_excel_object",
-    "src05_xls_ingest",
-    "t10_contamination",
-    "p04_sequence_packing",
-    "q36_exists_urgent_customers",
-    "q37_conditional_aggregates",
-    "q38_date_functions",
-    "q39_string_functions",
-    "v02_array_functions",
-    "evt04_interval_join_outer",
-    "i08_column_profile",
-    "t11_repetition_filters",
-    "p05_mixture_reweight",
-    "t12_vocab_coverage",
-    "m06_frame_neardup",
-    "src06_orc_ingest",
+    "i07_sampled_infer",  # changed r5: hash-mix fix (ADVICE) — row required
+    "c04_html_strip",  # never-checked
+    "d12_containment_pairs",  # never-checked
+    "d13_banding_pr_audit",  # never-checked
+    "d15_fuzzy_entity_join",  # never-checked
+    "evt08_cusum_alerts",  # never-checked
+    "evt09_record_high_events",  # never-checked
+    "evt10_disorder_diagnostics",  # never-checked
+    "evt11_seasonality_profile",  # never-checked
+    "evt12_dynamic_gap_sessions",  # never-checked
+    "evt13_freshness_gaps",  # never-checked
+    "evt14_incremental_view_maintenance",  # never-checked
+    "i11_constraint_audit",  # never-checked
+    "i13_fd_discovery",  # never-checked
+    "i14_median_imputation",  # never-checked
+    "i16_column_entropy",  # never-checked
+    "i17_mutual_information",  # never-checked
+    "i18_pii_column_scan",  # never-checked
+    "i19_benford_audit",  # never-checked
+    "m08_multipart_reassembly",  # never-checked
+    "m09_frame_motion_profile",  # never-checked
+    "m10_payload_entropy",  # never-checked
+    "p09_dedup_token_yield",  # never-checked
+    "p10_tokenizer_fertility",  # never-checked
+    "p11_k_anonymity_audit",  # never-checked
+    "p13_erasure_propagation",  # never-checked
+    "p14_target_encoding",  # never-checked
+    "p15_weighted_sample",  # never-checked
+    "p16_l_diversity",  # never-checked
+    "q59_peak_trailing_spend",  # never-checked
+    "q60_top_supplier",  # never-checked
+    "q62_sliding_distinct_users",  # never-checked
+    "q63_share_of_parent",  # never-checked
+    "q65_interval_coverage",  # never-checked
+    "q66_exact_correlation",  # never-checked
+    "q67_cohort_retention",  # never-checked
+    "q68_ordered_funnel",  # never-checked
+    "q70_grouping_id",  # never-checked
+    "q72_asof_rate_normalization",  # never-checked
+    "q76_cumulative_uniques",  # never-checked
+    "q77_bitemporal_restatement",  # never-checked
+    "q79_triangle_count",  # never-checked
+    "q82_rolling_trend",  # never-checked
+    "q83_identity_stitching",  # never-checked
+    "q84_pareto_frontier",  # never-checked
+    "q85_subtree_rollup",  # never-checked
+    "q86_gini_concentration",  # never-checked
+    "q87_market_basket",  # never-checked
+    "q88_supplier_affinity",  # never-checked
+    "s06_pq_adc_topk",  # never-checked
+    "s07_vector_quality_audit",  # never-checked
+    "src11_multiline_csv_ingest",  # never-checked
+    "src13_xml_ingest",  # never-checked
+    "src14_codec_roundtrip",  # never-checked
+    "src15_latin1_csv_ingest",  # never-checked
+    "src16_nested_json_flatten",  # never-checked
+    "src17_zip_archive_ingest",  # never-checked
+    "src18_packed_binary_ingest",  # never-checked
+    "t16_distinctive_terms",  # never-checked
+    "t17_countmin_audit",  # never-checked
+    "t18_bigram_perplexity",  # never-checked
+    "t19_zipf_fit",  # never-checked
+    "t20_code_detection",  # never-checked
+    "t22_langid_metrics",  # never-checked
+    "t23_readability",  # never-checked
+    "t25_template_detection",  # never-checked
+    "t26_script_detection",  # never-checked
+    "t27_line_boilerplate",  # never-checked
+    "t28_collocations",  # never-checked
+    "v04_feature_hashing",  # never-checked
+    "w11_snapshot_diff_cdc",  # never-checked
+    "w12_partition_evolution",  # never-checked
+    "w13_compaction_plan",  # never-checked
+    "w14_inferred_members",  # never-checked
+    "w16_row_ttl_retention",  # never-checked
+    "g02_grid_detection",  # green r1
+    "m01_media_metadata",  # green r1
+    "m02_media_features",  # green r1
+    "s01_topk_bruteforce",  # green r1
+    "s02_topk_lsh",  # green r1
+    "src01_csv_ingest",  # green r1
+    "src02_excel_ingest",  # green r1
+    "srm01_stream_ingest",  # green r1
+    "t02_quality_score",  # green r1
+    "t03_langid",  # green r1
+    "t04_fingerprint",  # green r1
+    "c01_trim_null_normalize",  # green r2
+    "c02_drop_all_null_rows",  # green r2
+    "c03_sanitized_projection",  # green r2
+    "d01_exact_dedup",  # green r2
+    "d02_minhash_signatures",  # green r2
+    "d03_lsh_buckets",  # green r2
+    "d04_simhash",  # green r2
+    "d05_ngram_jaccard",  # green r2
+    "d06_embedding_neardup",  # green r2
+    "i01_infer_types",  # green r2
+    "i02_align_coerce",  # green r2
+    "i03_catalog_schema_reingest",  # green r2
+    "i04_coercion_metrics",  # green r2
+    "i05_schema_evolution",  # green r2
+    "i06_type_widening",  # green r2
+    "q01_pricing_summary",  # green r2
+    "q02_forecast_revenue",  # green r2
+    "q03_top_orders",  # green r2
+    "q04_order_priority",  # green r2
+    "q05_region_revenue",  # green r2
+    "q06_segment_stats",  # green r2
+    "q07_topn_per_flag",  # green r2
+    "q08_running_total",  # green r2
+    "q09_distinct_parts",  # green r2
+    "q10_setops",  # green r2
+    "q11_customers_without_orders",  # green r2
+    "q12_rollup",  # green r2
+    "q13_pivot",  # green r2
+    "q14_sessionize",  # green r2
+    "q15_tumbling_windows",  # green r2
+    "q16_sliding_windows",  # green r2
+    "q17_json_props",  # green r2
+    "q18_argmax",  # green r2
+    "q19_asof_join",  # green r2
+    "q20_range_join",  # green r2
+    "q21_price_quantiles",  # green r2
+    "q22_salted_skew_join",  # green r2
+    "q23_cube_flags",  # green r2
+    "q24_price_stats",  # green r2
+    "q25_bucketed_join",  # green r2
+    "q26_grouping_sets",  # green r2
+    "q27_revenue_momentum",  # green r2
+    "q28_hash_sample",  # green r2
+    "q29_approx_stats",  # green r2
+    "q30_small_qty_revenue",  # green r2
+    "q31_moving_revenue",  # green r2
+    "q32_rank_family",  # green r2
+    "q33_collected_arrays",  # green r2
+    "q34_full_outer_reconcile",  # green r2
+    "q35_unpivot_metrics",  # green r2
+    "d07_dup_clusters",  # green r3
+    "d08_edit_distance_neardup",  # green r3
+    "d09_minhash_estimate",  # green r3
+    "d10_simhash_hamming",  # green r3
+    "d11_dedup_survivors",  # green r3
+    "evt01_watermarked_windows",  # green r3
+    "evt02_session_windows",  # green r3
+    "evt03_interval_join",  # green r3
+    "evt04_interval_join_outer",  # green r3
+    "g01_grid_ingest_e2e",  # green r3
+    "g03_grid_fallback_whole_sheet",  # green r3
+    "g04_detection_config_knobs",  # green r3
+    "i08_column_profile",  # green r3
+    "m03_frame_samples",  # green r3
+    "m04_media_dedup",  # green r3
+    "m05_magic_byte_quarantine",  # green r3
+    "m06_frame_neardup",  # green r3
+    "p01_curation_pipeline",  # green r3
+    "p02_source_quota_sample",  # green r3
+    "p03_leakage_safe_split",  # green r3
+    "p04_sequence_packing",  # green r3
+    "p05_mixture_reweight",  # green r3
+    "q36_exists_urgent_customers",  # green r3
+    "q37_conditional_aggregates",  # green r3
+    "q38_date_functions",  # green r3
+    "q39_string_functions",  # green r3
+    "s03_topk_ivf",  # green r3
+    "s04_ann_recall",  # green r3
+    "src03_excel_native_ingest",  # green r3
+    "src04_jsonl_ingest",  # green r3
+    "src05_xls_ingest",  # green r3
+    "src06_orc_ingest",  # green r3
+    "srm02_multi_object_batch",  # green r3
+    "srm03_excel_object",  # green r3
+    "t01_token_stats",  # green r3
+    "t05_tfidf_topterms",  # green r3
+    "t06_pii_redaction",  # green r3
+    "t07_bigram_stats",  # green r3
+    "t08_bpe_token_stats",  # green r3
+    "t09_cdc_chunking",  # green r3
+    "t10_contamination",  # green r3
+    "t11_repetition_filters",  # green r3
+    "t12_vocab_coverage",  # green r3
+    "v01_embedding_centroids",  # green r3
+    "v02_array_functions",  # green r3
+    "w01_partitioned_sink",  # green r3
+    "w02_upsert_sink",  # green r3
+    "w03_compaction_sink",  # green r3
+    "w04_partitioned_bucketed_layout",  # green r3
+    "d14_sorted_neighborhood",  # green r4
+    "evt05_stream_dedup",  # green r4
+    "evt06_stream_static_enrich",  # green r4
+    "evt07_backfill_available_now",  # green r4
+    "evt15_ewma_smoothing",  # green r4
+    "evt16_holt_trend",  # green r4
+    "i09_merge_schema_scan",  # green r4
+    "i10_drift_psi",  # green r4
+    "i20_chi_square",  # green r4
+    "i21_equi_depth_bins",  # green r4
+    "i22_referential_integrity",  # green r4
+    "m07_audio_energy",  # green r4
+    "p06_dataset_card",  # green r4
+    "p07_per_source_cap",  # green r4
+    "p08_curriculum_buckets",  # green r4
+    "q40_percentile_disc",  # green r4
+    "q41_correlated_scalar_subquery",  # green r4
+    "q42_lateral_posexplode",  # green r4
+    "q43_regex_family",  # green r4
+    "q44_null_semantics",  # green r4
+    "q45_map_functions",  # green r4
+    "q46_pandas_udaf_quantiles",  # green r4
+    "q47_python_udtf_chunks",  # green r4
+    "q48_window_value_family",  # green r4
+    "q49_observed_aggregate",  # green r4
+    "q50_scd2_dimension",  # green r4
+    "q51_last_touch_attribution",  # green r4
+    "q52_rollup_merge",  # green r4
+    "q53_cogroup_asof",  # green r4
+    "q54_pagerank_transitions",  # green r4
+    "q55_calendar_gapfill",  # green r4
+    "q56_mad_anomalies",  # green r4
+    "q57_market_share",  # green r4
+    "q58_supplier_hierarchy",  # green r4
+    "s05_quantized_topk",  # green r4
+    "src07_gzip_csv_ingest",  # green r4
+    "src08_corrupt_jsonl",  # green r4
+    "src09_xls_datasource",  # green r4
+    "src10_fixed_width_ingest",  # green r4
+    "t13_word_entropy",  # green r4
+    "t14_substring_dup_share",  # green r4
+    "v03_kmeans_quantized",  # green r4
+    "v05_covariance_matrix",  # green r4
+    "w05_sorted_layout",  # green r4
+    "w06_zorder_layout",  # green r4
+    "w07_dynamic_partition_overwrite",  # green r4
+    "w08_merge_on_read_delete",  # green r4
+    "w09_snapshot_time_travel",  # green r4
+    "w10_manifest_pruning",  # green r4
 ]
 
 

@@ -78,9 +78,20 @@ def i01_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure 64-bit integer arithmetic, identical in any engine, no md5 hex-string
 # materialization per row (the round-3 verdict measured the md5 predicate
 # costing MORE than the full scan it was meant to shortcut).
+#
+# Mixing + overflow discipline (round-4 ADVICE): the naive
+# ``(k*2654435761 + l) % 100`` never mixes — mod 100 sees only a fixed
+# residue permutation of ``k % 100`` — and ``k*2654435761`` overflows
+# int64 once orderkeys pass ~3.5e9 (large SF), where Spark wraps
+# silently while DuckDB raises.  So: reduce the key mod 2^31-1 first
+# (product ≤ (2^31-2)*2654435761 ≈ 5.7e18 < 2^63-1, exact on both
+# engines), then take bits 16+ of the product (``>> 16`` — arithmetic
+# shift of a non-negative value, identical in Spark and DuckDB) before
+# the mod, so all key bits reach the sample decision.
 _SAMPLED_LINEITEM = """(
       SELECT * FROM lineitem
-      WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+      WHERE ((((l_orderkey % 2147483647) * 2654435761
+               + l_linenumber) >> 16) % 100) < 10
     ) AS smp"""
 
 
@@ -88,9 +99,10 @@ _SAMPLED_LINEITEM = """(
 def i07_sampled_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i01's inference through the ``sample`` knob — the 100 TB posture
     (SURVEY §4.2): the counter scan decides types from a deterministic
-    ~10% sample (Knuth multiplicative hash of the integer row key mod
-    100 — a one-instruction JVM predicate, reproducible on any engine or
-    cluster layout) and must still decide the identical types.  The
+    ~10% sample (Knuth multiplicative hash of the integer row key,
+    high-bits-before-mod — a few integer instructions, reproducible on
+    any engine or cluster layout) and must still decide the identical
+    types.  The
     oracle re-runs the full counter program over the SAME sample, so the
     knob's filter semantics are value-checked, not just the final types.
 
@@ -104,11 +116,18 @@ def i07_sampled_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = read_table(spark, sf_dir, "lineitem")
     stringified = l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])
     # the knob filters the already-stringified frame, so cast the key back
-    # (exact for integer-valued strings; still no hashing, no hex strings)
+    # (exact for integer-valued strings; still no hashing, no hex strings).
+    # Same mix as _SAMPLED_LINEITEM above: reduce mod 2^31-1 (no int64
+    # overflow at any SF), multiply, take bits 16+ so mod 100 sees mixed
+    # bits instead of k % 100's fixed residue permutation.
     pred = (
-        F.col("l_orderkey").cast("bigint") * F.lit(2654435761)
-        + F.col("l_linenumber").cast("bigint")
-    ) % 100 < 10
+        F.shiftright(
+            (F.col("l_orderkey").cast("bigint") % F.lit(2147483647))
+            * F.lit(2654435761)
+            + F.col("l_linenumber").cast("bigint"),
+            16,
+        ) % 100
+    ) < 10
     schema = inference.infer_schema(stringified, sample=pred)
     return spark.createDataFrame(
         [(f["name"], f["type"]) for f in schema],
@@ -647,10 +666,17 @@ def i11_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dbt-test / Great-Expectations shape, public practice): range checks,
     positivity, and referential-integrity rules each report
     (checked, violations, rate) in one result.  Range rules share ONE scan
-    per table via conditional aggregation; each FK rule is a broadcast
-    LEFT join probed for null matches (never a row-multiplying inner join,
-    and at 100 TB the dimension side broadcasts or the join shuffles on
-    the key — either way violations are counted map-side).
+    per table via conditional aggregation; each FK rule runs at KEY grain
+    (i22's rule, round-4 verdict #3): the child is pre-aggregated to
+    (key, rows_per_key), then LEFT-joined to the parent's distinct keys
+    as a plain shuffle join — NEVER a broadcast of a fact-sized key set
+    (orders/customer grow with the data; broadcasting them is a
+    driver/executor OOM at 100 TB).  AQE is free to pick broadcast at
+    small SF, but the plan must not force it (pinned in
+    tests/test_plans.py::test_i11_no_fact_broadcast).  Equivalence with
+    the oracle's row-grain LEFT JOIN is exact because parent keys are
+    unique (TPC-H PKs) and a NULL child key — its own group — never
+    equi-joins, so it counts as a violation on both sides.
 
     No reference counterpart: the reference ingests whatever coerces and
     only counts coercion failures (`etl.py:1047-1075`, mirrored in i04);
@@ -667,20 +693,37 @@ def i11_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(bad, 1)).alias("n_violations"),
         )
 
+    def _fk_rule(child, ckey, parent, pkey, name):
+        # Key-grain FK probe: aggregate the child to (key, rows_per_key)
+        # first, shuffle-LEFT-join the parent's distinct keys, and sum
+        # rows_per_key over unmatched keys.  Shuffle size is bounded by
+        # key cardinality, and no fact-sized frame is ever broadcast.
+        keys = child.groupBy(F.col(ckey).alias("k")).agg(
+            F.count(F.lit(1)).alias("rows_per_key")
+        )
+        parent_keys = (
+            parent.select(F.col(pkey).alias("pk"))
+            .filter(F.col("pk").isNotNull())
+            .distinct()
+        )
+        joined = keys.join(parent_keys, keys.k == parent_keys.pk, "left")
+        return joined.agg(
+            F.lit(name).alias("rule"),
+            F.sum("rows_per_key").alias("n_checked"),
+            F.coalesce(
+                F.sum(F.when(F.col("pk").isNull(), F.col("rows_per_key"))),
+                F.lit(0),
+            ).alias("n_violations"),
+        )
+
     li_rules = [
         _rule(l, "lineitem.quantity_in_1_50",
               ~((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50))),
         _rule(l, "lineitem.discount_in_0_0p1",
               ~((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1))),
         _rule(l, "lineitem.price_positive", ~(F.col("l_extendedprice") > 0)),
-        _rule(
-            l.join(F.broadcast(o.select("o_orderkey")),
-                   l.l_orderkey == F.col("o_orderkey"), "left"),
-            "lineitem.orderkey_fk", F.col("o_orderkey").isNull()),
-        _rule(
-            o.join(F.broadcast(c.select("c_custkey")),
-                   o.o_custkey == F.col("c_custkey"), "left"),
-            "orders.custkey_fk", F.col("c_custkey").isNull()),
+        _fk_rule(l, "l_orderkey", o, "o_orderkey", "lineitem.orderkey_fk"),
+        _fk_rule(o, "o_custkey", c, "c_custkey", "orders.custkey_fk"),
     ]
     out = li_rules[0]
     for r in li_rules[1:]:
