@@ -37,6 +37,35 @@ _N_PLANES = 8
 _TOP_K = 5
 _QUERY_STRIDE = 50  # vec_id % stride == 0 → query vector
 
+#: Ceiling for any driver-collected query/centroid matrix on the exact
+#: brute-force paths (s01/s03/s05): 250k rows × 64-dim float64 ≈ 128 MB —
+#: comfortably broadcastable, loudly NOT 100 TB.  Mirrors dedup_q's
+#: MAX_BROADCAST_CATALOG_ROWS contract (round-4 verdict #4): the strided
+#: query sets grow with the corpus, so a 100× corpus must fail with an
+#: actionable message BEFORE the driver materializes it, not OOM.
+MAX_BROADCAST_QUERY_ROWS = 250_000
+
+
+def _check_query_set_size(
+    n_rows: int, what: str, limit: int | None = None
+) -> None:
+    """Enforce the small-query-set contract before ``toPandas``.
+
+    The production contract for the brute-force/IVF paths is a FIXED
+    query workload (the strided filter is a stand-in for a real query
+    table); when the collected side exceeds the broadcast ceiling the
+    caller must move to the LSH-bucketed path (s02_topk_lsh) or supply a
+    bounded query table."""
+    if limit is None:  # resolved at call time so tests can shrink it
+        limit = MAX_BROADCAST_QUERY_ROWS
+    if n_rows > limit:
+        raise ValueError(
+            f"{what} has {n_rows} rows, above the {limit}-row broadcast "
+            "contract for the exact brute-force/IVF paths; hold the query "
+            "set fixed (production contract) or use the LSH-bucketed path "
+            "(s02_topk_lsh) for corpus-scale query sets"
+        )
+
 _rng = random.Random(20260814)
 _PLANES: list[list[float]] = [
     [round(_rng.uniform(-1.0, 1.0), 4) for _ in range(_DIM)] for _ in range(_N_PLANES)
@@ -117,7 +146,9 @@ def s01_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qpdf = e.filter(F.col("vec_id") % _QUERY_STRIDE == 0).toPandas()
+    q = e.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
+    _check_query_set_size(q.count(), "s01 query matrix")
+    qpdf = q.toPandas()
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
     q_mat = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -296,14 +327,19 @@ def s03_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def collect_mat(df):
+    def collect_mat(df, what):
+        _check_query_set_size(df.count(), what)
         pdf = df.orderBy("vec_id").toPandas()
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         return ids, mat, np.linalg.norm(mat, axis=1)
 
-    c_ids, c_mat, c_nrm = collect_mat(e.filter(F.col("vec_id") % _IVF_STRIDE == 0))
-    q_ids, q_mat, q_nrm = collect_mat(e.filter(F.col("vec_id") % _QUERY_STRIDE == 0))
+    c_ids, c_mat, c_nrm = collect_mat(
+        e.filter(F.col("vec_id") % _IVF_STRIDE == 0), "s03 centroid matrix"
+    )
+    q_ids, q_mat, q_nrm = collect_mat(
+        e.filter(F.col("vec_id") % _QUERY_STRIDE == 0), "s03 query matrix"
+    )
 
     # Driver-side probe selection (queries x centroids is o(n) x o(n)):
     # rounded cosine, first-max argpick = smallest cid on ties (c_ids sorted).
@@ -622,7 +658,9 @@ def s05_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     coded = _quantize_codes(e)
 
-    qpdf = coded.filter(F.col("vec_id") % _QUERY_STRIDE == 0).toPandas()
+    q = coded.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
+    _check_query_set_size(q.count(), "s05 quantized query matrix")
+    qpdf = q.toPandas()
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
     q_mat = np.array(qpdf["code"].tolist(), dtype=np.int64)
     q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
