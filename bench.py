@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from worker_etl_spark.queries import load_all  # noqa: E402
+from worker_etl_spark.queries import load_all, release_persists  # noqa: E402
 from worker_etl_spark.session import get_spark  # noqa: E402
 
 
@@ -95,6 +95,11 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
                 t[name] = -1.0
+            finally:
+                # bounded intra-query persists are released between queries
+                # (outside the timed region) so a 234-query session doesn't
+                # accumulate them; the dedup memo caches persist by design.
+                release_persists()
         return t
 
     cold = run_pass()

@@ -107,6 +107,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
+        finally:
+            # bounded intra-query persists release between queries so the
+            # full-registry replica session doesn't accumulate them
+            from worker_etl_spark.queries import release_persists
+
+            release_persists()
         if spec.oracle is None:
             print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             n_rowsonly += 1

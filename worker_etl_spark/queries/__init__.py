@@ -39,6 +39,42 @@ def register(name: str, oracle: str | None, headline: bool = False):
     return deco
 
 
+# --- bounded intra-query persists (round-4 verdict #5) -------------------------
+# Some queries persist a small derived frame (a detection grid, a contracted
+# type graph) so several metadata passes or unrolled iterations reuse it.
+# Each such frame is o(corpus) — never a leak at scale — but a session that
+# runs all 234 queries would otherwise accumulate them.  bounded_persist()
+# tracks the frame so a harness can release everything after the query's
+# result materializes; a caller that never releases just gets today's
+# behavior.  (The dedup family's cross-query memo caches — dedup_q.py:142 —
+# are deliberate session-lifetime shares and do NOT go through this.)
+_BOUNDED_PERSISTS: list[DataFrame] = []
+
+
+def bounded_persist(df: DataFrame, bound: str) -> DataFrame:
+    """Persist a frame whose size is bounded (documented via ``bound``),
+    tracked for post-materialization release by ``release_persists``."""
+    out = df.persist()
+    _BOUNDED_PERSISTS.append(out)
+    return out
+
+
+def release_persists() -> int:
+    """Unpersist every tracked bounded frame; returns how many released.
+
+    Call AFTER the query's returned DataFrame has been materialized —
+    the persists back lazy lineage until then."""
+    n = 0
+    while _BOUNDED_PERSISTS:
+        df = _BOUNDED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return n
+
+
 # Driver-facing ordering.  The correctness gate records a bounded window of
 # registry entries (observed: the first 50, in insertion order), so entries are
 # deliberately ordered by how much a fresh correctness row is worth:

@@ -31,7 +31,7 @@ from pyspark.sql.window import Window as W
 from worker_etl_spark.operators.cleaning import ROW_ID, clean_table
 from worker_etl_spark.operators.detection import detect_tables, extract_table
 from worker_etl_spark.operators.inference import align_to_schema, infer_schema
-from worker_etl_spark.queries import register
+from worker_etl_spark.queries import bounded_persist, register
 from worker_etl_spark.sources.tables import read_table
 
 _N_SAMPLE = 20
@@ -89,7 +89,7 @@ def g01_grid_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata passes over it (header probe, null-col counts, type-inference
     # scan, final projection); persist so the lineitem sort + grid assembly
     # runs once, not once per pass.
-    grid = _lineitem_grid(spark, sf_dir).persist()
+    grid = bounded_persist(_lineitem_grid(spark, sf_dir), "N_SAMPLE+2-row grid")
     boxes = [r.asDict() for r in detect_tables(grid).collect()]  # metadata only
     best = max(boxes, key=lambda b: b["score"])
     block = extract_table(grid, best).withColumnRenamed("row_idx", ROW_ID)

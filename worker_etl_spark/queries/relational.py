@@ -26,7 +26,7 @@ from worker_etl_spark.sources.tables import read_table
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from worker_etl_spark.queries import register
+from worker_etl_spark.queries import bounded_persist, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2344,7 +2344,7 @@ def q54_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = e.select(F.col("event_type").alias("node")).distinct()
     # The contracted graph is |event types|² at most — persist so the two
     # unrolled iterations don't re-run the event-scale window + aggregate.
-    edges = edges.join(outdeg, "prev").persist()
+    edges = bounded_persist(edges.join(outdeg, "prev"), "|event types|^2 edges")
     n_nodes = nodes.count()  # tiny (#event types); drives the exact teleport
     teleport = (_PR_SCALE - _PR_SCALE * _PR_D_NUM // _PR_D_DEN) // n_nodes
 
@@ -3719,8 +3719,10 @@ def q79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _Q79_MIN_CODAYS)
         .select("ua", "ub")
-        .persist()
     )
+    # co-visit edge list (threshold-filtered, << user-pair space) feeds the
+    # degree count AND both sides of the wedge join — persist, tracked.
+    edges = bounded_persist(edges, "thresholded co-visit edges")
     deg = (
         edges.select(F.col("ua").alias("u"))
         .unionAll(edges.select(F.col("ub").alias("u")))

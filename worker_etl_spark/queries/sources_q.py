@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from worker_etl_spark.operators.cleaning import ROW_ID, clean_table
 from worker_etl_spark.operators.detection import detect_tables, extract_table
 from worker_etl_spark.operators.inference import align_to_schema, infer_schema
-from worker_etl_spark.queries import register
+from worker_etl_spark.queries import bounded_persist, register
 from worker_etl_spark.sources.excel import demo_text_parser, read_excel_grids
 from worker_etl_spark.sources.files import read_csv_grid, widen_grid
 from worker_etl_spark.sources.tables import read_table
@@ -30,7 +30,7 @@ from worker_etl_spark.sources.tables import read_table
 
 def _grid_to_typed(grid: DataFrame) -> DataFrame:
     """Shared tail of the ingest path: best table → clean → infer → coerce."""
-    grid = grid.persist()
+    grid = bounded_persist(grid, "N_SAMPLE+2-row detection grid")
     boxes = [r.asDict() for r in detect_tables(grid).collect()]
     best = max(boxes, key=lambda b: b["score"])
     block = extract_table(grid, best).withColumnRenamed("row_idx", ROW_ID)
