@@ -220,3 +220,43 @@ def test_infer_schema_file_level_sample(spark, tmp_path):
             sample=0.5,
             sample_level="files",
         )
+
+
+def test_file_level_sample_validates_preconditions(spark, tmp_path):
+    """Round-4 ADVICE (medium): _sample_input_files must REJECT frames its
+    re-read cannot faithfully reproduce — filtered lineage, renamed or
+    computed columns, and non-parquet sources — with actionable errors,
+    instead of silently sampling filtered-out rows or failing with a
+    parquet-footer error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from worker_etl_spark.operators.inference import _sample_input_files
+
+    path = str(tmp_path / "pq")
+    spark.range(100).select(
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") % 7).cast("string").alias("v"),
+    ).repartition(4).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    # a filter in the lineage would be silently dropped by the re-read
+    with pytest.raises(ValueError, match="Filter"):
+        _sample_input_files(df.filter(F.col("v") != "3"), 0.5)
+    # df.sample in the lineage likewise
+    with pytest.raises(ValueError, match="Sample"):
+        _sample_input_files(df.sample(0.5, seed=1), 0.5)
+    # a renamed column cannot be recovered from the file schema
+    with pytest.raises(ValueError, match="renamed or computed"):
+        _sample_input_files(df.select(F.col("k").alias("key"), "v"), 0.5)
+    # non-parquet sources re-read wrong: loud refusal, row-mode pointer
+    csv_path = str(tmp_path / "csv")
+    df.write.option("header", True).csv(csv_path)
+    cdf = spark.read.option("header", True).csv(csv_path)
+    with pytest.raises(ValueError, match="sample_level='rows'"):
+        _sample_input_files(cdf, 0.5)
+    # the happy path still works: scan + cast-projection, same names
+    ok = _sample_input_files(
+        df.select(*[F.col(c).cast("string").alias(c) for c in df.columns]), 0.5
+    )
+    assert len(ok.inputFiles()) == 2

@@ -309,6 +309,13 @@ def _decide_types(df: DataFrame, str_cols: list[str]) -> dict[str, str]:
     return decisions
 
 
+#: logical operators a frame may contain for file-level sampling to be
+#: faithful: a re-read reproduces scan + column projection, nothing else.
+_FILE_SAMPLE_OK_OPS = frozenset(
+    {"Project", "Relation", "SubqueryAlias", "View", "GlobalLimit", "LocalLimit"}
+)
+
+
 def _sample_input_files(df: DataFrame, fraction: float) -> DataFrame:
     """Keep a deterministic *fraction* of the frame's input files and
     re-read only those — file-granular sampling that actually prunes reads
@@ -316,18 +323,67 @@ def _sample_input_files(df: DataFrame, fraction: float) -> DataFrame:
     the file NAME (driver-side, once per file — not per row), so the same
     files are picked on any cluster; ties broken by name.  The stringify/
     projection layers above the scan are re-applied by selecting the same
-    columns from the re-read."""
+    columns from the re-read.
+
+    Preconditions are VALIDATED, not just documented (round-4 ADVICE):
+
+    - only self-describing parquet files (the one format the re-read can
+      reproduce without the caller's original reader options); ORC/CSV/
+      JSON-backed frames raise an actionable error instead of a confusing
+      parquet-footer failure;
+    - the lineage must be scan + projection only — a filter, sample, join
+      or aggregate between the scan and this call would be silently
+      DROPPED by the re-read (the sample would include filtered-out
+      rows), so any other logical operator raises;
+    - every output column name must exist in the re-read's file schema —
+      a renamed/computed column cannot be recovered from the files.
+    """
     import hashlib
     import math
+    import re as _re
 
     files = sorted(df.inputFiles())
     if not files:
         raise ValueError("sample_level='files' needs a file-backed DataFrame")
+
+    exts = {f.rsplit(".", 1)[-1].lower() for f in files if "." in f.rsplit("/", 1)[-1]}
+    if exts - {"parquet"}:
+        raise ValueError(
+            f"sample_level='files' re-reads the input files as parquet, but the "
+            f"frame is backed by {sorted(exts)} files; a CSV/JSON/ORC re-read "
+            "cannot reproduce the original reader options — use "
+            "sample_level='rows' (row predicate) for non-parquet sources"
+        )
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    ops = set()
+    for line in plan.splitlines():
+        m = _re.match(r"^[\s:+\-]*'?([A-Za-z]+)", line)
+        if m:
+            ops.add(m.group(1))
+    extra = ops - _FILE_SAMPLE_OK_OPS
+    if extra:
+        raise ValueError(
+            f"sample_level='files' requires a pure scan+project lineage, but "
+            f"the frame's plan contains {sorted(extra)}; those operators would "
+            "be silently dropped by the file re-read (e.g. a filter's rows "
+            "would reappear in the sample) — apply them AFTER infer_schema, "
+            "or use sample_level='rows'"
+        )
+
     keep_n = max(1, math.ceil(fraction * len(files)))
     ranked = sorted(files, key=lambda p: (hashlib.md5(p.rsplit("/", 1)[-1].encode()).hexdigest(), p))
     keep = ranked[:keep_n]
     spark = df.sparkSession
     reread = spark.read.format("parquet").load(keep)
+    missing = [f.name for f in df.schema.fields if f.name not in reread.columns]
+    if missing:
+        raise ValueError(
+            f"sample_level='files' cannot reproduce columns {missing}: they do "
+            "not exist in the underlying parquet schema (renamed or computed "
+            "upstream) — project/rename AFTER infer_schema, or use "
+            "sample_level='rows'"
+        )
     # preserve the caller's projection (e.g. i01/i07's stringification)
     return reread.select(
         *[F.col(f.name).cast(f.dataType) for f in df.schema.fields]
