@@ -183,3 +183,44 @@ def test_default_parser_chain_dispatches_on_magic(tmp_path):
     xlsx = write_minimal_xlsx(str(tmp_path / "a.xlsx"), {"S": [["v"], ["1"]]})
     assert default_xlsx_parser(open(xls, "rb").read()) == {"S": [["v"], ["1"]]}
     assert default_xlsx_parser(open(xlsx, "rb").read()) == {"S": [["v"], ["1"]]}
+
+
+def test_biff5_codepage_after_boundsheet():
+    """Round-4 ADVICE: globals record order isn't guaranteed — a workbook
+    whose CODEPAGE record FOLLOWS its BOUNDSHEETs must still decode sheet
+    names in the declared codepage (two-pass globals scan), not cp1252."""
+    import struct
+
+    from worker_etl_spark.sources.biff import (
+        _BOF,
+        _BOUNDSHEET,
+        _CODEPAGE,
+        _EOF,
+        _LABEL,
+        _parse_biff5,
+        _rec,
+    )
+
+    name = "Лист1"  # Cyrillic: cp1251 bytes decode differently under cp1252
+    enc = name.encode("cp1251")
+    cell = "привет".encode("cp1251")
+
+    body = bytearray()
+    body += _rec(_BOF, struct.pack("<HHHHII", 0x0500, 0x0010, 0, 0, 0, 0))
+    body += _rec(_LABEL, struct.pack("<HHHH", 0, 0, 0, len(cell)) + cell)
+    body += _rec(_EOF, b"")
+
+    def globals_block(off: int) -> bytes:
+        g = bytearray()
+        g += _rec(_BOF, struct.pack("<HHHHII", 0x0500, 0x0005, 0, 0, 0, 0))
+        # BOUNDSHEET first, CODEPAGE last — the adversarial order
+        g += _rec(_BOUNDSHEET, struct.pack("<IBBB", off, 0, 0, len(enc)) + enc)
+        g += _rec(_CODEPAGE, struct.pack("<H", 1251))
+        g += _rec(_EOF, b"")
+        return bytes(g)
+
+    glen = len(globals_block(0))
+    stream = globals_block(glen) + bytes(body)
+    out = _parse_biff5(stream)
+    assert list(out) == [name]
+    assert out[name] == [["привет"]]

@@ -493,3 +493,21 @@ def test_i11_no_fact_broadcast(spark):
     assert "ResolvedHint" not in analyzed, "i11 re-grew a forced broadcast"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ranks_reject_nondeterministic_lineage(spark):
+    """Round-4 ADVICE: the two-scan rank helpers must refuse a frame whose
+    lineage is nondeterministic (rand()) — the offset job and the ranked
+    plan would see different rows — and must accept it under cache=True."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from worker_etl_spark.operators.ranks import global_row_number
+
+    df = spark.range(100).select("id", F.rand(7).alias("v"))
+    with pytest.raises(ValueError, match="cache=True"):
+        global_row_number(df, ["id"])
+    got, total = global_row_number(df, ["id"], cache=True)
+    assert total == 100
+    rows = got.orderBy("id").select("rn").collect()
+    assert [r.rn for r in rows] == list(range(1, 101))

@@ -57,6 +57,36 @@ def codepoint_surrogate(col, nchars: int = 3):
     return s
 
 
+def _snapshot_for_two_scans(df: DataFrame, cache: bool) -> DataFrame:
+    """Guard the module's two-independent-jobs contract (round-4 ADVICE).
+
+    The offsets/prefix-mins job and the final ranked plan each re-evaluate
+    the input; that is only correct when the lineage yields the SAME rows
+    both times.  With ``cache=True`` the input is eagerly local-checkpointed
+    (one materialization, lineage cut — Spark's ContextCleaner reclaims the
+    blocks when the frame is collected), which makes ANY lineage safe and is
+    the right call when the upstream is expensive or nondeterministic.
+    Otherwise the analyzed plan must report itself deterministic — a
+    ``rand()``/nondeterministic-UDF lineage would silently produce wrong
+    ranks (offsets from scan 1 don't match rows from scan 2), so it raises
+    instead.  (A seeded ``df.sample`` IS plan-deterministic and passes.)"""
+    if cache:
+        return df.localCheckpoint(eager=True)
+    try:
+        ok = df._jdf.queryExecution().analyzed().deterministic()
+    except Exception:  # noqa: BLE001 — private API moved; fall back open
+        ok = True
+    if not ok:
+        raise ValueError(
+            "global ranking evaluates its input in two independent jobs, but "
+            "this frame's plan contains nondeterministic expressions (e.g. "
+            "rand() or a nondeterministic UDF) — the two scans would see "
+            "different rows and the ranks would be silently wrong; pass "
+            "cache=True to snapshot the input first"
+        )
+    return df
+
+
 def _assign_range_pid(
     df: DataFrame, surrogate, partitions: int
 ) -> DataFrame:
@@ -87,6 +117,7 @@ def global_row_number(
     surrogate=None,
     partitions: int = 32,
     rn_name: str = "rn",
+    cache: bool = False,
 ) -> tuple[DataFrame, int]:
     """Exact global ``row_number()`` ordered by *order_cols*, computed with
     parallel per-range windows.  Returns ``(df + rn_name column, total row
@@ -95,7 +126,13 @@ def global_row_number(
 
     *surrogate* must be a numeric Column monotone in ``order_cols[0]``
     (default: the leading column cast to double).
+
+    PRECONDITION: the input is evaluated by two independent jobs, so its
+    lineage must be deterministic (validated — see
+    ``_snapshot_for_two_scans``); pass ``cache=True`` to snapshot
+    nondeterministic or expensive upstreams first.
     """
+    df = _snapshot_for_two_scans(df, cache)
     sur = surrogate if surrogate is not None else F.col(order_cols[0])
     withpid = _assign_range_pid(df, sur, partitions)
     sizes = {
@@ -133,6 +170,7 @@ def global_running_min(
     surrogate,
     partitions: int = 32,
     out_name: str = "running_min",
+    cache: bool = False,
 ) -> DataFrame:
     """EXCLUSIVE running ``min(value_col)`` over the global *order_exprs*
     order (the min of everything strictly BEFORE each row), without a
@@ -149,7 +187,12 @@ def global_running_min(
     *surrogate* must be a numeric Column monotone in the order (for a
     multi-key order, pack the keys: e.g. ``(-q)*2^40 + p`` for
     (q DESC, p ASC) when 0 ≤ p < 2^40).
+
+    PRECONDITION: same two-independent-jobs contract as
+    ``global_row_number`` — deterministic lineage (validated) or
+    ``cache=True``.
     """
+    df = _snapshot_for_two_scans(df, cache)
     withpid = _assign_range_pid(df, surrogate, partitions)
     pid_mins = {
         r["_pid"]: r["m"]

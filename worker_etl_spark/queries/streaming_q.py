@@ -981,6 +981,16 @@ def evt15_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mis-evaluates acc-field references inside struct-literal lambdas, so the
 # oracle is now a lambda-free rn self-join against a VALUES weight table).
 _HOLT_SCALE = 10_000_000_000  # 1e10: weight error ≤ 32·xc/1e12 ≪ the 1e-4 grid
+# int64 OVERFLOW BOUND (round-4 ADVICE): the level convolution sums
+# Σ_k xc_{t−k}·wl_k with Σ_k wl_k ≈ _HOLT_SCALE (the level weights sum to
+# ~1 at the 1e10 scale), so l_num overflows int64 once a single hour's cent
+# total reaches ~2^63/1e10 ≈ 9.2e8 cents — about **$9.2M per (event_type,
+# hour)** — a TIGHTER bound than the ~$21M evt15 documents for its
+# 2^(31-lag) factor ladder.  Spark wraps silently past it; DuckDB raises,
+# so the parity gate would catch a breach loudly.  If real data approaches
+# the bound, drop _HOLT_SCALE to 1e8 (still 1e-8 ≪ the 1e-4 emit grid,
+# pushing the bound to ~$920M/hour) and re-pin the oracle — both engines
+# share the constant, so the change is parity-neutral by construction.
 
 
 def _holt_weights() -> list[tuple[int, int]]:

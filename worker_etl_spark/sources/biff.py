@@ -390,15 +390,21 @@ def _parse_biff5(workbook_stream: bytes) -> dict[str, list[list[object]]]:
     workbook codepage; BOUNDSHEET names are cch+ANSI with no flags byte;
     numeric records (NUMBER/RK/MULRK/BOOLERR) are layout-identical to
     BIFF8."""
+    # Two-pass globals (round-4 ADVICE): record ORDER inside the globals
+    # substream isn't guaranteed in the wild, so discover CODEPAGE in a
+    # first full pass, THEN decode BOUNDSHEET names — otherwise a workbook
+    # whose CODEPAGE follows its BOUNDSHEETs gets sheet names in the cp1252
+    # default while cell labels use the declared codepage.
     codec = "cp1252"  # BIFF5 default ANSI codepage until CODEPAGE says else
-    sheets: list[tuple[str, int]] = []
     for rid, off, rlen in _records(workbook_stream):
         if rid == _FILEPASS:
             raise NotImplementedError("encrypted .xls workbooks unsupported")
         elif rid == _CODEPAGE:
             (cp,) = struct.unpack_from("<H", workbook_stream, off)
             codec = _codepage_codec(cp)
-        elif rid == _BOUNDSHEET:
+    sheets: list[tuple[str, int]] = []
+    for rid, off, rlen in _records(workbook_stream):
+        if rid == _BOUNDSHEET:
             (pos,) = struct.unpack_from("<I", workbook_stream, off)
             cch = workbook_stream[off + 6]
             name = workbook_stream[off + 7 : off + 7 + cch].decode(
