@@ -153,6 +153,25 @@ DEDUP_QUERIES = (
     "d14_sorted_neighborhood",
 )
 
+#: similarity growth ladder (round-4 verdict #6): the broadcast-matrix ANN
+#: paths on embeddings-only corpora at these copy counts, WITH THE QUERY SET
+#: HELD CONSTANT — the production contract the docstrings state (a fixed
+#: query workload / trained quantizer against a growing candidate corpus).
+#: Replica copies i>0 are filtered off the query/centroid strides
+#: (vec_id % 50 / % 31 / % 97 ≠ 0 post-offset), so only the base corpus
+#: contributes queries, IVF centroids, and ADC distance-table queries;
+#: candidate volume still grows ~(copies × 94%).  Expected shape: time
+#: ratio ≈ data ratio (the kernels are linear in the candidate side at
+#: fixed query count), NEVER the quadratic both-sides-grow blow-up the
+#: round-4 verdict flagged as unmeasured.
+SIM_LADDER = (10, 100)
+SIM_QUERIES = (
+    "s01_topk_bruteforce",
+    "s03_topk_ivf",
+    "s05_quantized_topk",
+    "s06_pq_adc_topk",
+)
+
 
 def build(spark, out_dir: str, copies: int, tables: dict | None = None) -> None:
     for name, keys in (tables or TABLES).items():
@@ -193,6 +212,7 @@ def main() -> None:
             "build_sec": build_s,
             "queries": timings,
             "dedup_growth": dedup_growth(spark),
+            "similarity_growth": similarity_growth(),
         }
         result["ladder_note"] = (
             "growth ladder runs on a FRESH SparkSession: after the 44-query "
@@ -269,6 +289,72 @@ def dedup_growth(spark) -> dict:
         if a and b and a > 0 and b > 0:
             out[f"{name}_time_ratio"] = round(b / a, 2)
     out["data_ratio"] = data_ratio
+    return out
+
+
+def similarity_growth() -> dict:
+    """The ANN paths (SIM_QUERIES) on embeddings-only corpora at each
+    SIM_LADDER copy count, query set held constant (see SIM_LADDER note).
+
+    Fresh session for the same reason as dedup_growth: session debris from
+    the prior suites inflates the big rung 3-4x and measures the JVM, not
+    the plans."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark("scale_smoke_sim")
+    out: dict[str, dict] = {"copies": {}, "query_set": "pinned to base corpus"}
+    for copies in SIM_LADDER:
+        tmp = tempfile.mkdtemp(prefix=f"smoke_sim_{copies}_")
+        try:
+            t0 = time.time()
+            emb = _replicate(
+                read_table(spark, BASE_SF, "embeddings"),
+                ["vec_id"],
+                copies,
+                mutate_text=False,
+            )
+            # Pin the query workload: replica copies contribute CANDIDATES
+            # only — rows landing on the query (%50), IVF-centroid (%31),
+            # or ADC-query (%97) strides are dropped from copies i>0, so
+            # every collected/broadcast matrix stays base-corpus-sized no
+            # matter how far the corpus scales (the production contract the
+            # new _check_query_set_size guard enforces).
+            emb = emb.filter(
+                (F.col("vec_id") < OFFSET)
+                | (
+                    (F.col("vec_id") % 50 != 0)
+                    & (F.col("vec_id") % 31 != 0)
+                    & (F.col("vec_id") % 97 != 0)
+                )
+            )
+            emb.write.mode("overwrite").parquet(
+                os.path.join(tmp, "embeddings.parquet")
+            )
+            build_s = round(time.time() - t0, 1)
+            registry = load_all()
+            timings: dict[str, float] = {}
+            for name in SIM_QUERIES:
+                t0 = time.time()
+                try:
+                    registry[name].fn(spark, tmp).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    timings[name] = round(time.time() - t0, 2)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"sim growth error in {name}: {exc}", file=sys.stderr)
+                    timings[name] = -1.0
+            out["copies"][str(copies)] = {"build_sec": build_s, **timings}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    lo, hi = (str(c) for c in (SIM_LADDER[0], SIM_LADDER[-1]))
+    for name in SIM_QUERIES:
+        a, b = out["copies"][lo].get(name), out["copies"][hi].get(name)
+        if a and b and a > 0 and b > 0:
+            out[f"{name}_time_ratio"] = round(b / a, 2)
+    out["data_ratio"] = SIM_LADDER[-1] / SIM_LADDER[0]
     return out
 
 
