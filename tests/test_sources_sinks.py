@@ -585,3 +585,60 @@ def test_w14_vacuum_keeps_recent_and_latest(spark, tmp_path):
     assert vacuum_snapshots(wh, "ds", "t", keep=1) == [3]
     with _pytest.raises(ValueError):
         vacuum_snapshots(wh, "ds", "t", keep=0)
+
+
+def test_xlsgrid_datasource_reads_xlsx_and_mixed_dirs(spark, tmp_path):
+    """Round-4 verdict #8 (prepared during the freeze): the xlsgrid Python
+    DataSource handles OOXML .xlsx through the SAME per-(file, sheet)
+    partition contract as legacy .xls — planner-side sheet listing reads
+    only workbook.xml, each partition decodes only its own worksheet
+    member, and a mixed-generation directory plans one partition per sheet
+    across both formats."""
+    from worker_etl_spark.sources.biff import write_minimal_xls
+    from worker_etl_spark.sources.excel import write_minimal_xlsx
+    from worker_etl_spark.sources.pyds import (
+        XlsGridReader,
+        _sheet_names,
+        register_xlsgrid,
+    )
+
+    xlsx = str(tmp_path / "modern.xlsx")
+    write_minimal_xlsx(
+        xlsx,
+        {
+            "First": [["h1", "h2"], ["água", 1.5], [None, "x"]],
+            "Second": [["only"], [True]],
+        },
+    )
+    with open(xlsx, "rb") as fh:
+        assert _sheet_names(fh.read()) == ["First", "Second"]
+
+    register_xlsgrid(spark)
+    df = spark.read.format("xlsgrid").option("path", xlsx).load()
+    assert df.rdd.getNumPartitions() == 2
+    rows = {(r.sheet, r.row_idx, tuple(r.cells)) for r in df.collect()}
+    assert ("First", 1, ("água", "1.5")) in rows
+    assert ("Second", 1, ("True",)) in rows
+
+    # mixed-generation directory: partitions fan out across both formats
+    write_minimal_xls(str(tmp_path / "legacy.xls"), {"L": [["v"], ["7"]]})
+    reader = XlsGridReader({"path": str(tmp_path)})
+    parts = [(p.value[0].rsplit("/", 1)[-1], p.value[1]) for p in reader.partitions()]
+    assert parts == [
+        ("legacy.xls", "L"),
+        ("modern.xlsx", "First"),
+        ("modern.xlsx", "Second"),
+    ]
+    dfd = spark.read.format("xlsgrid").option("path", str(tmp_path)).load()
+    assert dfd.rdd.getNumPartitions() == 3
+    got = {(r.file, r.sheet, r.row_idx, tuple(r.cells)) for r in dfd.collect()}
+    assert ("legacy.xls", "L", 1, ("7",)) in got
+    assert ("modern.xlsx", "Second", 1, ("True",)) in got
+
+    # non-Excel bytes fail loudly at planning time
+    bad = tmp_path / "junk.xls"
+    bad.write_bytes(b"not excel at all")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="neither"):
+        XlsGridReader({"path": str(bad)}).partitions()

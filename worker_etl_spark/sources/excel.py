@@ -109,57 +109,78 @@ def stdlib_xlsx_parser(content: bytes) -> dict[str, list[list[object]]]:
             "for other formats"
         )
     zf = zipfile.ZipFile(io.BytesIO(content))
-    names = set(zf.namelist())
-    shared: list[str] = []
-    if "xl/sharedStrings.xml" in names:
-        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
-        shared = [_text_runs(si) for si in sst.findall(f"{_M}si")]
+    shared = _xlsx_shared_strings(zf)
+    out: dict[str, list[list[object]]] = {}
+    for name, target in _xlsx_sheet_targets(zf).items():
+        out[name] = _xlsx_parse_sheet(zf, shared, target)
+    return out
+
+
+def _xlsx_shared_strings(zf: "zipfile.ZipFile") -> list[str]:
+    if "xl/sharedStrings.xml" not in set(zf.namelist()):
+        return []
+    sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    return [_text_runs(si) for si in sst.findall(f"{_M}si")]
+
+
+def _xlsx_sheet_targets(zf: "zipfile.ZipFile") -> dict[str, str]:
+    """{sheet name: zip member} in workbook order — metadata-scale (reads
+    only workbook.xml + its rels, never a worksheet member), so the Python
+    DataSource's planner-side sheet listing stays cheap on big workbooks."""
     wb = ET.fromstring(zf.read("xl/workbook.xml"))
     rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
     target_by_rid = {
         r.get("Id"): r.get("Target") for r in rels.findall(f"{_R}Relationship")
     }
-    out: dict[str, list[list[object]]] = {}
+    out: dict[str, str] = {}
     for sh in wb.find(f"{_M}sheets").findall(f"{_M}sheet"):
         target = target_by_rid.get(sh.get(_RID)) or ""
         target = target.lstrip("/")
         if not target.startswith("xl/"):
             target = "xl/" + target
-        ws = ET.fromstring(zf.read(target))
-        sheet_data = ws.find(f"{_M}sheetData")
-        rows_out: list[list[object]] = []
-        for row in [] if sheet_data is None else sheet_data.findall(f"{_M}row"):
-            r_attr = row.get("r")
-            r_idx = int(r_attr) - 1 if r_attr else len(rows_out)
-            while len(rows_out) < r_idx:  # skipped rows → empty (all-None)
-                rows_out.append([])
-            cells: list[object] = []
-            next_col = 0
-            for c in row.findall(f"{_M}c"):
-                ref = c.get("r")
-                ci = _col_index(ref) if ref else next_col
-                next_col = ci + 1
-                while len(cells) < ci:  # skipped cells → None gaps
-                    cells.append(None)
-                t = c.get("t", "n")
-                val: object
-                if t == "inlineStr":
-                    is_el = c.find(f"{_M}is")
-                    val = _text_runs(is_el) if is_el is not None else None
-                else:
-                    v = c.find(f"{_M}v")
-                    if v is None or v.text is None:
-                        val = None
-                    elif t == "s":
-                        val = shared[int(v.text)]
-                    elif t == "b":
-                        val = "True" if v.text.strip() == "1" else "False"
-                    else:  # numeric / formula-string / error: raw stored text
-                        val = v.text
-                cells.append(val)
-            rows_out.append(cells)
-        out[sh.get("name")] = rows_out
+        out[sh.get("name")] = target
     return out
+
+
+def _xlsx_parse_sheet(
+    zf: "zipfile.ZipFile", shared: list[str], target: str
+) -> list[list[object]]:
+    """One worksheet member → rows (the per-sheet unit the Python
+    DataSource decodes per partition)."""
+    ws = ET.fromstring(zf.read(target))
+    sheet_data = ws.find(f"{_M}sheetData")
+    rows_out: list[list[object]] = []
+    for row in [] if sheet_data is None else sheet_data.findall(f"{_M}row"):
+        r_attr = row.get("r")
+        r_idx = int(r_attr) - 1 if r_attr else len(rows_out)
+        while len(rows_out) < r_idx:  # skipped rows → empty (all-None)
+            rows_out.append([])
+        cells: list[object] = []
+        next_col = 0
+        for c in row.findall(f"{_M}c"):
+            ref = c.get("r")
+            ci = _col_index(ref) if ref else next_col
+            next_col = ci + 1
+            while len(cells) < ci:  # skipped cells → None gaps
+                cells.append(None)
+            t = c.get("t", "n")
+            val: object
+            if t == "inlineStr":
+                is_el = c.find(f"{_M}is")
+                val = _text_runs(is_el) if is_el is not None else None
+            else:
+                v = c.find(f"{_M}v")
+                if v is None or v.text is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v.text)]
+                elif t == "b":
+                    val = "True" if v.text.strip() == "1" else "False"
+                else:  # numeric / formula-string / error: raw stored text
+                    val = v.text
+            cells.append(val)
+        rows_out.append(cells)
+    return rows_out
 
 
 def default_xlsx_parser(content: bytes) -> dict[str, list[list[object]]]:

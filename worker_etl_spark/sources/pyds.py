@@ -1,21 +1,27 @@
-"""Python DataSource (Spark 4 API): legacy .xls workbooks as a first-class
-``spark.read.format("xlsgrid")`` source.
+"""Python DataSource (Spark 4 API): Excel workbooks — legacy .xls AND
+modern .xlsx — as a first-class ``spark.read.format("xlsgrid")`` source.
 
-The reference reads .xls via xlrd inside one process (``etl.py:527``); here
-the same BIFF8 codec (``sources/biff.py``, stdlib-only) is mounted behind
-Spark's Python DataSource API so legacy workbooks participate in the
-engine's planning like any other source:
+The reference reads Excel via pandas/xlrd inside one process
+(``etl.py:242-263, 527``); here the engine's stdlib codecs
+(``sources/biff.py`` for OLE2/BIFF8, ``sources/excel.py`` for OOXML zip)
+are mounted behind Spark's Python DataSource API so workbooks participate
+in the engine's planning like any other source:
 
 - ``partitions()`` enumerates ONE InputPartition PER (file, sheet) — sheet
   decode parallelizes across executors instead of serializing per file
   (the binaryFile+mapInPandas path in ``excel.py`` parallelizes per FILE;
-  a 40-sheet workbook is one task there, 40 tasks here).
-- Partition listing opens only the CFB directory + BOUNDSHEET records
-  (header metadata), not the cell data — the planner-side cost is
-  metadata-scale, matching how file sources list footers.
+  a 40-sheet workbook is one task there, 40 tasks here).  Both generations
+  share this partition contract (round-4 verdict #8).
+- Partition listing is metadata-scale: .xls opens only the CFB directory +
+  BOUNDSHEET records; .xlsx reads only workbook.xml (+ rels) from the zip
+  central directory — cell data is never parsed planner-side, matching
+  how file sources list footers.
 - ``read()`` runs on executors and emits the engine's long-grid contract
   (file, sheet, row_idx, cells), so the whole existing tail —
   ``widen_grid`` → detect → clean → infer → coerce — composes unchanged.
+  An .xlsx partition decodes ONLY its own worksheet zip member (plus the
+  shared-string table); an .xls partition re-walks the single BIFF stream
+  (BIFF has no per-sheet container to seek into).
 
 This is the extension point a 100 TB deployment uses for any proprietary
 format: codec in Python, partitioning strategy declared to the engine,
@@ -42,16 +48,28 @@ from worker_etl_spark.sources.biff import (
 
 
 def _sheet_names(content: bytes) -> list[str]:
-    """Sheet names only: walk record HEADERS and decode just the BOUNDSHEET
-    directory — cell payloads are never parsed, so the planner-side cost is
-    metadata-scale."""
-    stream = cfb_open_stream(content, "Workbook")
-    names: list[str] = []
-    for rid, off, rlen in _records(stream):
-        if rid == _BOUNDSHEET:
-            name, _ = _xl_unicode(stream, off + 6, off + rlen, cch_bytes=1)
-            names.append(name)
-    return names
+    """Sheet names only, either generation — metadata-scale planner cost.
+
+    .xls: walk record HEADERS and decode just the BOUNDSHEET directory;
+    cell payloads are never parsed.  .xlsx: read workbook.xml + rels from
+    the zip; worksheet members are never opened."""
+    if is_cfb(content):
+        stream = cfb_open_stream(content, "Workbook")
+        names: list[str] = []
+        for rid, off, rlen in _records(stream):
+            if rid == _BOUNDSHEET:
+                name, _ = _xl_unicode(stream, off + 6, off + rlen, cch_bytes=1)
+                names.append(name)
+        return names
+    import io
+    import zipfile
+
+    from worker_etl_spark.sources.excel import _xlsx_sheet_targets
+
+    if not zipfile.is_zipfile(io.BytesIO(content)):
+        raise ValueError("neither an OLE2/BIFF .xls nor an OOXML .xlsx workbook")
+    zf = zipfile.ZipFile(io.BytesIO(content))
+    return list(_xlsx_sheet_targets(zf))
 
 
 class XlsGridDataSource(DataSource):
@@ -80,7 +98,7 @@ class XlsGridReader(DataSourceReader):
             return sorted(
                 os.path.join(self._path, f)
                 for f in os.listdir(self._path)
-                if f.lower().endswith(".xls")
+                if f.lower().endswith((".xls", ".xlsx"))
             )
         return [self._path]
 
@@ -89,18 +107,35 @@ class XlsGridReader(DataSourceReader):
         for f in self._files():
             with open(f, "rb") as fh:
                 content = fh.read()
-            if not is_cfb(content):
-                raise ValueError(f"{f}: not an OLE2/BIFF .xls workbook")
-            for sheet in _sheet_names(content):
+            for sheet in _sheet_names(content):  # raises on non-Excel magic
                 parts.append(InputPartition((f, sheet)))
         return parts
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         path, sheet = partition.value
         with open(path, "rb") as fh:
-            grids = parse_biff8(cfb_open_stream(fh.read(), "Workbook"))
+            content = fh.read()
+        if is_cfb(content):
+            rows = parse_biff8(cfb_open_stream(content, "Workbook")).get(sheet, [])
+        else:
+            import io
+            import zipfile
+
+            from worker_etl_spark.sources.excel import (
+                _xlsx_parse_sheet,
+                _xlsx_shared_strings,
+                _xlsx_sheet_targets,
+            )
+
+            zf = zipfile.ZipFile(io.BytesIO(content))
+            target = _xlsx_sheet_targets(zf).get(sheet)
+            rows = (
+                []
+                if target is None
+                else _xlsx_parse_sheet(zf, _xlsx_shared_strings(zf), target)
+            )
         fname = os.path.basename(path)
-        for i, row in enumerate(grids.get(sheet, [])):
+        for i, row in enumerate(rows):
             yield fname, sheet, i, [None if v is None else str(v) for v in row]
 
 
