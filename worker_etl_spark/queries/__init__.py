@@ -85,14 +85,15 @@ def release_persists() -> int:
 #   5. everything already hash-green in round 2 (their rows stand).
 # Names not yet registered are skipped; registered names missing from the list
 # are appended in module insertion order, so nothing is ever dropped.
-# ROTATION NOTE (round 5+): regenerate with tools/rotate_priority.py after
-# each driver gate lands — fresh-row entries move to the back, the oldest
-# never-checked block moves into the window.  REGISTRATION FREEZE (round-3
-# verdict): no new queries until the never-checked backlog (74 entries after
-# this window) fits inside one window; the three round-7 parity failures are
-# the evidence that unverified breadth is risk, not progress.
-# --- round-5 rotation: never-checked backlog (75) leads the window; ---
-# --- regenerated via tools/rotate_priority.py at round-5 start ---
+# ROTATION NOTE: regenerate with tools/rotate_priority.py after each driver
+# gate lands — fresh-row entries move to the back, the oldest never-checked
+# block moves into the window.  REGISTRATION FREEZE (round-3 verdict, held
+# through round 5): no new queries until the never-checked backlog fits one
+# window; the three round-3 parity failures are the evidence that unverified
+# breadth is risk, not progress.
+# --- round-5 rotation: i07 (changed this round, row required) leads, then ---
+# --- the 74-entry never-checked backlog; the driver records ~50, leaving ---
+# --- ~25 for the final round-6 window, after which the freeze can lift.  ---
 _PRIORITY: list[str] = [
     "i07_sampled_infer",  # changed r5: hash-mix fix (ADVICE) — row required
     "c04_html_strip",  # never-checked
