@@ -3706,7 +3706,14 @@ def q79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = e.select(
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
     ).distinct()
-    a, b = ud.alias("a"), ud.alias("b")
+    # AQE explode-blindness (round-5 fix, 8.8 s → 1.5 s at sf0.1): the
+    # (user, day) distinct is SMALL post-shuffle, so AQE coalesces it to one
+    # partition — but the day-blocked self-join below EXPLODES it ~700× and
+    # that explosion runs at the stream side's parallelism.  Repartition the
+    # probe side to the session's shuffle width so pair generation fans out;
+    # the 40k-row shuffle this adds is noise next to the join's output.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a, b = ud.repartition(n_part).alias("a"), ud.alias("b")
     edges = (
         a.join(
             b,
@@ -3742,6 +3749,11 @@ def q79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
         )
     )
+    # Same explode-blindness precaution as the edge builder: the oriented
+    # edge list is small (AQE would coalesce it), but the wedge self-join
+    # multiplies it by the oriented out-degree — hash-repartition on src so
+    # both the co-located join AND its fan-out run at full shuffle width.
+    oriented = oriented.repartition(n_part, "src")
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
