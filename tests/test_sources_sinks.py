@@ -448,11 +448,16 @@ def test_w06_zorder_skips_on_both_dimensions(spark, tmp_path):
     )
 
     # range [1024, 1151] sits inside one 1024-wide Morton block column/row
-    assert rg_hit_fraction(z_loc, "x", 1024, 1151) <= 0.5
-    assert rg_hit_fraction(z_loc, "y", 1024, 1151) <= 0.5
+    zx = rg_hit_fraction(z_loc, "x", 1024, 1151)
+    zy = rg_hit_fraction(z_loc, "y", 1024, 1151)
+    xx = rg_hit_fraction(x_loc, "x", 1024, 1151)
+    xy = rg_hit_fraction(x_loc, "y", 1024, 1151)
+    layout = f"z:(x={zx:.3f}, y={zy:.3f}) 1d:(x={xx:.3f}, y={xy:.3f})"
+    assert zx <= 0.5, layout
+    assert zy <= 0.5, layout
     # the 1-D layout skips on its sort key but not the other axis
-    assert rg_hit_fraction(x_loc, "x", 1024, 1151) <= 0.25
-    assert rg_hit_fraction(x_loc, "y", 1024, 1151) >= 0.9
+    assert xx <= 0.25, layout
+    assert xy >= 0.9, layout
 
 
 def test_w07_dynamic_overwrite_leaves_other_partitions_untouched(spark, tmp_path):
