@@ -246,7 +246,14 @@ def write_minimal_xlsx(path: str, sheets: dict[str, list[list[object]]]) -> str:
         )
 
     def esc(s: str) -> str:
-        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        # quote/apos included: sheet names land in XML ATTRIBUTE values
+        return (
+            s.replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+            .replace('"', "&quot;")
+            .replace("'", "&apos;")
+        )
 
     n = len(sheets)
     content_types = (
