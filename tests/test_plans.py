@@ -511,3 +511,15 @@ def test_ranks_reject_nondeterministic_lineage(spark):
     assert total == 100
     rows = got.orderBy("id").select("rn").collect()
     assert [r.rn for r in rows] == list(range(1, 101))
+
+
+def test_q79_explode_joins_pin_their_parallelism(spark):
+    """Round-5 regression pin: q79's day-blocked and wedge self-joins
+    explode small inputs ~700x, and AQE sizes partitions by INPUT bytes —
+    without explicit repartitions the whole explosion ran in one task
+    (measured 8.8s -> 1.5s for the edge build at sf0.1).  The plan must
+    keep a round-robin exchange on the day-join probe side and a
+    hashpartitioning(src) exchange feeding the wedge self-join."""
+    plan = _plan(spark, "q79_triangle_count")
+    assert "RoundRobinPartitioning" in plan, "day-join probe repartition lost"
+    assert "hashpartitioning(src" in plan, "wedge-join src repartition lost"
