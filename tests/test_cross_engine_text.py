@@ -98,3 +98,44 @@ def test_char_substring_parity(frames):
     }
     want = dict(con.sql("SELECT i, substring(s, 2, 5) FROM t").fetchall())
     assert got == want
+
+
+def test_i07_sample_hash_matches_duckdb_at_overflow_boundary(spark):
+    """Round-5 ADVICE closure proof: the i07 sample predicate must agree
+    between Spark and DuckDB for orderkeys far past the old int64 overflow
+    bound (~3.5e9, where the unreduced k*2654435761 wrapped in Spark and
+    raised in DuckDB)."""
+    import duckdb
+
+    keys = [1, 7, 2**31 - 2, 2**31 - 1, 2**31, 3_500_000_000,
+            2**40, 2**62, 2**63 - 1]
+    rows = [(k, ln) for k in keys for ln in (1, 4, 7)]
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "l_orderkey long, l_linenumber long")
+    pred = (
+        F.shiftright(
+            (F.col("l_orderkey") % F.lit(2147483647)) * F.lit(2654435761)
+            + F.col("l_linenumber"),
+            16,
+        ) % 100
+    ) < 10
+    got = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in df.filter(pred).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(k BIGINT, l BIGINT); INSERT INTO t VALUES "
+        + ",".join(f"({k},{ln})" for k, ln in rows)
+    )
+    want = {
+        (k, ln)
+        for k, ln in con.sql(
+            "SELECT k, l FROM t WHERE ((((k % 2147483647) * 2654435761 + l)"
+            " >> 16) % 100) < 10"
+        ).fetchall()
+    }
+    assert got == want

@@ -166,3 +166,24 @@ def test_ranks_helpers_on_empty_frames(spark):
     assert r1.select(ntile_from_rn(F.col("rn"), t1, 10).alias("b")).collect()[
         0
     ]["b"] == 1
+
+
+def test_xlsgrid_empty_dir_and_sheetless_workbook(spark, tmp_path):
+    """Zero partitions must be a clean empty frame, not a crash: an empty
+    input directory plans no partitions; a workbook with no sheets (or an
+    empty sheet) yields zero rows for that file."""
+    from worker_etl_spark.sources.excel import write_minimal_xlsx
+    from worker_etl_spark.sources.pyds import XlsGridReader, register_xlsgrid
+
+    empty_dir = tmp_path / "none"
+    empty_dir.mkdir()
+    assert XlsGridReader({"path": str(empty_dir)}).partitions() == []
+    register_xlsgrid(spark)
+    df = spark.read.format("xlsgrid").option("path", str(empty_dir)).load()
+    assert df.count() == 0 and df.columns == ["file", "sheet", "row_idx", "cells"]
+
+    p = str(tmp_path / "empty_sheet.xlsx")
+    write_minimal_xlsx(p, {"Blank": []})
+    df2 = spark.read.format("xlsgrid").option("path", p).load()
+    assert df2.count() == 0
+    assert df2.rdd.getNumPartitions() == 1  # the sheet still plans a partition

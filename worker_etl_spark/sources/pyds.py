@@ -112,6 +112,8 @@ class XlsGridReader(DataSourceReader):
         return parts
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if partition is None:  # zero files matched: Spark calls read(None)
+            return
         path, sheet = partition.value
         with open(path, "rb") as fh:
             content = fh.read()
