@@ -56,10 +56,15 @@ def _pairs():
 
 @pytest.mark.parametrize("name", [n for n, _ in _pairs()])
 def test_oracle_parity(spark, name):
+    from worker_etl_spark.queries import release_persists
+
     spec = load_all()[name]
-    sdf = spec.fn(spark, SF_DIR)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        sdf = spec.fn(spark, SF_DIR)
+        s_cols = list(sdf.columns)
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        release_persists()  # bounded intra-query persists, session hygiene
 
     con = _duck()
     rel = con.sql(spec.oracle)
