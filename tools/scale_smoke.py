@@ -167,6 +167,7 @@ DEDUP_QUERIES = (
 SIM_LADDER = (10, 100)
 SIM_QUERIES = (
     "s01_topk_bruteforce",
+    "s02_topk_lsh",  # the designated scale path: bucket join, no broadcast matrix
     "s03_topk_ivf",
     "s05_quantized_topk",
     "s06_pq_adc_topk",
