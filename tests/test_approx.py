@@ -42,6 +42,68 @@ def test_query_set_guard_rejects_large_and_routes_to_lsh():
         _check_query_set_size(MAX_BROADCAST_QUERY_ROWS + 1, "oversized matrix")
 
 
+def test_guard_query_set_short_circuits_at_ceiling(spark, monkeypatch):
+    """_guard_query_set must bound its count job by the ceiling
+    (limit(cap+1).count(), round-5 verdict item #4's cheapening): exact
+    pass at the cap, loud raise just above it, and the ceiling scales
+    down by rows_per_item for amplified broadcasts."""
+    import pytest
+
+    from worker_etl_spark.queries import similarity_q
+
+    monkeypatch.setattr(similarity_q, "MAX_BROADCAST_QUERY_ROWS", 8)
+    similarity_q._guard_query_set(spark.range(8), "at-cap set")
+    with pytest.raises(ValueError, match="s02_topk_lsh"):
+        similarity_q._guard_query_set(spark.range(9), "oversized set")
+    # rows_per_item=4 → cap 2; 3 items × 4 rows each exceeds the ceiling
+    similarity_q._guard_query_set(spark.range(2), "amplified ok", rows_per_item=4)
+    with pytest.raises(ValueError, match="broadcast"):
+        similarity_q._guard_query_set(
+            spark.range(3), "amplified oversized", rows_per_item=4
+        )
+
+
+def test_s06_oversized_query_set_fails_loudly(spark, monkeypatch):
+    """s06's forced dtable broadcast grows as |queries|·S·K — it must hit
+    the same loud contract error as s01/s03/s05 (ADVICE r5)."""
+    import pytest
+
+    from worker_etl_spark.queries import similarity_q
+
+    # cap = MAX // (S·K) = 1 query; sf0.001 has more %97 queries than that
+    monkeypatch.setattr(
+        similarity_q,
+        "MAX_BROADCAST_QUERY_ROWS",
+        similarity_q._PQ_S * similarity_q._PQ_K,
+    )
+    with pytest.raises(ValueError, match="s02_topk_lsh"):
+        similarity_q.s06_pq_adc_topk(spark, "/root/testdata/sf0.001").collect()
+
+
+def test_shuffle_width_auto_fallback(spark):
+    """shuffle_width: int passthrough on vanilla sessions, and the
+    defaultParallelism fallback when the conf is a platform keyword like
+    'auto' (ADVICE r5 — a tuning knob must not crash queries)."""
+    from worker_etl_spark.session import shuffle_width
+
+    assert shuffle_width(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _FakeConf:
+        def get(self, key):
+            return "auto"
+
+    class _FakeSC:
+        defaultParallelism = 7
+
+    class _FakeSpark:
+        conf = _FakeConf()
+        sparkContext = _FakeSC()
+
+    assert shuffle_width(_FakeSpark()) == 7
+
+
 def test_s01_oversized_query_set_fails_loudly(spark, monkeypatch):
     """An 'oversized' corpus (limit shrunk below the sf0.001 query count)
     must raise the contract error BEFORE the driver materializes the

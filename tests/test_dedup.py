@@ -76,6 +76,61 @@ def test_d10_band_blocking_is_complete_for_threshold(spark):
     assert len(truth) > 0
 
 
+def test_d10_output_invariant_across_band_widths(spark, monkeypatch):
+    """The corpus-adaptive split (round-5 verdict #2) must not change the
+    answer: every exact banding — B=4 (15-bit keys), B=5 (24-bit 2-band
+    keys), B=6 (30-bit 3-band keys) — emits the identical pair set, and
+    the plan picker's thresholds follow buckets >= n/τ."""
+    import itertools
+
+    from worker_etl_spark.queries import dedup_q
+
+    results = []
+    for bands in (4, 5, 6):
+        band_bits = dedup_q._SIM_BITS // bands
+        subsets = list(itertools.combinations(range(bands), bands - dedup_q._HAM_MAX))
+        monkeypatch.setattr(
+            dedup_q,
+            "_ham_band_plan",
+            lambda n, b=bands, bb=band_bits, s=subsets: (b, bb, s),
+        )
+        results.append(
+            sorted(
+                (r.doc_a, r.doc_b, r.hamming)
+                for r in dedup_q.d10_simhash_hamming(spark, SF001).collect()
+            )
+        )
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+
+def test_ham_band_plan_thresholds():
+    """Smallest exact split with buckets >= n/τ; exactness invariants on
+    every returned plan (equal split, subsets of size B-_HAM_MAX, all
+    enumerated)."""
+    import math
+
+    from worker_etl_spark.queries.dedup_q import (
+        _HAM_MAX,
+        _HAM_TARGET_LOAD,
+        _SIM_BITS,
+        _ham_band_plan,
+    )
+
+    assert _ham_band_plan(1_000)[0] == 4
+    assert _ham_band_plan(_HAM_TARGET_LOAD * (1 << 15))[0] == 4
+    assert _ham_band_plan(_HAM_TARGET_LOAD * (1 << 15) + 1)[0] == 5
+    assert _ham_band_plan(_HAM_TARGET_LOAD * (1 << 24))[0] == 5
+    assert _ham_band_plan(_HAM_TARGET_LOAD * (1 << 24) + 1)[0] == 6
+    assert _ham_band_plan(10**10)[0] == 6  # documented ceiling: stays exact
+    for n in (0, 10**4, 10**6, 10**8, 10**10):
+        bands, band_bits, subsets = _ham_band_plan(n)
+        assert bands * band_bits == _SIM_BITS
+        assert len(subsets) == math.comb(bands, _HAM_MAX)
+        assert all(len(s) == bands - _HAM_MAX for s in subsets)
+        assert len(set(subsets)) == len(subsets)
+
+
 def test_d11_survivor_invariants(spark):
     """One survivor per cluster; survivor is a member; n_dropped is
     members-1; every d07 cluster is represented."""

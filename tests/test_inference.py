@@ -243,6 +243,10 @@ def test_file_level_sample_validates_preconditions(spark, tmp_path):
     # a filter in the lineage would be silently dropped by the re-read
     with pytest.raises(ValueError, match="Filter"):
         _sample_input_files(df.filter(F.col("v") != "3"), 0.5)
+    # a .limit(n) would likewise be silently dropped (ADVICE r5): the
+    # sample would contain rows beyond the caller's limit
+    with pytest.raises(ValueError, match="Limit"):
+        _sample_input_files(df.limit(10), 0.5)
     # df.sample in the lineage likewise
     with pytest.raises(ValueError, match="Sample"):
         _sample_input_files(df.sample(0.5, seed=1), 0.5)

@@ -72,12 +72,16 @@ def main() -> None:
             ).save()
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"
-            continue
         finally:
             release_persists()
+        # Fetch stages and advance the watermark even when the query raised
+        # (ADVICE r5): stages a failed query completed before erroring must
+        # not be attributed to the NEXT query's flag report.
         stages = [s for s in _stages(ui, app) if s["stageId"] > seen_stage]
         if stages:
             seen_stage = max(s["stageId"] for s in stages)
+        if name in errors:
+            continue
         hits = []
         for s in stages:
             consumed = (s.get("inputRecords") or 0) + (s.get("shuffleReadRecords") or 0)

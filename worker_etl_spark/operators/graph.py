@@ -52,7 +52,11 @@ def _bounded_shuffle(df: DataFrame):
     old = spark.conf.get(key)
     target = spark.sparkContext.defaultParallelism
     try:
-        if int(old) > target:
+        # shuffle_width() tolerates "auto" on AQE auto-partitioning
+        # platforms (ADVICE r5) — falls back to defaultParallelism.
+        from worker_etl_spark.session import shuffle_width
+
+        if shuffle_width(spark) > target:
             spark.conf.set(key, str(target))
         yield
     finally:

@@ -311,9 +311,12 @@ def _decide_types(df: DataFrame, str_cols: list[str]) -> dict[str, str]:
 
 #: logical operators a frame may contain for file-level sampling to be
 #: faithful: a re-read reproduces scan + column projection, nothing else.
-_FILE_SAMPLE_OK_OPS = frozenset(
-    {"Project", "Relation", "SubqueryAlias", "View", "GlobalLimit", "LocalLimit"}
-)
+#: Limits are deliberately NOT whitelisted (ADVICE r5): a caller's
+#: ``.limit(n)`` would be silently dropped by the file re-read — the exact
+#: failure mode this validation rejects Filter/Sample for — and
+#: ``infer_schema`` never introduces a limit itself, so nothing legitimate
+#: needs the exemption.
+_FILE_SAMPLE_OK_OPS = frozenset({"Project", "Relation", "SubqueryAlias", "View"})
 
 
 def _sample_input_files(df: DataFrame, fraction: float) -> DataFrame:

@@ -244,10 +244,10 @@ def d03_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- d04: SimHash ------------------------------------------------------------
 # 60 bits (15 hex digits of md5): sign-safe in a BIGINT on both engines, and
-# wide enough that d10's 15-bit band blocking keeps RANDOM band collisions
-# ~n²/2^15 instead of the ~n²/2^8 an 8-bit banding of a 32-bit hash pays —
-# the difference between a linear and a creeping-quadratic candidate set as
-# the corpus scales (measured in tools/scale_smoke.py's dedup growth ladder).
+# wide enough that d10's band blocking can widen its key to 30 bits
+# (B=6 × 10-bit bands, 3-band keys) before the fingerprint itself becomes
+# the bucket-count ceiling — see _ham_band_plan's corpus-adaptive split
+# (measured in tools/scale_smoke.py's dedup growth ladder).
 _SIM_BITS = 60
 
 _SQL_SIM_SUMS = ",\n             ".join(
@@ -771,10 +771,42 @@ def d09_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- d10: SimHash hamming-distance near-dup pairs ----------------------------
-_HAM_BANDS = 4       # 60-bit simhash split into 4 disjoint 15-bit bands
+_HAM_BANDS = 4       # oracle/spec split: 60-bit simhash, 4 disjoint 15-bit bands
 _HAM_BAND_BITS = 15
 _HAM_MASK = (1 << _HAM_BAND_BITS) - 1
 _HAM_MAX = 3         # pigeonhole: hamming <= bands-1 guarantees a shared band
+
+# Corpus-adaptive blocking (round-5 verdict #2: the fixed 4×15 split's 32k
+# buckets/band saturate at ~10^5.5 docs — random collisions grow n²/2^15).
+# Generalization (Manku et al. WWW'07 §3, public): split the 60-bit
+# fingerprint into B equal bands; a pair within hamming <= 3 touches at most
+# 3 bands, so at least B-3 bands agree — enumerate every (B-3)-subset of
+# bands as a block key and the blocked join is still EXACT for the
+# threshold, with key width (B-3)·(60/B) bits:
+#   B=4 → 4 keys × 15 bits (2^15 buckets)   — the original split
+#   B=5 → 10 keys × 24 bits (2^24 buckets)  — 512× more buckets, 2.5× rows
+#   B=6 → 20 keys × 30 bits (2^30 buckets)
+# The OUTPUT is invariant to B (any exact banding emits the same pair set),
+# so the DuckDB oracle keeps the simple B=4 formulation as the semantic
+# spec while the Spark side picks B from the corpus size: smallest B with
+# buckets ≥ n/τ (τ = target bucket load).  Ceiling documented: past
+# τ·2^30 ≈ 4×10^9 docs the fingerprint itself must widen (d04's 60-bit
+# contract), which changes semantics — out of scope for this operator.
+_HAM_TARGET_LOAD = 4
+
+
+def _ham_band_plan(n_docs: int) -> tuple[int, int, list[tuple[int, ...]]]:
+    """(bands, band_bits, key_subsets) for the smallest exact split whose
+    bucket count keeps random collisions ~linear: buckets ≥ n/τ."""
+    import itertools
+
+    for bands in (4, 5, 6):
+        band_bits = _SIM_BITS // bands
+        key_bits = (bands - _HAM_MAX) * band_bits
+        if (1 << key_bits) * _HAM_TARGET_LOAD >= n_docs or bands == 6:
+            subsets = list(itertools.combinations(range(bands), bands - _HAM_MAX))
+            return bands, band_bits, subsets
+    raise AssertionError("unreachable: bands == 6 always returns")
 
 
 @register(
@@ -803,43 +835,58 @@ _HAM_MAX = 3         # pigeonhole: hamming <= bands-1 guarantees a shared band
 def d10_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance ``_HAM_MAX``, found by
     band-blocking rather than an all-pairs scan: the 60-bit fingerprint is
-    split into 4 disjoint 15-bit bands and only pairs agreeing on at least
-    one band are compared.  By pigeonhole, any pair within hamming <= 3
-    differs in at most 3 of the 4 bands, so the blocked join is EXACT for
-    the threshold — the same guarantee Manku et al.'s simhash dedup (WWW'07,
-    public) builds web-scale dedup on.
+    split into B disjoint equal bands and only pairs agreeing on at least
+    B-3 of them are compared — realized as an equi-join on every
+    (B-3)-subset key.  By pigeonhole, any pair within hamming <= 3 differs
+    in at most 3 bands, so some enumerated subset is entirely untouched and
+    the blocked join is EXACT for the threshold — the guarantee Manku et
+    al.'s simhash dedup (WWW'07, public) builds web-scale dedup on.
 
-    Scale shape: the band join is key-equi on (band, val) — 4x row
-    amplification into a shuffle-partitionable join, per-key fan-out bounded
-    by band-bucket occupancy, never O(n^2).  The hamming check itself is one
-    codegen'd xor+bit_count per surviving candidate.
+    Scale shape: the band join is key-equi on (key_id, val) — C(B,3)-fold
+    row amplification into a shuffle-partitionable join, per-key fan-out
+    bounded by bucket occupancy, never O(n^2).  The hamming check itself is
+    one codegen'd xor+bit_count per surviving candidate.
 
-    Band-width tuning law (measured by the growth ladder): on a corpus with
-    NO shared structure, band collisions are random and the candidate floor
-    is C(n,2)·bands·2^(-band_bits) — quadratic in n with a 2^-15 constant.
-    Keeping that floor linear requires band_bits ≳ log2(n·bands/2): 15 bits
-    covers ~10^5 docs, ~20 bits 10^6, ~31 bits 10^9 (widen the fingerprint
-    or the per-band slice as the corpus grows; the pigeonhole exactness
-    argument holds for any equal split with bands > _HAM_MAX).  The ladder's
-    mutated copies are exactly this worst case, so its d10 rung measures the
-    random-collision floor, not the near-dup load.  No reference
+    Band-width tuning law (measured by the growth ladder, and the reason B
+    is corpus-adaptive since round 6): on a corpus with NO shared
+    structure, key collisions are random and the candidate floor is
+    ~C(n,2)·n_keys·2^(-key_bits) — quadratic in n until key_bits outruns
+    log2(n).  ``_ham_band_plan`` therefore picks the smallest exact split
+    whose bucket count is ≥ n/τ: 2^15 to ~131k docs, 2^24 to ~67M, 2^30
+    beyond (the ladder's mutated copies are exactly the no-shared-structure
+    worst case, so its d10 rung measures this floor, not the near-dup
+    load).  The choice costs one count() of the documents table — metadata
+    -cheap on parquet — and the OUTPUT is invariant to it.  No reference
     counterpart (dedup is a driver-mandated extension, SURVEY.md §2)."""
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    n_bands, band_bits, subsets = _ham_band_plan(n_docs)
     sim = _simhash_df(spark, sf_dir)
-    bands = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(_HAM_BANDS)])).alias("band"),
-    ).withColumn(
-        "val", F.expr(f"(simhash >> (band * {_HAM_BAND_BITS})) & {_HAM_MASK}")
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(kid).alias("kid"),
+                F.expr(
+                    " + ".join(
+                        f"(((simhash >> {b * band_bits}) & {(1 << band_bits) - 1})"
+                        f" << {pos * band_bits})"
+                        for pos, b in enumerate(sub)
+                    )
+                ).cast("long").alias("val"),
+            )
+            for kid, sub in enumerate(subsets)
+        ]
     )
+    bands = sim.select(
+        "doc_id", "simhash", F.explode(keys).alias("k")
+    ).select("doc_id", "simhash", F.col("k.kid").alias("kid"), F.col("k.val").alias("val"))
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "val"
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "kid", "val"
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "val"
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "kid", "val"
     )
     pairs = (
-        a.join(b, ["band", "val"])
+        a.join(b, ["kid", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()

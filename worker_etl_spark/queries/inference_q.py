@@ -707,9 +707,11 @@ def i11_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         joined = keys.join(parent_keys, keys.k == parent_keys.pk, "left")
+        # coalesce: SUM over an empty child is NULL, but the count-based
+        # contract (and the scalar-rule branch) reports 0 (ADVICE r5)
         return joined.agg(
             F.lit(name).alias("rule"),
-            F.sum("rows_per_key").alias("n_checked"),
+            F.coalesce(F.sum("rows_per_key"), F.lit(0)).alias("n_checked"),
             F.coalesce(
                 F.sum(F.when(F.col("pk").isNull(), F.col("rows_per_key"))),
                 F.lit(0),

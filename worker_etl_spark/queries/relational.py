@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from worker_etl_spark.queries import bounded_persist, register
+from worker_etl_spark.session import shuffle_width
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3712,7 +3713,7 @@ def q79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that explosion runs at the stream side's parallelism.  Repartition the
     # probe side to the session's shuffle width so pair generation fans out;
     # the 40k-row shuffle this adds is noise next to the join's output.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_width(spark)
     a, b = ud.repartition(n_part).alias("a"), ud.alias("b")
     edges = (
         a.join(

@@ -66,6 +66,20 @@ def _check_query_set_size(
             "(s02_topk_lsh) for corpus-scale query sets"
         )
 
+
+def _guard_query_set(df: DataFrame, what: str, rows_per_item: int = 1) -> None:
+    """Contract check that SHORT-CIRCUITS at the ceiling (round-5 verdict
+    item: the original ``df.count()`` pre-count billed one full extra scan
+    per similarity query to query time).  ``limit(cap + 1).count()`` stops
+    producing rows once the cap is exceeded, so at contract-sized query
+    sets this is a bounded-row job and at oversized ones it raises without
+    ever scanning the full strided set.  ``rows_per_item`` scales the
+    ceiling for derived broadcasts that amplify each query row (s06's ADC
+    distance table is |queries|·S·K rows)."""
+    cap = max(1, MAX_BROADCAST_QUERY_ROWS // rows_per_item)
+    n = df.limit(cap + 1).count()
+    _check_query_set_size(n * rows_per_item, what, cap * rows_per_item)
+
 _rng = random.Random(20260814)
 _PLANES: list[list[float]] = [
     [round(_rng.uniform(-1.0, 1.0), 4) for _ in range(_DIM)] for _ in range(_N_PLANES)
@@ -147,7 +161,7 @@ def s01_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
-    _check_query_set_size(q.count(), "s01 query matrix")
+    _guard_query_set(q, "s01 query matrix")
     qpdf = q.toPandas()
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
     q_mat = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
@@ -328,7 +342,7 @@ def s03_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def collect_mat(df, what):
-        _check_query_set_size(df.count(), what)
+        _guard_query_set(df, what)
         pdf = df.orderBy("vec_id").toPandas()
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
@@ -659,7 +673,7 @@ def s05_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = _quantize_codes(e)
 
     q = coded.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
-    _check_query_set_size(q.count(), "s05 quantized query matrix")
+    _guard_query_set(q, "s05 quantized query matrix")
     qpdf = q.toPandas()
     q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
     q_mat = np.array(qpdf["code"].tolist(), dtype=np.int64)
@@ -977,6 +991,14 @@ def s06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id", "sp")
         .agg((F.min("key") % 100).cast("long").alias("cr"))
+    )
+    # The forced dtable broadcast below is |queries|·S·K rows and the %97
+    # query stride grows with the corpus — same loud-failure contract as
+    # s01/s03/s05 (ADVICE r5): bound it BEFORE building the broadcast.
+    _guard_query_set(
+        vn.filter(F.col("vec_id") % 97 == 0).select("vec_id"),
+        "s06 ADC distance-table query set",
+        rows_per_item=_PQ_S * _PQ_K,
     )
     dtable = (
         subs.filter(F.col("vec_id") % 97 == 0)

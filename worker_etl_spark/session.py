@@ -65,6 +65,18 @@ def get_spark(
     return spark
 
 
+def shuffle_width(spark: SparkSession) -> int:
+    """The session's shuffle parallelism as an int, robust to deployments
+    where ``spark.sql.shuffle.partitions`` is set to ``"auto"`` (AQE
+    auto-partitioning platforms — ADVICE r5): a tuning knob must never turn
+    into a query crash, so non-integer values fall back to the cluster's
+    ``defaultParallelism``."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the driver's parquet tables from *sf_dir* into a dict of DataFrames.
 
