@@ -523,3 +523,31 @@ def test_q79_explode_joins_pin_their_parallelism(spark):
     plan = _plan(spark, "q79_triangle_count")
     assert "RoundRobinPartitioning" in plan, "day-join probe repartition lost"
     assert "hashpartitioning(src" in plan, "wedge-join src repartition lost"
+
+
+def test_src20_jdbc_scan_pushes_filter_and_stripes(spark):
+    """The JDBC read must be a real distributed source: the c_acctbal
+    predicate pushes into the remote SQL (PushedFilters on the
+    JDBCRelation scan, '*' = handled by the source) and the scan is
+    range-striped into the requested 8 partitions — without these, a
+    100 TB-warehouse's operational-store edge serializes through one
+    cursor shipping unfiltered rows."""
+    plan = _plan(spark, "src20_jdbc_roundtrip")
+    jdbc = plan[plan.index("JDBCRelation") :]
+    assert "numPartitions=8" in jdbc.split("\n")[0]
+    pushed = jdbc.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThan(c_acctbal,0" in pushed.replace(" ", ""), pushed
+
+
+def test_q89_pivot_inference_scan_is_column_pruned(spark):
+    """Dynamic pivot pays one extra job to infer the value domain; that
+    job must read ONLY the pivot column's bytes (plus group keys already
+    projected) — an unpruned inference scan rereads the whole fact."""
+    df = load_all()["q89_dynamic_pivot"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :]
+    read_schema = scan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "o_totalprice" in read_schema and "o_orderpriority" in read_schema
+    # the fact's wide payload must NOT be read for the pivot
+    for col in ("o_comment", "o_clerk", "o_custkey"):
+        assert col not in read_schema, f"{col} read but unused: {read_schema}"

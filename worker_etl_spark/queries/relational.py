@@ -4384,3 +4384,71 @@ def q88_supplier_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "supp_a", "supp_b")
         .limit(25)
     )
+
+
+# --- q89: dynamic pivot (inferred pivot values) ----------------------------------
+_Q89_SANITIZE = r"[^0-9a-z]+"
+
+
+@register(
+    "q89_dynamic_pivot",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN round(o_totalprice * 100) END) AS BIGINT) AS p_1_urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                         THEN round(o_totalprice * 100) END) AS BIGINT) AS p_2_high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                         THEN round(o_totalprice * 100) END) AS BIGINT) AS p_3_medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                         THEN round(o_totalprice * 100) END) AS BIGINT) AS p_4_not_specified,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                         THEN round(o_totalprice * 100) END) AS BIGINT) AS p_5_low
+    FROM orders
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def q89_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot: the pivot-value domain is INFERRED from the data
+    (``pivot("o_orderpriority")`` with no value list), unlike q13's static
+    form — the shape BI layers need when the category set isn't known at
+    authoring time.  Spark plans it as two jobs: a distinct scan of the
+    pivot column (column-pruned — only o_orderpriority is read, bounded by
+    spark.sql.pivotMaxValues = 10k) followed by one hash aggregate whose
+    output columns are the inferred values; inferred names are then
+    sanitized deterministically (lower, non-alnum runs -> '_', 'p_'
+    prefix) so downstream consumers — and the cross-engine hash compare —
+    see stable identifiers.  Totals are exact cents BIGINTs (2-decimal
+    source, so round(x*100) is tie-free on both engines).
+
+    The ANSI oracle must enumerate the domain (information-schema-free SQL
+    cannot emit data-dependent columns) — the parity check therefore also
+    proves the inference found exactly the enumerated domain.  At 100 TB
+    the inference job is one column-pruned distinct (combine map-side,
+    k-row result); deployments that already know the domain pass the
+    static list and skip that job (q13).  Reference has no pivot operator
+    (driver-mandated extension surface)."""
+    import re as _re
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    piv = (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("o_orderpriority"),
+            cents.alias("cents"),
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority")  # no value list: inferred by a distinct job
+        .agg(F.sum("cents").cast("long"))
+    )
+    renamed = piv.select(
+        "order_year",
+        *[
+            F.col(f"`{c}`").alias("p_" + _re.sub(_Q89_SANITIZE, "_", c.lower()).strip("_"))
+            for c in piv.columns
+            if c != "order_year"
+        ],
+    )
+    return renamed.orderBy("order_year")

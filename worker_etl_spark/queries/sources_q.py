@@ -754,6 +754,159 @@ def src09_xls_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1]).orderBy("src_table", "key")
 
 
+# --- src19: mixed-generation Excel directory via the Python DataSource -------
+@register(
+    "src19_xlsx_datasource",
+    oracle="""
+    SELECT 'nations' AS src_table, n_nationkey::BIGINT AS key, n_name AS name
+    FROM nation
+    UNION ALL
+    SELECT 'regions', r_regionkey::BIGINT, r_name FROM region
+    UNION ALL
+    SELECT 'suppliers', s_suppkey::BIGINT, s_name FROM supplier
+    ORDER BY src_table, key
+    """,
+)
+def src19_xlsx_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Excel generations through ONE ``format("xlsgrid")`` directory
+    read (round-5 verdict #3: the .xlsx path was built and unit-tested in
+    r5; this registers it under the driver's oracle gate): a legacy
+    OLE2/BIFF8 ``dims.xls`` (Nations + Regions) and a modern OOXML
+    ``suppliers.xlsx`` (two sheets split by key parity) land in one
+    directory, plan as FOUR (file, sheet) InputPartitions — sheet listing
+    is metadata-scale for both generations (BOUNDSHEET directory / zip
+    workbook.xml), each partition decodes only its own sheet — and every
+    sheet runs the engine's shared detect → clean → infer → coerce tail.
+    The reference reads either generation serially inside one pandas call
+    (``etl.py:242-263``); here a 40-sheet workbook is 40 executor tasks.
+    The oracle is the three-table union the workbooks were written from."""
+    from worker_etl_spark.sources.biff import write_minimal_xls
+    from worker_etl_spark.sources.excel import write_minimal_xlsx
+    from worker_etl_spark.sources.pyds import register_xlsgrid
+
+    rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    nt = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    sp = read_table(spark, sf_dir, "supplier").orderBy("s_suppkey").collect()
+    tmp = tempfile.mkdtemp(prefix="src19_")
+    write_minimal_xls(
+        os.path.join(tmp, "dims.xls"),
+        {
+            "Nations": [["key", "name"]]
+            + [[int(r.n_nationkey), str(r.n_name)] for r in nt],
+            "Regions": [["key", "name"]]
+            + [[int(r.r_regionkey), str(r.r_name)] for r in rg],
+        },
+    )
+    write_minimal_xlsx(
+        os.path.join(tmp, "suppliers.xlsx"),
+        {
+            "SuppliersEven": [["key", "name"]]
+            + [[int(r.s_suppkey), str(r.s_name)] for r in sp if r.s_suppkey % 2 == 0],
+            "SuppliersOdd": [["key", "name"]]
+            + [[int(r.s_suppkey), str(r.s_name)] for r in sp if r.s_suppkey % 2 == 1],
+        },
+    )
+    register_xlsgrid(spark)
+    grid = spark.read.format("xlsgrid").option("path", tmp).load()
+    wide = widen_grid(grid)
+    out = []
+    for sheet, label in (
+        ("Nations", "nations"),
+        ("Regions", "regions"),
+        ("SuppliersEven", "suppliers"),
+        ("SuppliersOdd", "suppliers"),
+    ):
+        t = _grid_to_typed(wide.filter(F.col("sheet") == sheet))
+        out.append(
+            t.select(
+                F.lit(label).alias("src_table"),
+                F.col("key").cast("long").alias("key"),
+                F.col("name").alias("name"),
+            )
+        )
+    res = out[0]
+    for t in out[1:]:
+        res = res.unionByName(t)
+    return res.orderBy("src_table", "key")
+
+
+# --- src20: JDBC source/sink round-trip (embedded Derby) ----------------------
+@register(
+    "src20_jdbc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS balance_cents
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def src20_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC as a first-class source AND sink — the operational-store edge
+    every warehouse load crosses (the reference's equivalent surface is its
+    BigQuery client, ``etl.py:570-640``; JDBC is the portable, public
+    analogue).  The customer dim is written through ``df.write.jdbc`` and
+    read back as a PARTITIONED JDBC scan: ``partitionColumn/lower/upper/
+    numPartitions`` turn the read into 8 range-striped concurrent cursors
+    (each executor issues its own bounded SELECT), and both the
+    ``c_acctbal > 0`` predicate and the column projection push into the
+    remote SQL — `PushedFilters: [*GreaterThan(c_acctbal,0)]` in the scan
+    node, pinned by tests/test_plans.py — so the database ships only
+    matching rows of needed columns, not the table.
+
+    The embedded in-memory Derby that Spark already carries is the test
+    stand-in (local[*] threads share the JVM, so every task sees the db);
+    a deployment swaps url/driver for its Postgres/MySQL service.  At
+    100 TB-warehouse scale the knobs that matter are exactly the ones
+    exercised here: stripe count bounded to what the operational store
+    tolerates, fetchsize for cursor batching, and pushdown so the wire
+    carries the filtered slice.  Totals are exact cents BIGINTs (tie-free
+    2-decimal grid on both engines)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    db = os.path.basename(tempfile.mkdtemp(prefix="src20_"))
+    url = f"jdbc:derby:memory:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    # dim-sized write: a few batched-INSERT streams, not 32 contending ones
+    (
+        c.coalesce(4)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customers")
+        .option("driver", driver)
+        .option("batchsize", "1000")
+        .mode("overwrite")
+        .save()
+    )
+    lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customers")
+        .option("driver", driver)
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi + 1))
+        .option("numPartitions", "8")
+        .option("fetchsize", "1000")
+        .load()
+    )
+    return (
+        back.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("balance_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --- w06: Z-order (Morton) clustered layout ----------------------------------
 def _morton_z(x, y, bits: int = 16):
     """Interleave the low *bits* of two integer columns into a Morton
