@@ -91,60 +91,21 @@ def release_persists() -> int:
 # through round 5): no new queries until the never-checked backlog fits one
 # window; the three round-3 parity failures are the evidence that unverified
 # breadth is risk, not progress.
-# --- round-5 rotation: i07 (changed this round, row required) leads, then ---
-# --- the 74-entry never-checked backlog; the driver records ~50, leaving ---
-# --- ~25 for the final round-6 window, after which the freeze can lift.  ---
+# --- round-6 rotation: the 7 queries materially changed this round lead ---
+# --- (adaptive d10 banding, short-circuit similarity guards, i11/q79     ---
+# --- touch-ups), then the FINAL never-checked backlog — the last 25 plus ---
+# --- the 3 queries newly registered as the freeze lifted (src19 xlsx,    ---
+# --- q89 dynamic pivot, src20 jdbc) = 35 rows, all inside the ~50-row    ---
+# --- window → 237/237 driver-confirmed after this round's gate.          ---
 _PRIORITY: list[str] = [
-    "i07_sampled_infer",  # changed r5: hash-mix fix (ADVICE) — row required
-    "c04_html_strip",  # never-checked
-    "d12_containment_pairs",  # never-checked
-    "d13_banding_pr_audit",  # never-checked
-    "d15_fuzzy_entity_join",  # never-checked
-    "evt08_cusum_alerts",  # never-checked
-    "evt09_record_high_events",  # never-checked
-    "evt10_disorder_diagnostics",  # never-checked
-    "evt11_seasonality_profile",  # never-checked
-    "evt12_dynamic_gap_sessions",  # never-checked
-    "evt13_freshness_gaps",  # never-checked
-    "evt14_incremental_view_maintenance",  # never-checked
-    "i11_constraint_audit",  # never-checked
-    "i13_fd_discovery",  # never-checked
-    "i14_median_imputation",  # never-checked
-    "i16_column_entropy",  # never-checked
-    "i17_mutual_information",  # never-checked
-    "i18_pii_column_scan",  # never-checked
-    "i19_benford_audit",  # never-checked
-    "m08_multipart_reassembly",  # never-checked
-    "m09_frame_motion_profile",  # never-checked
-    "m10_payload_entropy",  # never-checked
-    "p09_dedup_token_yield",  # never-checked
-    "p10_tokenizer_fertility",  # never-checked
-    "p11_k_anonymity_audit",  # never-checked
-    "p13_erasure_propagation",  # never-checked
-    "p14_target_encoding",  # never-checked
-    "p15_weighted_sample",  # never-checked
-    "p16_l_diversity",  # never-checked
-    "q59_peak_trailing_spend",  # never-checked
-    "q60_top_supplier",  # never-checked
-    "q62_sliding_distinct_users",  # never-checked
-    "q63_share_of_parent",  # never-checked
-    "q65_interval_coverage",  # never-checked
-    "q66_exact_correlation",  # never-checked
-    "q67_cohort_retention",  # never-checked
-    "q68_ordered_funnel",  # never-checked
-    "q70_grouping_id",  # never-checked
-    "q72_asof_rate_normalization",  # never-checked
-    "q76_cumulative_uniques",  # never-checked
-    "q77_bitemporal_restatement",  # never-checked
-    "q79_triangle_count",  # never-checked
-    "q82_rolling_trend",  # never-checked
-    "q83_identity_stitching",  # never-checked
-    "q84_pareto_frontier",  # never-checked
-    "q85_subtree_rollup",  # never-checked
-    "q86_gini_concentration",  # never-checked
-    "q87_market_basket",  # never-checked
-    "q88_supplier_affinity",  # never-checked
-    "s06_pq_adc_topk",  # never-checked
+    "d10_simhash_hamming",  # changed r6: row required
+    "s01_topk_bruteforce",  # changed r6: row required
+    "s03_topk_ivf",  # changed r6: row required
+    "s05_quantized_topk",  # changed r6: row required
+    "s06_pq_adc_topk",  # changed r6: row required
+    "i11_constraint_audit",  # changed r6: row required
+    "q79_triangle_count",  # changed r6: row required
+    "q89_dynamic_pivot",  # never-checked
     "s07_vector_quality_audit",  # never-checked
     "src11_multiline_csv_ingest",  # never-checked
     "src13_xml_ingest",  # never-checked
@@ -153,6 +114,8 @@ _PRIORITY: list[str] = [
     "src16_nested_json_flatten",  # never-checked
     "src17_zip_archive_ingest",  # never-checked
     "src18_packed_binary_ingest",  # never-checked
+    "src19_xlsx_datasource",  # never-checked
+    "src20_jdbc_roundtrip",  # never-checked
     "t16_distinctive_terms",  # never-checked
     "t17_countmin_audit",  # never-checked
     "t18_bigram_perplexity",  # never-checked
@@ -173,7 +136,6 @@ _PRIORITY: list[str] = [
     "g02_grid_detection",  # green r1
     "m01_media_metadata",  # green r1
     "m02_media_features",  # green r1
-    "s01_topk_bruteforce",  # green r1
     "s02_topk_lsh",  # green r1
     "src01_csv_ingest",  # green r1
     "src02_excel_ingest",  # green r1
@@ -234,7 +196,6 @@ _PRIORITY: list[str] = [
     "d07_dup_clusters",  # green r3
     "d08_edit_distance_neardup",  # green r3
     "d09_minhash_estimate",  # green r3
-    "d10_simhash_hamming",  # green r3
     "d11_dedup_survivors",  # green r3
     "evt01_watermarked_windows",  # green r3
     "evt02_session_windows",  # green r3
@@ -257,7 +218,6 @@ _PRIORITY: list[str] = [
     "q37_conditional_aggregates",  # green r3
     "q38_date_functions",  # green r3
     "q39_string_functions",  # green r3
-    "s03_topk_ivf",  # green r3
     "s04_ann_recall",  # green r3
     "src03_excel_native_ingest",  # green r3
     "src04_jsonl_ingest",  # green r3
@@ -314,7 +274,6 @@ _PRIORITY: list[str] = [
     "q56_mad_anomalies",  # green r4
     "q57_market_share",  # green r4
     "q58_supplier_hierarchy",  # green r4
-    "s05_quantized_topk",  # green r4
     "src07_gzip_csv_ingest",  # green r4
     "src08_corrupt_jsonl",  # green r4
     "src09_xls_datasource",  # green r4
@@ -329,6 +288,53 @@ _PRIORITY: list[str] = [
     "w08_merge_on_read_delete",  # green r4
     "w09_snapshot_time_travel",  # green r4
     "w10_manifest_pruning",  # green r4
+    "c04_html_strip",  # green r5
+    "d12_containment_pairs",  # green r5
+    "d13_banding_pr_audit",  # green r5
+    "d15_fuzzy_entity_join",  # green r5
+    "evt08_cusum_alerts",  # green r5
+    "evt09_record_high_events",  # green r5
+    "evt10_disorder_diagnostics",  # green r5
+    "evt11_seasonality_profile",  # green r5
+    "evt12_dynamic_gap_sessions",  # green r5
+    "evt13_freshness_gaps",  # green r5
+    "evt14_incremental_view_maintenance",  # green r5
+    "i07_sampled_infer",  # green r5
+    "i13_fd_discovery",  # green r5
+    "i14_median_imputation",  # green r5
+    "i16_column_entropy",  # green r5
+    "i17_mutual_information",  # green r5
+    "i18_pii_column_scan",  # green r5
+    "i19_benford_audit",  # green r5
+    "m08_multipart_reassembly",  # green r5
+    "m09_frame_motion_profile",  # green r5
+    "m10_payload_entropy",  # green r5
+    "p09_dedup_token_yield",  # green r5
+    "p10_tokenizer_fertility",  # green r5
+    "p11_k_anonymity_audit",  # green r5
+    "p13_erasure_propagation",  # green r5
+    "p14_target_encoding",  # green r5
+    "p15_weighted_sample",  # green r5
+    "p16_l_diversity",  # green r5
+    "q59_peak_trailing_spend",  # green r5
+    "q60_top_supplier",  # green r5
+    "q62_sliding_distinct_users",  # green r5
+    "q63_share_of_parent",  # green r5
+    "q65_interval_coverage",  # green r5
+    "q66_exact_correlation",  # green r5
+    "q67_cohort_retention",  # green r5
+    "q68_ordered_funnel",  # green r5
+    "q70_grouping_id",  # green r5
+    "q72_asof_rate_normalization",  # green r5
+    "q76_cumulative_uniques",  # green r5
+    "q77_bitemporal_restatement",  # green r5
+    "q82_rolling_trend",  # green r5
+    "q83_identity_stitching",  # green r5
+    "q84_pareto_frontier",  # green r5
+    "q85_subtree_rollup",  # green r5
+    "q86_gini_concentration",  # green r5
+    "q87_market_basket",  # green r5
+    "q88_supplier_affinity",  # green r5
 ]
 
 
