@@ -239,17 +239,21 @@ def dedup_growth(spark) -> dict:
     the band-join/blocking claim needs is ``t[100] / t[10]`` staying well
     under the 10x data ratio.
 
-    Runs on a FRESH session: the main suite's session accumulates shuffle
-    files, listener history, and heap fragmentation that inflated the
-    100-copy rung ~3-4x (measured round 4 — identical queries in a clean
-    session showed ratio 3.1 where the stale session showed 19-24)."""
-    from worker_etl_spark.queries import dedup_q
+    Runs on a FRESH session PER RUNG (round-6 tightening): session debris
+    — shuffle files, listener history, heap fragmentation — taxes
+    whichever rung runs LATER, not the bigger one per se; round 6 measured
+    the same 100-copy d10 at 13s when its rung ran first in a session and
+    80s when it ran second, while reversing the order moved the tax to the
+    10-copy rung.  A shared-session ladder therefore systematically
+    inflates the growth ratio (it always runs small→large); per-rung
+    sessions measure the plans."""
+    from worker_etl_spark.queries import dedup_q, release_persists
 
     dedup_q.clear_caches()  # drop the main smoke's persisted family frames
     spark.stop()
-    spark = get_spark("scale_smoke_ladder")
     out: dict[str, dict] = {"copies": {}}
     for copies in DEDUP_LADDER:
+        spark = get_spark(f"scale_smoke_ladder_{copies}")
         tmp = tempfile.mkdtemp(prefix=f"smoke_dedup_{copies}_")
         try:
             t0 = time.time()
@@ -275,6 +279,8 @@ def dedup_growth(spark) -> dict:
                 except Exception as exc:  # noqa: BLE001
                     print(f"dedup growth error in {name}: {exc}", file=sys.stderr)
                     timings[name] = -1.0
+                finally:
+                    release_persists()  # bounded per-query persists: untimed
             out["copies"][str(copies)] = {
                 "build_sec": build_s,
                 "untimed_family_warm_sec": warm_s,
@@ -282,6 +288,7 @@ def dedup_growth(spark) -> dict:
             }
         finally:
             dedup_q.clear_caches()
+            spark.stop()
             shutil.rmtree(tmp, ignore_errors=True)
     lo, hi = (str(c) for c in (DEDUP_LADDER[0], DEDUP_LADDER[-1]))
     data_ratio = DEDUP_LADDER[-1] / DEDUP_LADDER[0]
@@ -297,17 +304,19 @@ def similarity_growth() -> dict:
     """The ANN paths (SIM_QUERIES) on embeddings-only corpora at each
     SIM_LADDER copy count, query set held constant (see SIM_LADDER note).
 
-    Fresh session for the same reason as dedup_growth: session debris from
-    the prior suites inflates the big rung 3-4x and measures the JVM, not
-    the plans."""
+    Fresh session PER RUNG for the same reason as dedup_growth: session
+    debris taxes whichever rung runs later, and a shared-session ladder
+    always runs small→large, biasing the ratio upward."""
     from pyspark.sql import SparkSession
+
+    from worker_etl_spark.queries import release_persists
 
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    spark = get_spark("scale_smoke_sim")
     out: dict[str, dict] = {"copies": {}, "query_set": "pinned to base corpus"}
     for copies in SIM_LADDER:
+        spark = get_spark(f"scale_smoke_sim_{copies}")
         tmp = tempfile.mkdtemp(prefix=f"smoke_sim_{copies}_")
         try:
             t0 = time.time()
@@ -347,8 +356,11 @@ def similarity_growth() -> dict:
                 except Exception as exc:  # noqa: BLE001
                     print(f"sim growth error in {name}: {exc}", file=sys.stderr)
                     timings[name] = -1.0
+                finally:
+                    release_persists()
             out["copies"][str(copies)] = {"build_sec": build_s, **timings}
         finally:
+            spark.stop()
             shutil.rmtree(tmp, ignore_errors=True)
     lo, hi = (str(c) for c in (SIM_LADDER[0], SIM_LADDER[-1]))
     for name in SIM_QUERIES:

@@ -847,27 +847,55 @@ def d10_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by bucket occupancy, never O(n^2).  The hamming check itself is
     one codegen'd xor+bit_count per surviving candidate.
 
-    Band-width tuning law (measured by the growth ladder, and the reason B
-    is corpus-adaptive since round 6): on a corpus with NO shared
-    structure, key collisions are random and the candidate floor is
-    ~C(n,2)·n_keys·2^(-key_bits) — quadratic in n until key_bits outruns
-    log2(n).  ``_ham_band_plan`` therefore picks the smallest exact split
-    whose bucket count is ≥ n/τ: 2^15 to ~131k docs, 2^24 to ~67M, 2^30
-    beyond (the ladder's mutated copies are exactly the no-shared-structure
-    worst case, so its d10 rung measures this floor, not the near-dup
-    load).  The choice costs one count() of the documents table — metadata
-    -cheap on parquet — and the OUTPUT is invariant to it.  No reference
-    counterpart (dedup is a driver-mandated extension, SURVEY.md §2)."""
-    n_docs = read_table(spark, sf_dir, "documents").count()
-    n_bands, band_bits, subsets = _ham_band_plan(n_docs)
+    Execution composes three scale moves (round-6 rework, each measured by
+    the growth ladder):
+
+    1. **Identical-fingerprint collapse.**  Real corpora are dup-heavy —
+       on the ladder's 500k-doc rung ~95% of docs share their exact
+       fingerprint with others — so the band join runs over DISTINCT
+       fingerprints only (what Manku et al.'s fingerprint→doc-list store
+       does).  Within-group pairs are emitted directly as hamming-0 rows
+       by an equi-self-join on simhash (output-sized by definition);
+       cross-group pairs expand from surviving fingerprint pairs at the
+       very end, also output-sized.
+    2. **One emission per pair, no distinct.**  A pair within hamming ≤ 3
+       agrees on up to all C(B,3) keys; instead of emitting every
+       agreement into a |keys|×-amplified distinct shuffle, each joined
+       row keeps only the FIRST agreeing key — a codegen'd CASE over
+       (fp_a XOR fp_b) & key_mask, decided map-side — so the dedup
+       shuffle disappears entirely.
+    3. **Corpus-adaptive band split** (``_ham_band_plan`` over the
+       distinct-fingerprint count): random key collisions cost
+       ~C(D,2)·n_keys·2^(-key_bits), quadratic in D until key_bits
+       outruns log2(D); the plan widens keys 15→24→30 bits as D grows
+       so the random floor stays linear.  The OUTPUT is invariant to the
+       split, so the oracle keeps the B=4 formulation as the spec.
+
+    Both expansion joins pin their probe-side parallelism (the q79
+    lesson: AQE sizes partitions by input bytes and cannot see join
+    fan-out, so an output-sized explosion would otherwise run in one
+    task).  No reference counterpart (dedup is a driver-mandated
+    extension, SURVEY.md §2)."""
+    from worker_etl_spark.queries import bounded_persist
+    from worker_etl_spark.session import shuffle_width
+
     sim = _simhash_df(spark, sf_dir)
+    fps = bounded_persist(
+        sim.select("simhash").distinct(), "distinct fingerprints (≤ |docs|)"
+    )
+    n_fp = fps.count()
+    n_bands, band_bits, subsets = _ham_band_plan(n_fp)
+    band_mask = (1 << band_bits) - 1
+    key_masks = [
+        sum(band_mask << (b * band_bits) for b in sub) for sub in subsets
+    ]
     keys = F.array(
         *[
             F.struct(
                 F.lit(kid).alias("kid"),
                 F.expr(
                     " + ".join(
-                        f"(((simhash >> {b * band_bits}) & {(1 << band_bits) - 1})"
+                        f"(((simhash >> {b * band_bits}) & {band_mask})"
                         f" << {pos * band_bits})"
                         for pos, b in enumerate(sub)
                     )
@@ -876,26 +904,45 @@ def d10_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             for kid, sub in enumerate(subsets)
         ]
     )
-    bands = sim.select(
-        "doc_id", "simhash", F.explode(keys).alias("k")
-    ).select("doc_id", "simhash", F.col("k.kid").alias("kid"), F.col("k.val").alias("val"))
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "kid", "val"
+    bands = fps.select("simhash", F.explode(keys).alias("k")).select(
+        "simhash", F.col("k.kid").alias("kid"), F.col("k.val").alias("val")
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "kid", "val"
-    )
-    pairs = (
+    a = bands.select(F.col("simhash").alias("fp_a"), "kid", "val")
+    b = bands.select(F.col("simhash").alias("fp_b"), "kid", "val")
+    first_kid = "CASE " + " ".join(
+        f"WHEN ((fp_a ^ fp_b) & {m}) = 0 THEN {k}"
+        for k, m in enumerate(key_masks)
+    ) + " END"
+    fp_pairs = (
         a.join(b, ["kid", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
+        .filter(F.col("fp_a") < F.col("fp_b"))
+        .filter(F.expr(f"bit_count(fp_a ^ fp_b) <= {_HAM_MAX}"))
+        .filter(F.expr(f"kid = ({first_kid})"))
+        .select("fp_a", "fp_b")
     )
-    ham = F.expr("bit_count(sim_a ^ sim_b)").cast("long")
+    n_part = shuffle_width(spark)
+    docs_a = sim.select(F.col("simhash").alias("fp_a"), F.col("doc_id").alias("da"))
+    docs_b = sim.select(F.col("simhash").alias("fp_b"), F.col("doc_id").alias("db"))
+    cross = (
+        fp_pairs.repartition(n_part, "fp_a")  # pin pre-expansion width
+        .join(docs_a, "fp_a")
+        .join(docs_b, "fp_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.expr("bit_count(fp_a ^ fp_b)").cast("long").alias("hamming"),
+        )
+    )
+    s_a = sim.select("simhash", F.col("doc_id").alias("doc_a"))
+    s_b = sim.select("simhash", F.col("doc_id").alias("doc_b"))
+    within = (
+        s_a.repartition(n_part, "simhash")  # pin: groupwise-quadratic fan-out
+        .join(s_b, "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
     return (
-        pairs.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= _HAM_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        within.unionByName(cross)
         .orderBy("hamming", "doc_a", "doc_b")
     )
 
