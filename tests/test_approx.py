@@ -63,6 +63,27 @@ def test_guard_query_set_short_circuits_at_ceiling(spark, monkeypatch):
         )
 
 
+def test_guard_query_set_is_free_within_corpus_bound():
+    """When the memoized corpus count already fits the ceiling, the guard
+    must launch NO job at all (round-5 verdict: guard cost was billed to
+    query time) — pinned by handing it an object that explodes on any
+    DataFrame method."""
+    import pytest
+
+    from worker_etl_spark.queries.similarity_q import _guard_query_set
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise AssertionError("guard touched the frame despite corpus bound")
+
+    _guard_query_set(_Boom(), "bounded corpus", corpus_bound=100)
+    # corpus above the cap → must fall back to counting (and here, explode)
+    with pytest.raises(AssertionError, match="touched the frame"):
+        _guard_query_set(
+            _Boom(), "oversized corpus", corpus_bound=10**9
+        )
+
+
 def test_s06_oversized_query_set_fails_loudly(spark, monkeypatch):
     """s06's forced dtable broadcast grows as |queries|·S·K — it must hit
     the same loud contract error as s01/s03/s05 (ADVICE r5)."""
