@@ -205,6 +205,9 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"smoke error in {name}: {exc}", file=sys.stderr)
                 timings[name] = -1.0
+        # stop the main-suite session (and its JVM's claim on memory)
+        # before the ladders: each rung runs in its own subprocess/JVM.
+        spark.stop()
         result = {
             "metric": "scale_smoke_total_wall",
             "value": round(sum(v for v in timings.values() if v >= 0), 2),
@@ -212,15 +215,18 @@ def main() -> None:
             "copies": copies,
             "build_sec": build_s,
             "queries": timings,
-            "dedup_growth": dedup_growth(spark),
+            "dedup_growth": dedup_growth(),
             "similarity_growth": similarity_growth(),
         }
         result["ladder_note"] = (
-            "growth ladder runs on a FRESH SparkSession: after the 44-query "
-            "main suite the old session's accumulated state (shuffle files, "
-            "listener/UI history, JVM heap fragmentation) inflated the "
-            "100-copy rung ~3-4x vs the same queries in a clean session, "
-            "which measured session debris, not the plans"
+            "each growth-ladder rung runs in its OWN python subprocess "
+            "(fresh JVM): spark.stop()+new-session is NOT enough — the py4j "
+            "gateway JVM persists, and its debris taxes whichever rung runs "
+            "later (measured round 6: the identical 100-copy d10 plan ran "
+            "~13 s in a fresh process vs ~80-109 s after the main suite in "
+            "the same process, with per-rung sessions); a shared process "
+            "always runs small-to-large, so it systematically inflates "
+            "growth ratios"
         )
         print(json.dumps(result))
         if out_json:
@@ -230,146 +236,178 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def dedup_growth(spark) -> dict:
-    """The blocked-pair candidate generators on documents-only corpora at
-    each DEDUP_LADDER copy count.
+def _warm_session(spark, parquet_path: str) -> None:
+    """bench.py's warm-up discipline for a fresh rung JVM: prime parquet
+    footers, whole-stage codegen, and BOTH python-worker pools (mapInPandas
+    and grouped-map spin up independently) so the first timed query measures
+    the plan, not session bootstrap."""
+    spark.read.parquet(parquet_path).count()
+    warm = spark.range(256).selectExpr("id", "CAST(id AS double) AS v")
+    warm.mapInPandas(lambda it: it, schema="id long, v double").count()
+    warm.groupBy("id").applyInPandas(lambda p: p, schema="id long, v double").count()
 
-    The mutated-copy build keeps the near-dup rate constant, so candidate-
-    pair volume should scale with the corpus, not its square: the evidence
-    the band-join/blocking claim needs is ``t[100] / t[10]`` staying well
-    under the 10x data ratio.
 
-    Runs on a FRESH session PER RUNG (round-6 tightening): session debris
-    — shuffle files, listener history, heap fragmentation — taxes
-    whichever rung runs LATER, not the bigger one per se; round 6 measured
-    the same 100-copy d10 at 13s when its rung ran first in a session and
-    80s when it ran second, while reversing the order moved the tax to the
-    10-copy rung.  A shared-session ladder therefore systematically
-    inflates the growth ratio (it always runs small→large); per-rung
-    sessions measure the plans."""
+def _time_queries(spark, names, sf_dir: str) -> dict:
+    """min-of-two-passes per query (the standard noise-robust estimator:
+    this VM's wall-clocks swing 2-5x run-to-run under host contention, and
+    a growth RATIO of one-shot times is dominated by that noise)."""
+    from worker_etl_spark.queries import release_persists
+
+    registry = load_all()
+    passes: list[dict[str, float]] = []
+    for _ in range(2):
+        t: dict[str, float] = {}
+        for name in names:
+            t0 = time.time()
+            try:
+                registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t[name] = round(time.time() - t0, 2)
+            except Exception as exc:  # noqa: BLE001
+                print(f"growth error in {name}: {exc}", file=sys.stderr)
+                t[name] = -1.0
+            finally:
+                release_persists()
+        passes.append(t)
+    best = {
+        n: (min(v for v in (p[n] for p in passes) if v >= 0)
+            if any(p[n] >= 0 for p in passes) else -1.0)
+        for n in names
+    }
+    best["_passes"] = passes
+    return best
+
+
+def dedup_rung(spark, copies: int) -> dict:
+    """One dedup-ladder rung in the CURRENT session: build the documents-only
+    corpus at *copies*, warm the shared family frames untimed, time each
+    candidate generator."""
     from worker_etl_spark.queries import dedup_q, release_persists
 
-    dedup_q.clear_caches()  # drop the main smoke's persisted family frames
-    spark.stop()
+    tmp = tempfile.mkdtemp(prefix=f"smoke_dedup_{copies}_")
+    try:
+        t0 = time.time()
+        build(spark, tmp, copies, tables={"documents": ["doc_id"]})
+        build_s = round(time.time() - t0, 1)
+        # Materialize the shared family frames untimed (bench.py's
+        # attribution discipline): otherwise whichever query runs first
+        # in the rung — d07 — bills the one-time shingle/simhash build
+        # and its growth ratio measures the warm, not the plan.
+        t0 = time.time()
+        _warm_session(spark, os.path.join(tmp, "documents.parquet"))
+        dedup_q._shingles(spark, tmp).count()
+        dedup_q._simhash_df(spark, tmp).count()
+        warm_s = round(time.time() - t0, 1)
+        return {
+            "build_sec": build_s,
+            "untimed_family_warm_sec": warm_s,
+            **_time_queries(spark, DEDUP_QUERIES, tmp),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def sim_rung(spark, copies: int) -> dict:
+    """One similarity-ladder rung in the CURRENT session (query set pinned
+    to the base corpus — see SIM_LADDER note)."""
+    from worker_etl_spark.queries import release_persists
+
+    tmp = tempfile.mkdtemp(prefix=f"smoke_sim_{copies}_")
+    try:
+        t0 = time.time()
+        emb = _replicate(
+            read_table(spark, BASE_SF, "embeddings"),
+            ["vec_id"],
+            copies,
+            mutate_text=False,
+        )
+        # Pin the query workload: replica copies contribute CANDIDATES
+        # only — rows landing on the query (%50), IVF-centroid (%31),
+        # or ADC-query (%97) strides are dropped from copies i>0, so
+        # every collected/broadcast matrix stays base-corpus-sized no
+        # matter how far the corpus scales (the production contract the
+        # query-set guard enforces).
+        emb = emb.filter(
+            (F.col("vec_id") < OFFSET)
+            | (
+                (F.col("vec_id") % 50 != 0)
+                & (F.col("vec_id") % 31 != 0)
+                & (F.col("vec_id") % 97 != 0)
+            )
+        )
+        emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+        build_s = round(time.time() - t0, 1)
+        _warm_session(spark, os.path.join(tmp, "embeddings.parquet"))
+        return {"build_sec": build_s, **_time_queries(spark, SIM_QUERIES, tmp)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: Ladder isolation (round-6 protocol fix): ``spark.stop()`` + a new session
+#: does NOT give a clean measurement — the py4j gateway JVM persists, and its
+#: debris (heap fragmentation, GC pressure, code cache, accumulated listener
+#: state) taxes whichever rung runs later.  Measured on the identical d10
+#: plan at the 100-copy rung: ~13 s in a fresh python process, ~80-109 s
+#: after the 44-query main suite in the same process, regardless of
+#: per-rung session restarts.  A shared process always runs small→large, so
+#: it systematically inflates growth ratios.  Each rung therefore runs in
+#: its OWN python subprocess (fresh JVM); the parent only assembles ratios.
+def _growth_subproc(kind: str, ladder, queries, extra: dict | None = None) -> dict:
+    import subprocess
+
     out: dict[str, dict] = {"copies": {}}
-    for copies in DEDUP_LADDER:
-        spark = get_spark(f"scale_smoke_ladder_{copies}")
-        tmp = tempfile.mkdtemp(prefix=f"smoke_dedup_{copies}_")
-        try:
-            t0 = time.time()
-            build(spark, tmp, copies, tables={"documents": ["doc_id"]})
-            build_s = round(time.time() - t0, 1)
-            # Materialize the shared family frames untimed (bench.py's
-            # attribution discipline): otherwise whichever query runs first
-            # in the rung — d07 — bills the one-time shingle/simhash build
-            # and its growth ratio measures the warm, not the plan.
-            t0 = time.time()
-            dedup_q._shingles(spark, tmp).count()
-            dedup_q._simhash_df(spark, tmp).count()
-            warm_s = round(time.time() - t0, 1)
-            registry = load_all()
-            timings: dict[str, float] = {}
-            for name in DEDUP_QUERIES:
-                t0 = time.time()
-                try:
-                    registry[name].fn(spark, tmp).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    timings[name] = round(time.time() - t0, 2)
-                except Exception as exc:  # noqa: BLE001
-                    print(f"dedup growth error in {name}: {exc}", file=sys.stderr)
-                    timings[name] = -1.0
-                finally:
-                    release_persists()  # bounded per-query persists: untimed
-            out["copies"][str(copies)] = {
-                "build_sec": build_s,
-                "untimed_family_warm_sec": warm_s,
-                **timings,
-            }
-        finally:
-            dedup_q.clear_caches()
-            spark.stop()
-            shutil.rmtree(tmp, ignore_errors=True)
-    lo, hi = (str(c) for c in (DEDUP_LADDER[0], DEDUP_LADDER[-1]))
-    data_ratio = DEDUP_LADDER[-1] / DEDUP_LADDER[0]
-    for name in DEDUP_QUERIES:
-        a, b = out["copies"][lo].get(name), out["copies"][hi].get(name)
+    if extra:
+        out.update(extra)
+    for copies in ladder:
+        rung_json = tempfile.mktemp(prefix=f"rung_{kind}_{copies}_", suffix=".json")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rung", kind,
+             str(copies), rung_json],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if proc.returncode != 0:
+            print(f"{kind} rung {copies} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+            out["copies"][str(copies)] = {"error": proc.returncode}
+            continue
+        with open(rung_json) as fh:
+            out["copies"][str(copies)] = json.load(fh)
+        os.unlink(rung_json)
+    lo, hi = (str(c) for c in (ladder[0], ladder[-1]))
+    for name in queries:
+        a, b = out["copies"].get(lo, {}).get(name), out["copies"].get(hi, {}).get(name)
         if a and b and a > 0 and b > 0:
             out[f"{name}_time_ratio"] = round(b / a, 2)
-    out["data_ratio"] = data_ratio
+    out["data_ratio"] = ladder[-1] / ladder[0]
     return out
+
+
+def dedup_growth(spark=None) -> dict:
+    """Blocked-pair candidate generators at each DEDUP_LADDER copy count,
+    one fresh python subprocess (fresh JVM) per rung.  The mutated-copy
+    build keeps the near-dup rate constant, so the evidence the band-join/
+    blocking claims need is ``t[100]/t[10]`` staying under the 10x data
+    ratio."""
+    return _growth_subproc("dedup", DEDUP_LADDER, DEDUP_QUERIES)
 
 
 def similarity_growth() -> dict:
-    """The ANN paths (SIM_QUERIES) on embeddings-only corpora at each
-    SIM_LADDER copy count, query set held constant (see SIM_LADDER note).
+    """ANN paths at each SIM_LADDER copy count, query set pinned to the
+    base corpus, one fresh subprocess per rung."""
+    return _growth_subproc(
+        "sim", SIM_LADDER, SIM_QUERIES, extra={"query_set": "pinned to base corpus"}
+    )
 
-    Fresh session PER RUNG for the same reason as dedup_growth: session
-    debris taxes whichever rung runs later, and a shared-session ladder
-    always runs small→large, biasing the ratio upward."""
-    from pyspark.sql import SparkSession
 
-    from worker_etl_spark.queries import release_persists
-
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
-    out: dict[str, dict] = {"copies": {}, "query_set": "pinned to base corpus"}
-    for copies in SIM_LADDER:
-        spark = get_spark(f"scale_smoke_sim_{copies}")
-        tmp = tempfile.mkdtemp(prefix=f"smoke_sim_{copies}_")
-        try:
-            t0 = time.time()
-            emb = _replicate(
-                read_table(spark, BASE_SF, "embeddings"),
-                ["vec_id"],
-                copies,
-                mutate_text=False,
-            )
-            # Pin the query workload: replica copies contribute CANDIDATES
-            # only — rows landing on the query (%50), IVF-centroid (%31),
-            # or ADC-query (%97) strides are dropped from copies i>0, so
-            # every collected/broadcast matrix stays base-corpus-sized no
-            # matter how far the corpus scales (the production contract the
-            # new _check_query_set_size guard enforces).
-            emb = emb.filter(
-                (F.col("vec_id") < OFFSET)
-                | (
-                    (F.col("vec_id") % 50 != 0)
-                    & (F.col("vec_id") % 31 != 0)
-                    & (F.col("vec_id") % 97 != 0)
-                )
-            )
-            emb.write.mode("overwrite").parquet(
-                os.path.join(tmp, "embeddings.parquet")
-            )
-            build_s = round(time.time() - t0, 1)
-            registry = load_all()
-            timings: dict[str, float] = {}
-            for name in SIM_QUERIES:
-                t0 = time.time()
-                try:
-                    registry[name].fn(spark, tmp).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    timings[name] = round(time.time() - t0, 2)
-                except Exception as exc:  # noqa: BLE001
-                    print(f"sim growth error in {name}: {exc}", file=sys.stderr)
-                    timings[name] = -1.0
-                finally:
-                    release_persists()
-            out["copies"][str(copies)] = {"build_sec": build_s, **timings}
-        finally:
-            spark.stop()
-            shutil.rmtree(tmp, ignore_errors=True)
-    lo, hi = (str(c) for c in (SIM_LADDER[0], SIM_LADDER[-1]))
-    for name in SIM_QUERIES:
-        a, b = out["copies"][lo].get(name), out["copies"][hi].get(name)
-        if a and b and a > 0 and b > 0:
-            out[f"{name}_time_ratio"] = round(b / a, 2)
-    out["data_ratio"] = SIM_LADDER[-1] / SIM_LADDER[0]
-    return out
+def _rung_main(kind: str, copies: int, out_json: str) -> None:
+    spark = get_spark(f"scale_smoke_{kind}_rung_{copies}")
+    rung = dedup_rung(spark, copies) if kind == "dedup" else sim_rung(spark, copies)
+    with open(out_json, "w") as fh:
+        json.dump(rung, fh)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--rung":
+        _rung_main(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+    else:
+        main()
