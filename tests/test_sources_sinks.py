@@ -655,3 +655,64 @@ def test_xlsgrid_datasource_reads_xlsx_and_mixed_dirs(spark, tmp_path):
 
     with _pytest.raises(Exception, match="neither"):
         XlsGridReader({"path": str(bad)}).partitions()
+
+
+def test_xlsgrid_option_pruning_prunes_partitions(spark, tmp_path):
+    """Partition pruning via IMMUTABLE per-load read options: ``sheets`` /
+    ``files`` drop non-matching (file, sheet) InputPartitions at plan time
+    — a single-sheet read decodes ONE sheet — and, because the options are
+    fixed at load(), every query over the same frame sees the same
+    partitions (the property Spark 4.1's pushFilters API cannot give a
+    stateful reader; see the regression test below)."""
+    from worker_etl_spark.sources.biff import write_minimal_xls
+    from worker_etl_spark.sources.excel import write_minimal_xlsx
+    from worker_etl_spark.sources.pyds import register_xlsgrid
+
+    write_minimal_xls(
+        str(tmp_path / "a.xls"), {"S1": [["v"], ["1"]], "S2": [["v"], ["2"]]}
+    )
+    write_minimal_xlsx(
+        str(tmp_path / "b.xlsx"), {"S3": [["v"], ["3"]], "S4": [["v"], ["4"]]}
+    )
+    register_xlsgrid(spark)
+
+    def read():  # fresh builder per load: DataFrameReader.option mutates
+        return spark.read.format("xlsgrid").option("path", str(tmp_path))
+
+    assert read().load().rdd.getNumPartitions() == 4
+    one = read().option("sheets", "S3").load()
+    assert one.rdd.getNumPartitions() == 1
+    assert sorted((r.sheet, r.row_idx) for r in one.collect()) == [("S3", 0), ("S3", 1)]
+    two = read().option("sheets", "S1, S2").option("files", "a.xls").load()
+    assert two.rdd.getNumPartitions() == 2
+    assert sorted({(r.file, r.sheet) for r in two.collect()}) == [
+        ("a.xls", "S1"), ("a.xls", "S2"),
+    ]
+    # JSON form for names containing commas
+    js = read().option("sheets", '["S1","S4"]').load()
+    assert js.rdd.getNumPartitions() == 2
+    # row-grain predicates stay Spark-side and correct on pruned frames
+    assert one.filter("row_idx > 0").count() == 1
+
+
+def test_xlsgrid_pushfilters_unsound_on_this_spark(spark, tmp_path):
+    """Regression pin for WHY xlsgrid prunes via read options instead of
+    the Spark 4.1 Python-DataSource pushFilters API: the planner keeps
+    post-pushFilters reader state per RELATION and skips the call for
+    queries with no pushdown-eligible conjuncts, so a stateful pruning
+    reader silently corrupts later queries over the same loaded frame
+    (measured: after filter(sheet=...).count(), a plain df.count()
+    returned the pruned count).  This test asserts the SAFE behavior of
+    the shipped reader: a pruned query never changes a sibling query's
+    result on the same frame."""
+    from worker_etl_spark.sources.biff import write_minimal_xls
+    from worker_etl_spark.sources.pyds import register_xlsgrid
+
+    write_minimal_xls(
+        str(tmp_path / "a.xls"), {"S1": [["v"], ["1"]], "S2": [["v"], ["2"]]}
+    )
+    register_xlsgrid(spark)
+    df = spark.read.format("xlsgrid").option("path", str(tmp_path)).load()
+    assert df.filter("sheet = 'S1'").count() == 2
+    assert df.count() == 4  # unchanged by the sibling filtered query
+    assert df.filter("sheet = 'S1' or row_idx = 1").count() == 3

@@ -738,12 +738,19 @@ def src09_xls_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     register_xlsgrid(spark)
-    grid = spark.read.format("xlsgrid").option("path", path).load()
-    wide = widen_grid(grid)
-    # one typed tail per sheet: the sheet IS the table boundary
+    # one typed tail per sheet, each from a per-sheet PRUNED load (the
+    # ``sheets`` read option drops non-matching (file, sheet) partitions at
+    # plan time, so each tail decodes exactly one sheet; option-based
+    # pruning, not pushFilters — see sources/pyds.py for why)
     out = []
     for sheet, label in (("Nations", "nations"), ("Regions", "regions")):
-        t = _grid_to_typed(wide.filter(F.col("sheet") == sheet))
+        grid = (
+            spark.read.format("xlsgrid")
+            .option("path", path)
+            .option("sheets", sheet)
+            .load()
+        )
+        t = _grid_to_typed(widen_grid(grid))
         out.append(
             t.select(
                 F.lit(label).alias("src_table"),
@@ -807,8 +814,9 @@ def src19_xlsx_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     register_xlsgrid(spark)
-    grid = spark.read.format("xlsgrid").option("path", tmp).load()
-    wide = widen_grid(grid)
+    # per-sheet pruned loads: each tail decodes ONE (file, sheet) partition
+    # out of the mixed-generation directory (option-based pruning — see
+    # sources/pyds.py for why this is a read option, not pushFilters)
     out = []
     for sheet, label in (
         ("Nations", "nations"),
@@ -816,7 +824,13 @@ def src19_xlsx_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("SuppliersEven", "suppliers"),
         ("SuppliersOdd", "suppliers"),
     ):
-        t = _grid_to_typed(wide.filter(F.col("sheet") == sheet))
+        grid = (
+            spark.read.format("xlsgrid")
+            .option("path", tmp)
+            .option("sheets", sheet)
+            .load()
+        )
+        t = _grid_to_typed(widen_grid(grid))
         out.append(
             t.select(
                 F.lit(label).alias("src_table"),

@@ -92,6 +92,30 @@ class XlsGridReader(DataSourceReader):
         if not path:
             raise ValueError("xlsgrid requires a path: .load('/dir/or/file.xls')")
         self._path = path
+        #: partition pruning via IMMUTABLE per-load read options — NOT the
+        #: Spark 4.1 pushFilters API, which is unsound for this source: the
+        #: planner stores post-pushFilters reader state per RELATION and
+        #: skips the pushFilters call for queries with no pushdown-eligible
+        #: conjuncts, so one query's pruning silently corrupts the next
+        #: (measured on 4.1.2: after filter(sheet='S1').count(), a plain
+        #: df.count() on the same loaded frame returned the PRUNED count;
+        #: tests/test_sources_sinks.py pins the safe behavior).  Options are
+        #: fixed at load() time, so every query over the frame sees the
+        #: same partitions.  Values: JSON list ('["Sheet, with comma"]') or
+        #: comma-separated names; files match by basename.
+        self._keep_files = self._parse_names(options.get("files"))
+        self._keep_sheets = self._parse_names(options.get("sheets"))
+
+    @staticmethod
+    def _parse_names(raw) -> set[str] | None:  # noqa: ANN001
+        if raw is None or raw == "":
+            return None
+        raw = str(raw)
+        if raw.lstrip().startswith("["):
+            import json as _json
+
+            return {str(v) for v in _json.loads(raw)}
+        return {v.strip() for v in raw.split(",")}
 
     def _files(self) -> list[str]:
         if os.path.isdir(self._path):
@@ -103,11 +127,17 @@ class XlsGridReader(DataSourceReader):
         return [self._path]
 
     def partitions(self) -> Sequence[InputPartition]:
+        keep_file = self._keep_files
+        keep_sheet = self._keep_sheets
         parts: list[InputPartition] = []
         for f in self._files():
+            if keep_file is not None and os.path.basename(f) not in keep_file:
+                continue
             with open(f, "rb") as fh:
                 content = fh.read()
             for sheet in _sheet_names(content):  # raises on non-Excel magic
+                if keep_sheet is not None and sheet not in keep_sheet:
+                    continue
                 parts.append(InputPartition((f, sheet)))
         return parts
 
