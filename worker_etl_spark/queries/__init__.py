@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "s06_pq_adc_topk",  # changed r6: row required
     "i11_constraint_audit",  # changed r6: row required
     "q79_triangle_count",  # changed r6: row required
+    "src09_xls_datasource",  # changed r6: per-sheet pruned loads — row required
     "q89_dynamic_pivot",  # never-checked
     "s07_vector_quality_audit",  # never-checked
     "src11_multiline_csv_ingest",  # never-checked
@@ -276,7 +277,6 @@ _PRIORITY: list[str] = [
     "q58_supplier_hierarchy",  # green r4
     "src07_gzip_csv_ingest",  # green r4
     "src08_corrupt_jsonl",  # green r4
-    "src09_xls_datasource",  # green r4
     "src10_fixed_width_ingest",  # green r4
     "t13_word_entropy",  # green r4
     "t14_substring_dup_share",  # green r4
