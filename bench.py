@@ -102,8 +102,14 @@ def main() -> None:
                 release_persists()
         return t
 
+    # host load is RECORDED with the sweep (round-6 verdict #5): the >2x
+    # per-query regression rule consults it mechanically — a sweep taken at
+    # load ≳ cores/2, or whose warm pass is slower than its cold pass, is
+    # contaminated by contention, not by a plan change.
+    load_before = os.getloadavg()
     cold = run_pass()
     timings = run_pass()
+    load_after = os.getloadavg()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
@@ -117,6 +123,8 @@ def main() -> None:
                 "queries": timings,
                 "cold_total_sec": round(sum(v for v in cold.values() if v >= 0), 3),
                 "untimed_shingle_warm_sec": shingle_warm,
+                "load_avg_before": [round(x, 2) for x in load_before],
+                "load_avg_after": [round(x, 2) for x in load_after],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -247,15 +247,28 @@ def _warm_session(spark, parquet_path: str) -> None:
     warm.groupBy("id").applyInPandas(lambda p: p, schema="id long, v double").count()
 
 
+#: Pass-dispersion ceiling: a rung whose repeated passes disagree by more
+#: than this factor is reported as UNMEASURED instead of contributing a
+#: ratio — round-6's min-of-two protocol recorded 40x pass disagreements
+#: (d14: 7.88 s vs 98.39 s), and a headline ratio computed from the min of
+#: two samples that dispersed is one bad draw from flipping a verdict.
+MAX_PASS_DISAGREEMENT = 3.0
+N_PASSES = 3
+
+
 def _time_queries(spark, names, sf_dir: str) -> dict:
-    """min-of-two-passes per query (the standard noise-robust estimator:
-    this VM's wall-clocks swing 2-5x run-to-run under host contention, and
-    a growth RATIO of one-shot times is dominated by that noise)."""
+    """MEDIAN of ≥3 passes per query, with per-query min/max spread recorded
+    and any query whose passes disagree by more than MAX_PASS_DISAGREEMENT
+    marked unmeasured (round-6 verdict: this VM's wall-clocks swing 2-5x
+    under host contention; a min-of-two estimator silently launders that
+    noise into growth ratios)."""
+    import statistics
+
     from worker_etl_spark.queries import release_persists
 
     registry = load_all()
     passes: list[dict[str, float]] = []
-    for _ in range(2):
+    for _ in range(N_PASSES):
         t: dict[str, float] = {}
         for name in names:
             t0 = time.time()
@@ -270,13 +283,18 @@ def _time_queries(spark, names, sf_dir: str) -> dict:
             finally:
                 release_persists()
         passes.append(t)
-    best = {
-        n: (min(v for v in (p[n] for p in passes) if v >= 0)
-            if any(p[n] >= 0 for p in passes) else -1.0)
-        for n in names
-    }
-    best["_passes"] = passes
-    return best
+    out: dict = {"_passes": passes, "_spread": {}, "_unmeasured": []}
+    for n in names:
+        ok = [p[n] for p in passes if p[n] >= 0]
+        if not ok:
+            out[n] = -1.0
+            continue
+        disagree = round(max(ok) / max(min(ok), 1e-9), 2)
+        out["_spread"][n] = {"min": min(ok), "max": max(ok), "disagree_x": disagree}
+        out[n] = round(statistics.median(ok), 2)
+        if disagree > MAX_PASS_DISAGREEMENT:
+            out["_unmeasured"].append(n)
+    return out
 
 
 def dedup_rung(spark, copies: int) -> dict:
@@ -360,25 +378,50 @@ def _growth_subproc(kind: str, ladder, queries, extra: dict | None = None) -> di
     if extra:
         out.update(extra)
     for copies in ladder:
-        rung_json = tempfile.mktemp(prefix=f"rung_{kind}_{copies}_", suffix=".json")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--rung", kind,
-             str(copies), rung_json],
-            capture_output=True, text=True, timeout=3600,
+        fd, rung_json = tempfile.mkstemp(
+            prefix=f"rung_{kind}_{copies}_", suffix=".json"
         )
+        os.close(fd)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--rung", kind,
+                 str(copies), rung_json],
+                capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # record the rung as errored instead of aborting the whole smoke
+            # run and discarding every previously collected result
+            print(f"{kind} rung {copies} timed out (3600 s)", file=sys.stderr)
+            out["copies"][str(copies)] = {"error": "timeout_3600s"}
+            os.unlink(rung_json)
+            continue
         if proc.returncode != 0:
             print(f"{kind} rung {copies} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
             out["copies"][str(copies)] = {"error": proc.returncode}
+            os.unlink(rung_json)
             continue
         with open(rung_json) as fh:
             out["copies"][str(copies)] = json.load(fh)
         os.unlink(rung_json)
     lo, hi = (str(c) for c in (ladder[0], ladder[-1]))
+    unmeasured = set(out["copies"].get(lo, {}).get("_unmeasured", [])) | set(
+        out["copies"].get(hi, {}).get("_unmeasured", [])
+    )
     for name in queries:
+        if name in unmeasured:
+            # a ratio of medians whose passes disagreed >MAX_PASS_DISAGREEMENT
+            # would be noise wearing a verdict's clothes — report it as such
+            out[f"{name}_time_ratio"] = "unmeasured_pass_disagreement"
+            continue
         a, b = out["copies"].get(lo, {}).get(name), out["copies"].get(hi, {}).get(name)
-        if a and b and a > 0 and b > 0:
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)) and a > 0 and b > 0:
             out[f"{name}_time_ratio"] = round(b / a, 2)
     out["data_ratio"] = ladder[-1] / ladder[0]
+    out["protocol"] = (
+        f"median of {N_PASSES} passes per rung, per-query min/max recorded in "
+        f"_spread; any query with pass disagreement > {MAX_PASS_DISAGREEMENT}x "
+        "on either endpoint rung is reported unmeasured instead of ratio'd"
+    )
     return out
 
 

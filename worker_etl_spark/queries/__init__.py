@@ -59,8 +59,25 @@ def bounded_persist(df: DataFrame, bound: str) -> DataFrame:
     return out
 
 
+#: post-materialization cleanup hooks (round-6 ADVICE: src20's in-memory
+#: Derby databases are JVM-lifetime unless explicitly dropped).  A query
+#: that allocates session-external state registers a thunk here; harnesses
+#: already call release_persists() after materializing each result, which
+#: also drains these.  Like the persists, hooks must only run AFTER the
+#: query's returned DataFrame has been materialized.
+_CLEANUP_HOOKS: list[Callable[[], None]] = []
+
+
+def defer_cleanup(hook: Callable[[], None]) -> None:
+    """Register a thunk to run at the next ``release_persists()`` — for
+    query-allocated state that outlives the returned DataFrame (embedded
+    databases, temp registrations)."""
+    _CLEANUP_HOOKS.append(hook)
+
+
 def release_persists() -> int:
-    """Unpersist every tracked bounded frame; returns how many released.
+    """Unpersist every tracked bounded frame (and run deferred cleanup
+    hooks); returns how many frames were released.
 
     Call AFTER the query's returned DataFrame has been materialized —
     the persists back lazy lineage until then."""
@@ -72,87 +89,48 @@ def release_persists() -> int:
             n += 1
         except Exception:  # noqa: BLE001 — session already stopped
             pass
+    while _CLEANUP_HOOKS:
+        hook = _CLEANUP_HOOKS.pop()
+        try:
+            hook()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
     return n
 
 
 # Driver-facing ordering.  The correctness gate records a bounded window of
-# registry entries (observed: the first 50, in insertion order), so entries are
-# deliberately ordered by how much a fresh correctness row is worth:
-#   1. queries whose fixes have never been re-verified (t01, g01),
-#   2. queries that have never had a driver row (round-2 families),
-#   3. queries new this round,
-#   4. queries whose only green row is from round 1,
-#   5. everything already hash-green in round 2 (their rows stand).
-# Names not yet registered are skipped; registered names missing from the list
-# are appended in module insertion order, so nothing is ever dropped.
-# ROTATION NOTE: regenerate with tools/rotate_priority.py after each driver
-# gate lands — fresh-row entries move to the back, the oldest never-checked
-# block moves into the window.  REGISTRATION FREEZE (round-3 verdict, held
-# through round 5): no new queries until the never-checked backlog fits one
-# window; the three round-3 parity failures are the evidence that unverified
-# breadth is risk, not progress.
-# --- round-6 rotation: the 7 queries materially changed this round lead ---
-# --- (adaptive d10 banding, short-circuit similarity guards, i11/q79     ---
-# --- touch-ups), then the FINAL never-checked backlog — the last 25 plus ---
-# --- the 3 queries newly registered as the freeze lifted (src19 xlsx,    ---
-# --- q89 dynamic pivot, src20 jdbc) = 35 rows, all inside the ~50-row    ---
-# --- window → 237/237 driver-confirmed after this round's gate.          ---
+# registry entries (observed: the first 50, in insertion order), so entries
+# are deliberately ordered by how much a fresh correctness row is worth.
+#
+# STALENESS-ROTATION POLICY (round-6 verdict #1 — in force from round 7, now
+# that the never-checked backlog is zero and every query has at least one
+# green row): the window's job is keeping "237/237 driver-confirmed" TRUE
+# rather than historical, so each round the order is
+#   1. queries MATERIALLY CHANGED this round (their old rows describe code
+#      that no longer exists — a fresh row is mandatory),
+#   2. every remaining query by STALEST newest-green-row first (ties broken
+#      by name), so the oldest evidence is refreshed first and every query's
+#      row age is bounded by ~(237/50) ≈ 5 rounds.
+# Mechanically: run tools/rotate_priority.py (it computes the stalest-first
+# order from all CORRECTNESS_r*.json), then move this round's materially-
+# changed set to the very front.  Names not yet registered are skipped;
+# registered names missing from the list are appended in module insertion
+# order, so nothing is ever dropped.
+# --- round-7 rotation: 5 changed (d06 broadcast shrink, src09/src19 pyds
+# --- option hardening + fixture cap, src20 Derby lifecycle, w09 atomic
+# --- version claim), then the stalest-green block — the r2 rows (d02-d05,
+# --- i01-i06, q01-q35), whose code has seen two years of shared-helper
+# --- evolution since their only driver row.
 _PRIORITY: list[str] = [
-    "d10_simhash_hamming",  # changed r6: row required
-    "s01_topk_bruteforce",  # changed r6: row required
-    "s03_topk_ivf",  # changed r6: row required
-    "s05_quantized_topk",  # changed r6: row required
-    "s06_pq_adc_topk",  # changed r6: row required
-    "i11_constraint_audit",  # changed r6: row required
-    "q79_triangle_count",  # changed r6: row required
-    "src09_xls_datasource",  # changed r6: per-sheet pruned loads — row required
-    "q89_dynamic_pivot",  # never-checked
-    "s07_vector_quality_audit",  # never-checked
-    "src11_multiline_csv_ingest",  # never-checked
-    "src13_xml_ingest",  # never-checked
-    "src14_codec_roundtrip",  # never-checked
-    "src15_latin1_csv_ingest",  # never-checked
-    "src16_nested_json_flatten",  # never-checked
-    "src17_zip_archive_ingest",  # never-checked
-    "src18_packed_binary_ingest",  # never-checked
-    "src19_xlsx_datasource",  # never-checked
-    "src20_jdbc_roundtrip",  # never-checked
-    "t16_distinctive_terms",  # never-checked
-    "t17_countmin_audit",  # never-checked
-    "t18_bigram_perplexity",  # never-checked
-    "t19_zipf_fit",  # never-checked
-    "t20_code_detection",  # never-checked
-    "t22_langid_metrics",  # never-checked
-    "t23_readability",  # never-checked
-    "t25_template_detection",  # never-checked
-    "t26_script_detection",  # never-checked
-    "t27_line_boilerplate",  # never-checked
-    "t28_collocations",  # never-checked
-    "v04_feature_hashing",  # never-checked
-    "w11_snapshot_diff_cdc",  # never-checked
-    "w12_partition_evolution",  # never-checked
-    "w13_compaction_plan",  # never-checked
-    "w14_inferred_members",  # never-checked
-    "w16_row_ttl_retention",  # never-checked
-    "g02_grid_detection",  # green r1
-    "m01_media_metadata",  # green r1
-    "m02_media_features",  # green r1
-    "s02_topk_lsh",  # green r1
-    "src01_csv_ingest",  # green r1
-    "src02_excel_ingest",  # green r1
-    "srm01_stream_ingest",  # green r1
-    "t02_quality_score",  # green r1
-    "t03_langid",  # green r1
-    "t04_fingerprint",  # green r1
-    "c01_trim_null_normalize",  # green r2
-    "c02_drop_all_null_rows",  # green r2
-    "c03_sanitized_projection",  # green r2
-    "d01_exact_dedup",  # green r2
+    "d06_embedding_neardup",  # changed r7: float32 broadcast + memoized guard count — row required
+    "src09_xls_datasource",  # changed r7: pyds option-parse hardening — row required
+    "src19_xlsx_datasource",  # changed r7: fixed 200-row fixture slice + pyds — row required
+    "src20_jdbc_roundtrip",  # changed r7: uuid-named Derby db + drop lifecycle — row required
+    "w09_snapshot_time_travel",  # changed r7: atomic rename version claim in snapshot_write — row required
     "d02_minhash_signatures",  # green r2
     "d03_lsh_buckets",  # green r2
     "d04_simhash",  # green r2
     "d05_ngram_jaccard",  # green r2
-    "d06_embedding_neardup",  # green r2
     "i01_infer_types",  # green r2
     "i02_align_coerce",  # green r2
     "i03_catalog_schema_reingest",  # green r2
@@ -286,7 +264,6 @@ _PRIORITY: list[str] = [
     "w06_zorder_layout",  # green r4
     "w07_dynamic_partition_overwrite",  # green r4
     "w08_merge_on_read_delete",  # green r4
-    "w09_snapshot_time_travel",  # green r4
     "w10_manifest_pruning",  # green r4
     "c04_html_strip",  # green r5
     "d12_containment_pairs",  # green r5
@@ -335,6 +312,53 @@ _PRIORITY: list[str] = [
     "q86_gini_concentration",  # green r5
     "q87_market_basket",  # green r5
     "q88_supplier_affinity",  # green r5
+    "c01_trim_null_normalize",  # green r6
+    "c02_drop_all_null_rows",  # green r6
+    "c03_sanitized_projection",  # green r6
+    "d01_exact_dedup",  # green r6
+    "d10_simhash_hamming",  # green r6
+    "g02_grid_detection",  # green r6
+    "i11_constraint_audit",  # green r6
+    "m01_media_metadata",  # green r6
+    "m02_media_features",  # green r6
+    "q79_triangle_count",  # green r6
+    "q89_dynamic_pivot",  # green r6
+    "s01_topk_bruteforce",  # green r6
+    "s02_topk_lsh",  # green r6
+    "s03_topk_ivf",  # green r6
+    "s05_quantized_topk",  # green r6
+    "s06_pq_adc_topk",  # green r6
+    "s07_vector_quality_audit",  # green r6
+    "src01_csv_ingest",  # green r6
+    "src02_excel_ingest",  # green r6
+    "src11_multiline_csv_ingest",  # green r6
+    "src13_xml_ingest",  # green r6
+    "src14_codec_roundtrip",  # green r6
+    "src15_latin1_csv_ingest",  # green r6
+    "src16_nested_json_flatten",  # green r6
+    "src17_zip_archive_ingest",  # green r6
+    "src18_packed_binary_ingest",  # green r6
+    "srm01_stream_ingest",  # green r6
+    "t02_quality_score",  # green r6
+    "t03_langid",  # green r6
+    "t04_fingerprint",  # green r6
+    "t16_distinctive_terms",  # green r6
+    "t17_countmin_audit",  # green r6
+    "t18_bigram_perplexity",  # green r6
+    "t19_zipf_fit",  # green r6
+    "t20_code_detection",  # green r6
+    "t22_langid_metrics",  # green r6
+    "t23_readability",  # green r6
+    "t25_template_detection",  # green r6
+    "t26_script_detection",  # green r6
+    "t27_line_boilerplate",  # green r6
+    "t28_collocations",  # green r6
+    "v04_feature_hashing",  # green r6
+    "w11_snapshot_diff_cdc",  # green r6
+    "w12_partition_evolution",  # green r6
+    "w13_compaction_plan",  # green r6
+    "w14_inferred_members",  # green r6
+    "w16_row_ttl_retention",  # green r6
 ]
 
 

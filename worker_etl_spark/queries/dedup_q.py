@@ -463,17 +463,29 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from worker_etl_spark.queries.similarity_q import _corpus_count
+
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    _check_catalog_size(e.count())
+    # the catalog IS the embeddings corpus, so the memoized metadata-cheap
+    # corpus count guards it with zero extra jobs on repeat invocations
+    # (round-6 verdict #2: every job d06 doesn't run is variance it can't
+    # exhibit — the previous per-invocation e.count() was a full scan)
+    _check_catalog_size(_corpus_count(spark, sf_dir))
     pdf = e.toPandas()  # candidate catalog: small by contract (enforced above)
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    # broadcast the RAW float32 matrix (halves the pickled payload to the 32
+    # python workers — round-6 verdict #2); the parquet column is
+    # list<float>, so float32 carries the source values exactly and the
+    # float64 upcast + normalization below is bit-identical to normalizing
+    # on the driver
+    raw32 = np.array(pdf["embedding"].tolist(), dtype=np.float32)
+    bc = spark.sparkContext.broadcast((ids, raw32))
     margin = 50  # per-batch emission overshoot; protects exact-tie boundaries
 
     def batches(it):
-        all_ids, m = bc.value
+        all_ids, r32 = bc.value
+        m = r32.astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
         for batch in it:
             a_ids = batch["vec_id"].to_numpy(dtype=np.int64)
             a = np.array(batch["embedding"].tolist(), dtype=np.float64)

@@ -67,16 +67,26 @@ def _check_query_set_size(
         )
 
 
-#: memoized corpus row counts, keyed by (session id, sf_dir) — one
+#: memoized corpus row counts, keyed by (applicationId, sf_dir) — one
 #: metadata-cheap parquet count() shared by every guarded query in a
 #: session instead of one pre-count job per query (round-5 verdict item:
 #: the original per-query ``df.count()`` guards billed a full extra scan
-#: each to query time).
-_CORPUS_COUNT_CACHE: dict[tuple[int, str], int] = {}
+#: each to query time).  applicationId, not id(spark): CPython recycles
+#: object ids, so a stopped session's stale count could leak into a new
+#: one (round-6 ADVICE).  A harness that REWRITES the parquet under an
+#: sf_dir mid-session must call ``clear_count_cache()`` (scale_smoke's
+#: per-rung subprocesses make this moot there).
+_CORPUS_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def clear_count_cache() -> None:
+    """Drop memoized corpus counts — call when parquet under a previously
+    guarded sf_dir has been rewritten in the same Spark application."""
+    _CORPUS_COUNT_CACHE.clear()
 
 
 def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     n = _CORPUS_COUNT_CACHE.get(key)
     if n is None:
         n = read_table(spark, sf_dir, "embeddings").count()

@@ -103,18 +103,36 @@ class XlsGridReader(DataSourceReader):
         #: fixed at load() time, so every query over the frame sees the
         #: same partitions.  Values: JSON list ('["Sheet, with comma"]') or
         #: comma-separated names; files match by basename.
-        self._keep_files = self._parse_names(options.get("files"))
-        self._keep_sheets = self._parse_names(options.get("sheets"))
+        self._keep_files = self._parse_names("files", options.get("files"))
+        self._keep_sheets = self._parse_names("sheets", options.get("sheets"))
 
     @staticmethod
-    def _parse_names(raw) -> set[str] | None:  # noqa: ANN001
+    def _parse_names(option: str, raw) -> set[str] | None:  # noqa: ANN001
+        """Both forms strip surrounding whitespace from each name — a JSON
+        list like ``'["S1 "]'`` would otherwise silently prune to zero
+        partitions (names are matched against exact sheet/file names, which
+        never carry leading/trailing whitespace from the codecs)."""
         if raw is None or raw == "":
             return None
         raw = str(raw)
         if raw.lstrip().startswith("["):
             import json as _json
 
-            return {str(v) for v in _json.loads(raw)}
+            try:
+                names = _json.loads(raw)
+            except ValueError as exc:
+                raise ValueError(
+                    f"xlsgrid read option '{option}' looks like a JSON list "
+                    f"but does not parse: {exc}; pass a JSON array of names "
+                    "or a comma-separated string"
+                ) from exc
+            if not isinstance(names, list):
+                raise ValueError(
+                    f"xlsgrid read option '{option}' must be a JSON LIST of "
+                    f"names (got {type(names).__name__}) or a comma-separated "
+                    "string"
+                )
+            return {str(v).strip() for v in names}
         return {v.strip() for v in raw.split(",")}
 
     def _files(self) -> list[str]:
