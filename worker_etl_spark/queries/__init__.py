@@ -127,6 +127,12 @@ _PRIORITY: list[str] = [
     "src19_xlsx_datasource",  # changed r7: fixed 200-row fixture slice + pyds — row required
     "src20_jdbc_roundtrip",  # changed r7: uuid-named Derby db + drop lifecycle — row required
     "w09_snapshot_time_travel",  # changed r7: atomic rename version claim in snapshot_write — row required
+    "q90_sole_late_supplier",  # NEW r7: row required
+    "q91_polymorphic_udtf",  # NEW r7: row required
+    "q92_activity_streaks",  # NEW r7: row required
+    "src21_variant_ingest",  # NEW r7: row required
+    "w17_write_audit_publish",  # NEW r7: row required
+    "i23_sequence_gap_audit",  # NEW r7: row required
     "d02_minhash_signatures",  # green r2
     "d03_lsh_buckets",  # green r2
     "d04_simhash",  # green r2

@@ -1497,3 +1497,109 @@ def i22_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("edge")
+
+
+# --- i23: sequence gap audit (gaps-and-islands over an expected-dense key) ----
+@register(
+    "i23_sequence_gap_audit",
+    oracle="""
+    WITH dom AS (
+      SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+    ),
+    missing AS (
+      SELECT o.o_orderkey AS k
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey)
+    ),
+    runs AS (
+      SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM missing
+    ),
+    gaps AS (
+      SELECT min(k) AS gap_start, CAST(count(*) AS BIGINT) AS gap_len
+      FROM runs GROUP BY grp
+    )
+    SELECT CAST(d.hi - d.lo + 1 AS BIGINT)          AS n_expected,
+           CAST(d.hi - d.lo + 1
+                - (SELECT count(*) FROM missing) AS BIGINT) AS n_present,
+           CAST((SELECT count(*) FROM missing) AS BIGINT)   AS n_missing,
+           CAST((SELECT count(*) FROM gaps) AS BIGINT)      AS n_gaps,
+           CAST((SELECT max(gap_len) FROM gaps) AS BIGINT)  AS max_gap_len,
+           CAST((SELECT min(gap_start) FROM gaps
+                 WHERE gap_len = (SELECT max(gap_len) FROM gaps)) AS BIGINT)
+                                                            AS widest_gap_start
+    FROM dom d
+    """,
+)
+def i23_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit: which stretches of an expected-dense key
+    domain have NO child rows — the "did the loader drop a chunk?" check for
+    invoice numbers, kafka offsets, page ids.  Single missing keys are easy
+    (i22 counts orphans); operations needs the GAPS: how many contiguous
+    runs, how wide, where the widest starts — a run of 500 missing keys is
+    a dead loader partition, 500 scattered keys are ordinary voids.
+
+    Lowering: missing keys = the parent domain anti-joined against child
+    keys (both pre-collapsed to key grain), then gaps-and-islands via the
+    key − row_number() difference — computed with the shared DISTRIBUTED
+    rank (``operators/ranks.py:global_row_number``: range-partitioned
+    parallel windows + broadcast offsets), because missing keys are O(|domain|)
+    in the worst case and a bare global row_number would serialize them
+    through one task (the d14/p08/i21 rule; no single-partition window,
+    checked by tools/audit_windows.py).  The final report is one row of
+    exact BIGINTs folded from the ≤|gaps|-row aggregate.
+
+    Scale: two key-grain shuffles (child distinct + anti join) and the
+    rank's bounded driver actions.  No reference counterpart (the reference
+    audits cell coercions, never key-domain completeness —
+    ``etl.py:1121-1126``)."""
+    from worker_etl_spark.operators.ranks import global_row_number
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    dom = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    )
+    missing = o.join(li, "o_orderkey", "left_anti").select(
+        F.col("o_orderkey").alias("k")
+    )
+    ranked, n_missing = global_row_number(missing, ["k"], rn_name="rn")
+    gaps = (
+        ranked.withColumn("grp", F.col("k") - F.col("rn"))
+        .groupBy("grp")
+        .agg(
+            F.min("k").alias("gap_start"),
+            F.count(F.lit(1)).cast("long").alias("gap_len"),
+        )
+    )
+    # argmax via struct ordering: (gap_len, -gap_start) maximizes length,
+    # then minimizes start on ties — one aggregate, same tie rule as the
+    # oracle's correlated min-where-max
+    gap_stats = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.max("gap_len").cast("long").alias("max_gap_len"),
+        F.max(
+            F.struct(
+                F.col("gap_len"), (-F.col("gap_start")).alias("neg_start")
+            )
+        ).alias("m"),
+    ).select(
+        "n_gaps",
+        "max_gap_len",
+        (-F.col("m.neg_start")).cast("long").alias("widest_gap_start"),
+    )
+    return (
+        dom.crossJoin(F.broadcast(gap_stats))
+        .select(
+            (F.col("hi") - F.col("lo") + 1).cast("long").alias("n_expected"),
+            (F.col("hi") - F.col("lo") + 1 - F.lit(n_missing))
+            .cast("long")
+            .alias("n_present"),
+            F.lit(n_missing).cast("long").alias("n_missing"),
+            "n_gaps",
+            "max_gap_len",
+            "widest_gap_start",
+        )
+    )

@@ -26,6 +26,7 @@ from worker_etl_spark.sources.tables import read_table
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from worker_etl_spark.functions.text import sql_tokens
 from worker_etl_spark.queries import bounded_persist, register
 from worker_etl_spark.session import shuffle_width
 
@@ -4452,3 +4453,255 @@ def q89_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return renamed.orderBy("order_year")
+
+
+# --- q90: multi-EXISTS decorrelation (TPC-H Q21 shape) -------------------------
+_Q90_LATE_DAYS = 60  # a line is late if shipped > this many days after order
+
+
+@register(
+    "q90_sole_late_supplier",
+    oracle=f"""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {_Q90_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lo l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.is_late = 1
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late = 1)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q90_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape — the classic MULTI-subquery decorrelation test:
+    suppliers whose line was the ONLY late one in a multi-supplier finished
+    order ("who alone kept the order waiting").  The query is deliberately
+    WRITTEN as correlated EXISTS + NOT EXISTS (not hand-lowered): Catalyst
+    must decorrelate the pair into a LEFT SEMI join (another supplier
+    exists) and a LEFT ANTI join (no OTHER late supplier exists), both
+    hash-partitioned equi-joins on l_orderkey with the ``<>`` conjunct as a
+    post-probe filter — never a per-row re-scan, never a Cartesian product
+    (pinned in tests/test_plans.py).  q36 proved single-EXISTS→semi; this
+    is the anti-join half plus the both-at-once composition on one fact.
+
+    "Late" is shipped > {60} days after order date — the dataset has no
+    commit/receipt dates (TESTDATA.md), so the Q21 threshold is re-based on
+    the columns that exist; ~5% of F-order lines qualify at every SF.
+
+    Scale: three consumers of the late-flag CTE (probe + semi build + anti
+    build) each shuffle on l_orderkey at fact grain — the canonical Q21
+    cost; a production run materializes the CTE once (localCheckpoint) and
+    pays ONE fact scan, the same knob as the dedup family's shared frames.
+    The supplier dim broadcasts.  No reference counterpart (SURVEY.md §2
+    Part B: joins/subqueries absent)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q90_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q90_orders")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("q90_supplier")
+    return spark.sql(
+        f"""
+        WITH lo AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 CASE WHEN l.l_shipdate >
+                           o.o_orderdate + INTERVAL {_Q90_LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END AS is_late
+          FROM q90_lineitem l JOIN q90_orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lo l1 JOIN q90_supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.is_late = 1
+          AND EXISTS (SELECT 1 FROM lo l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.is_late = 1)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+        """
+    )
+
+
+# --- q91: polymorphic Python UDTF (analyze-time schema) ------------------------
+_Q91_K = 3  # leading words to project — the analyze()-resolved column count
+
+
+class _LeadWordsUDTF:
+    """Polymorphic UDTF: output schema COMPUTED AT PLAN TIME by ``analyze``
+    from the literal second argument — k=3 plans columns w1..w3, k=5 would
+    plan w1..w5, with no code change.  q47 exercised the STATIC-schema UDTF
+    surface; this is the Spark-4 dynamic half (the API a reusable
+    unpivot/splitter library needs).  ``eval`` only slices the token array
+    it is HANDED — tokenization stays the engine's pinned JVM primitive
+    (``functions/text.py:tokens``), so the python boundary adds no third
+    tokenizer dialect to keep cross-engine parity for."""
+
+    @staticmethod
+    def analyze(toks, k):  # noqa: ANN001, ANN205 — pyspark AnalyzeArgument
+        from pyspark.sql.types import LongType, StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if k.value is None or int(k.value) < 1:
+            raise ValueError("q91 lead-words UDTF needs a positive literal k")
+        st = StructType()
+        for i in range(int(k.value)):
+            st = st.add(f"w{i + 1}", StringType())
+        return AnalyzeResult(schema=st.add("n_tokens", LongType()))
+
+    def eval(self, toks, k):  # noqa: ANN001
+        toks = toks or []
+        yield tuple(toks[i] if i < len(toks) else None for i in range(k)) + (
+            len(toks),
+        )
+
+
+@register(
+    "q91_polymorphic_udtf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {sql_tokens("text")} AS toks FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT list_extract(toks, 1)) AS BIGINT) AS d_w1,
+           CAST(count(DISTINCT list_extract(toks, {_Q91_K})) AS BIGINT)
+             AS d_w{_Q91_K},
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def q91_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL application of the polymorphic UDTF above: every document's
+    token array fans through ``q91_lead_words(toks, 3)`` whose w1..w3 +
+    n_tokens schema was resolved by ``analyze`` at plan time, then a
+    per-language rollup distinct-counts the leading words.  The UDTF runs
+    Arrow-batched on executors; its input is the JVM-computed token array
+    (one projection), so per-row python work is O(k) slicing.
+
+    Scale: generator + rollup — the explode-free shape (the UDTF emits ONE
+    row per doc), one |lang|-key aggregation shuffle.  No reference
+    counterpart (the reference has no user extensibility — SURVEY.md §2
+    Part B, UDF/UDTF row)."""
+    from pyspark.sql.functions import udtf
+
+    from worker_etl_spark.functions.text import tokens
+
+    spark.udtf.register("q91_lead_words", udtf(_LeadWordsUDTF))
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+    d.createOrReplaceTempView("q91_docs")
+    return spark.sql(
+        f"""
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT t.w1) AS BIGINT) AS d_w1,
+               CAST(count(DISTINCT t.w{_Q91_K}) AS BIGINT) AS d_w{_Q91_K},
+               CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens
+        FROM q91_docs d, LATERAL q91_lead_words(d.toks, {_Q91_K}) t
+        GROUP BY d.lang ORDER BY d.lang
+        """
+    )
+
+
+# --- q92: gaps-and-islands (activity streaks) ----------------------------------
+@register(
+    "q92_activity_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, min(day) AS streak_start,
+             CAST(count(*) AS BIGINT) AS streak_len
+      FROM g GROUP BY user_id, grp
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(max(streak_len) AS BIGINT) AS longest_streak,
+             CAST(count(*) AS BIGINT)        AS n_streaks
+      FROM s GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_start) AS pick
+      FROM s
+    )
+    SELECT u.user_id, u.longest_streak, u.n_streaks,
+           strftime(r.streak_start, '%Y-%m-%d') AS longest_start
+    FROM u JOIN r ON r.user_id = u.user_id AND r.pick = 1
+    ORDER BY longest_streak DESC, u.user_id
+    LIMIT 25
+    """,
+)
+def q92_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands, the canonical SQL-pattern the window family still
+    lacked: consecutive-day activity STREAKS per user via the
+    day − row_number() difference trick (rows in one run share the
+    difference, so one groupBy collapses each island), then each user's
+    longest streak with its start date (earliest start on ties — exact
+    integer dates, no float anywhere).  Retention/engagement teams ask this
+    verbatim ("longest daily streak"); the same lowering yields sensor
+    uptime runs and inventory stockout spells.
+
+    Scale: the only event-scale stage is the DISTINCT (user, day) collapse
+    — one shuffle; every window after it partitions BY USER on day-grain
+    rows (≤ |days| per user, no single-partition window — q65's sweep-line
+    handles overlapping intervals, this handles the dense-calendar dual).
+    The correlated scalar max in the oracle is Spark-side an argmax window
+    (first start over (len DESC, start ASC)) — same tie rule both engines.
+    No reference counterpart (SURVEY.md §2 Part B: windows absent)."""
+    e = read_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    g = d.withColumn("grp", F.date_sub(F.col("day"), rn))
+    s = g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).cast("long").alias("streak_len"),
+    )
+    pick = W.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("streak_start")
+    )
+    ranked = s.withColumn("pick", F.row_number().over(pick))
+    per_user = (
+        s.groupBy("user_id")
+        .agg(
+            F.max("streak_len").cast("long").alias("longest_streak"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .join(
+            ranked.filter(F.col("pick") == 1).select(
+                "user_id",
+                # ISO string, not DATE: date columns surface as different
+                # pandas dtypes per engine in the hash compare
+                F.date_format("streak_start", "yyyy-MM-dd").alias(
+                    "longest_start"
+                ),
+            ),
+            "user_id",
+        )
+    )
+    return per_user.select(
+        "user_id", "longest_streak", "n_streaks", "longest_start"
+    ).orderBy(F.desc("longest_streak"), "user_id").limit(25)

@@ -2088,3 +2088,175 @@ def w16_row_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- src21: VARIANT semi-structured ingest (Spark 4 open variant type) --------
+@register(
+    "src21_variant_ingest",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY status ORDER BY status
+    """,
+)
+def src21_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest through Spark 4's open VARIANT type — the
+    schema-on-read path for JSON feeds whose shape isn't declared up front
+    (the lakehouse answer to the reference's LLM-inferred schemas,
+    ``etl.py:712-848``, when the payload is nested).  The engine WRITES a
+    nested JSON feed from orders (``to_json`` over a nested struct — so the
+    oracle can restate expectations relationally), parses it with
+    ``parse_json`` into a VARIANT column (binary-encoded, shredding-ready),
+    and extracts typed fields by PATH (``variant_get`` '$.meta.status',
+    '$.key', '$.price') — traversal happens on the encoded binary without
+    materializing the full object, unlike from_json which needs the whole
+    schema declared.  Parity proves the full write→parse→path-extract loop
+    is value-exact: doubles round-trip via shortest-repr JSON, and totals
+    are tie-free cents BIGINTs.
+
+    Scale: parse + extraction are per-row JVM projections inside the scan
+    stage (whole-stage codegen'd, no python); one |status|-key aggregation
+    shuffle.  The %3 slice keeps the fixture write bounded and proves
+    predicate evaluation on extracted fields.  No reference counterpart
+    (JSON is a passthrough string there, ``etl.py:1112-1114``)."""
+    o = read_table(spark, sf_dir, "orders")
+    feed = o.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("key"),
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"),
+                ).alias("meta"),
+                F.col("o_totalprice").alias("price"),
+            )
+        ).alias("js")
+    )
+    v = feed.select(F.parse_json(F.col("js")).alias("v"))
+    typed = v.select(
+        F.expr("variant_get(v, '$.key', 'bigint')").alias("key"),
+        F.expr("variant_get(v, '$.meta.status', 'string')").alias("status"),
+        F.expr("variant_get(v, '$.meta.priority', 'string')").alias("priority"),
+        F.expr("variant_get(v, '$.price', 'double')").alias("price"),
+    )
+    return (
+        typed.filter(F.col("key") % 3 == 0)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("price") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+            F.countDistinct("priority").cast("long").alias("n_priorities"),
+        )
+        .orderBy("status")
+    )
+
+
+# --- w17: write-audit-publish (WAP) gated commit -------------------------------
+_W17_RULES = (
+    ("row_count_min", "staged batch must not be empty"),
+    ("null_keys", "o_orderkey must never be NULL"),
+    ("nonpositive_price", "o_totalprice must be > 0"),
+)
+
+
+@register(
+    "w17_write_audit_publish",
+    oracle="""
+    WITH good AS (
+      SELECT * FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    bad AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT * FROM (
+      SELECT 'batch_good' AS batch, 'nonpositive_price' AS rule,
+             CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+               AS n_violations,
+             TRUE AS published,
+             CAST((SELECT count(*) FROM good) AS BIGINT) AS served_rows
+      FROM good
+      UNION ALL
+      SELECT 'batch_bad', 'nonpositive_price',
+             CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+             FALSE,
+             CAST((SELECT count(*) FROM good) AS BIGINT)
+      FROM bad
+    ) ORDER BY batch
+    """,
+)
+def w17_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (the Iceberg/Netflix WAP pattern, public): a
+    batch lands in an UNPUBLISHED staging area, audit rules run against the
+    STAGED FILES (what was actually written, not what the plan intended),
+    and only a clean audit flips the snapshot commit — a dirty batch never
+    becomes readable.  This composes three existing surfaces into the gated
+    pipeline real lakehouses run: the staged parquet write, i11-style
+    declarative constraint rules, and ``snapshot_write``'s atomic publish
+    (whose version claim is race-safe as of this round).
+
+    Two deterministic batches exercise both paths: a clean orders slice
+    (%4=0) publishes; a slice with injected violations (%4=1 with %97
+    prices negated) is BLOCKED — the audit ledger records both and the
+    served-table row count proves only the clean batch is readable.
+
+    Scale: the audit is one conditional-aggregation scan per staged batch
+    (q37's shape) over files that were just written hot; publish is a
+    metadata rename.  Totals are exact integer counts.  The reference
+    load-audits AFTER loading into the live table (``etl.py:1121-1126``,
+    warn-only) — WAP is the design that makes the audit a GATE."""
+    import tempfile as _tf
+
+    from worker_etl_spark.sinks.writer import read_snapshot, snapshot_write
+
+    o = read_table(spark, sf_dir, "orders")
+    wh = _tf.mkdtemp(prefix="w17_wap_")
+    batches = [
+        ("batch_good", o.filter(F.col("o_orderkey") % 4 == 0)),
+        (
+            "batch_bad",
+            o.filter(F.col("o_orderkey") % 4 == 1).withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice")
+                ).otherwise(F.col("o_totalprice")),
+            ),
+        ),
+    ]
+    ledger = []
+    for batch_id, df in batches:
+        staging = os.path.join(wh, "staging", batch_id)
+        df.write.mode("overwrite").parquet(staging)  # W of WAP
+        staged = spark.read.parquet(staging)  # A runs on the real files
+        audit = staged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("null_keys"),
+            F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+                "nonpositive_price"
+            ),
+        ).first()
+        clean = (
+            audit["n_rows"] > 0
+            and audit["null_keys"] == 0
+            and audit["nonpositive_price"] == 0
+        )
+        if clean:
+            snapshot_write(staged, wh, "ds", "orders_published")  # P
+        ledger.append((batch_id, "nonpositive_price",
+                       int(audit["nonpositive_price"]), bool(clean)))
+    served = read_snapshot(spark, wh, "ds", "orders_published").count()
+    return (
+        spark.createDataFrame(
+            ledger, "batch string, rule string, n_violations long, published boolean"
+        )
+        .withColumn("served_rows", F.lit(int(served)).cast("long"))
+        .orderBy("batch")
+    )
