@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from worker_etl_spark.config import BOOL_FALSE_TOKENS, BOOL_TRUE_TOKENS
@@ -1602,4 +1602,133 @@ def i23_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_len",
             "widest_gap_start",
         )
+    )
+
+
+# --- i24: linear-interpolation gap repair (time-series imputation) ---------------
+@register(
+    "i24_linear_interpolation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    flagged AS (
+      SELECT event_type, day, c,
+             (day - DATE '1970-01-01') AS d,
+             (dayofmonth(day) % 5 <> 2) AS known
+      FROM daily
+    ),
+    ctx AS (
+      SELECT *,
+             last_value(CASE WHEN known THEN c END IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN known THEN d END IGNORE NULLS) OVER w_prev AS pd,
+             first_value(CASE WHEN known THEN c END IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN known THEN d END IGNORE NULLS) OVER w_next AS nd
+      FROM flagged
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    repaired AS (
+      SELECT event_type, c, known,
+             CASE
+               WHEN known THEN c
+               WHEN pv IS NOT NULL AND nv IS NOT NULL
+                 THEN (pv * (nd - d) + nv * (d - pd)) // (nd - pd)
+               WHEN pv IS NOT NULL THEN pv
+               ELSE nv
+             END AS r
+      FROM ctx
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                              AS n_days,
+           CAST(sum(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(sum(r) AS BIGINT)                                AS repaired_total,
+           CAST(max(CASE WHEN NOT known THEN abs(r - c) END) AS BIGINT) AS max_abs_err
+    FROM repaired
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def i24_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation repair of masked points in a daily series — the
+    between-neighbors imputation i14's group-median (column-wise) and q55's
+    carry-forward (step function) both lack: a masked day repairs to the
+    straight line between its nearest KNOWN neighbors.  Days where
+    day-of-month % 5 == 2 are deterministically masked (synthetic outage),
+    which makes the truth available, so the result also reports the repair's
+    max absolute error — the audit a real imputation ships with.  The
+    interpolated value (pv·(nd−d) + nv·(d−pd)) DIV (nd−pd) is one truncated
+    integer division of exact cent/epoch-day BIGINTs (all non-negative, so
+    Spark's truncating DIV == DuckDB's flooring //) — bit-exact cross-engine,
+    the i14 integer-percentile lesson applied to interpolation.
+
+    Scale: the only event-scale stage is the daily aggregate (one shuffle,
+    map-side partials); all four IGNORE-NULLS context windows share ONE
+    event_type-partitioned day-grain sort (bounded |types|·|days| rows), and
+    Catalyst plans the two frames in one exchange.  No reference counterpart
+    (SURVEY.md §2 Part B: windows absent)."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c"))
+    flagged = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long").alias("d"),
+        (F.dayofmonth("day") % 5 != 2).alias("known"),
+    )
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    ck = F.when(F.col("known"), F.col("c"))
+    dk = F.when(F.col("known"), F.col("d"))
+    ctx = flagged.select(
+        "event_type",
+        "c",
+        "d",
+        "known",
+        F.last(ck, ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(dk, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first(ck, ignorenulls=True).over(w_next).alias("nv"),
+        F.first(dk, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    repaired = ctx.select(
+        "event_type",
+        "c",
+        "known",
+        F.when(F.col("known"), F.col("c"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.expr("(pv * (nd - d) + nv * (d - pd)) DIV (nd - pd)"),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("r"),
+    )
+    return (
+        repaired.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(~F.col("known"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_masked"),
+            F.sum("r").cast("long").alias("repaired_total"),
+            F.max(F.when(~F.col("known"), F.abs(F.col("r") - F.col("c"))))
+            .cast("long")
+            .alias("max_abs_err"),
+        )
+        .orderBy("event_type")
     )

@@ -4705,3 +4705,168 @@ def q92_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id", "longest_streak", "n_streaks", "longest_start"
     ).orderBy(F.desc("longest_streak"), "user_id").limit(25)
+
+
+# --- q93: order-count distribution (TPC-H Q13 shape) -----------------------------
+@register(
+    "q93_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q93_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts distribution (TPC-H Q13 shape): how many customers
+    placed 0, 1, 2, … non-urgent orders — the classic double aggregate whose
+    LEFT join must keep zero-order customers.  The one distribution query
+    the corpus lacked: q11 finds the zero-order customers, this puts them in
+    a histogram with everyone else.
+
+    Scale: textbook Q13 joins customer×orders then counts (the join carries
+    every order row); here orders pre-aggregate to customer grain FIRST
+    (map-side partials on o_custkey), so the LEFT join is customer-grain ⋈
+    customer-grain — one shuffle each side on the same key — and the final
+    histogram grain is |distinct counts| (tiny).  The filter pushes into the
+    orders scan, NOT into the join's ON clause reimplementation, because
+    with pre-aggregation an inner filter is equivalent; customers with only
+    urgent orders coalesce to 0 exactly as Q13's ON-clause semantics demand.
+    No reference counterpart (SURVEY.md §2 Part B: aggregations absent)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_cust = c.join(
+        per_cust_orders, c.c_custkey == per_cust_orders.o_custkey, "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- q94: largest-remainder proration (exact financial allocation) ---------------
+@register(
+    "q94_rebate_allocation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    pool AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 10 + 0.5) AS BIGINT) AS pool_cents
+      FROM orders
+    ),
+    j AS (
+      SELECT li.*, p.pool_cents,
+             sum(w) OVER (PARTITION BY l_orderkey) AS tot_w
+      FROM li JOIN pool p ON p.o_orderkey = li.l_orderkey
+    ),
+    shares AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, pool_cents,
+             (pool_cents * w) // tot_w                    AS base,
+             (pool_cents * w) % tot_w                     AS srem
+      FROM j
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY srem DESC, l_linenumber) AS rk,
+             pool_cents - sum(base) OVER (PARTITION BY l_orderkey) AS leftover
+      FROM shares
+    ),
+    alloc AS (
+      SELECT l_returnflag,
+             base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_cents,
+             CASE WHEN rk <= leftover THEN 1 ELSE 0 END        AS bumped
+      FROM ranked
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)        AS n_lines,
+           CAST(sum(alloc_cents) AS BIGINT) AS alloc_total_cents,
+           CAST(sum(bumped) AS BIGINT)      AS n_bumped
+    FROM alloc
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q94_rebate_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: distribute each order's 10%-rebate pool
+    (exact cents) across its lineitems proportional to extended price so the
+    per-order allocations sum EXACTLY to the pool — the financial allocation
+    operator (invoice tax split, budget apportionment, revenue sharing)
+    where naive round(share) leaks or over-spends cents.  Quota method:
+    integer floor shares, then +1 cent to the lines with the largest scaled
+    remainders (pool·w mod W, tie → lowest line number) until the pool is
+    spent.  Every step is int64 arithmetic (pool ≤ ~6e6 · w ≤ ~1e7 < 2^63),
+    so the invariant Σalloc = pool holds bit-exactly on both engines.
+
+    Scale: lineitem ⋈ orders equi-join shuffles once on the order key; both
+    window passes (total weight, remainder rank + spent sum) share that
+    partitioning, so Catalyst plans ONE exchange for the whole allocation.
+    Output re-aggregates to returnflag grain — nothing order-grain leaves
+    the executors.  No reference counterpart (SURVEY.md §2 Part B)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("w"),
+    )
+    pool = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 10 + 0.5).cast("long").alias("pool_cents"),
+    )
+    j = li.join(pool, li.l_orderkey == pool.o_orderkey)
+    w_ord = W.partitionBy("l_orderkey")
+    shares = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "pool_cents",
+        F.expr("pool_cents * w DIV sum(w) OVER (PARTITION BY l_orderkey)").alias(
+            "base"
+        ),
+        F.expr("(pool_cents * w) % sum(w) OVER (PARTITION BY l_orderkey)").alias(
+            "srem"
+        ),
+    )
+    ranked = shares.select(
+        "l_returnflag",
+        F.row_number()
+        .over(w_ord.orderBy(F.desc("srem"), F.asc("l_linenumber")))
+        .alias("rk"),
+        (F.col("pool_cents") - F.sum("base").over(w_ord)).alias("leftover"),
+        "base",
+    )
+    alloc = ranked.select(
+        "l_returnflag",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+        F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0).alias("bumped"),
+    )
+    return (
+        alloc.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("alloc_cents").cast("long").alias("alloc_total_cents"),
+            F.sum("bumped").cast("long").alias("n_bumped"),
+        )
+        .orderBy("l_returnflag")
+    )

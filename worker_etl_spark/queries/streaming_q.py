@@ -1122,3 +1122,98 @@ def evt16_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emit4(F.col("b_num")).alias("trend"),
         _emit4(F.col("l_num") + F.col("b_num")).alias("forecast_next"),
     ).orderBy("event_type", "hour")
+
+
+# --- evt17: CUSUM change-point localization --------------------------------------
+@register(
+    "evt17_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pre AS (
+      SELECT event_type, day, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             sum(c) OVER (PARTITION BY event_type) AS s_n,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, day, t, n,
+             abs(n * s_t - t * s_n) AS dev
+      FROM pre WHERE t < n
+    ),
+    best AS (
+      SELECT event_type, day, t, n, dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev DESC, day) AS pick
+      FROM scored
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d')   AS change_day,
+           CAST(t AS BIGINT)           AS split_index,
+           CAST(n AS BIGINT)           AS n_days,
+           CAST(dev AS BIGINT)         AS scaled_deviation
+    FROM best WHERE pick = 1
+    ORDER BY event_type
+    """,
+)
+def evt17_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point LOCALIZATION per stream: the day t maximizing the
+    CUSUM deviation |n·S_t − t·S_n| — the standard estimator for a single
+    mean shift (the batch dual of evt08's online CUSUM alerts, which answer
+    "is it drifting NOW" while this answers "WHEN did the level change").
+    Scaling the classic |S_t − (t/n)·S_n| by n keeps every term a product of
+    exact BIGINT cents and row counts — no division anywhere, so the argmax
+    can't flip on float noise; ties break to the earliest day on both
+    engines.
+
+    Scale: one event-scale daily aggregate (map-side partials), then three
+    windows that all share ONE event_type-partitioned sort over day-grain
+    rows (bounded |types|·|days|).  Magnitudes: S_n ≤ corpus cents (~1e13 at
+    100 TB per type) × n (~1e4 days) < 2^63.  No reference counterpart
+    (SURVEY.md §2 Part B: windows absent)."""
+    from pyspark.sql.window import Window as W
+
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c")
+    )
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("c").over(w_run).alias("s_t"),
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("t"),
+        F.sum("c").over(w_all).alias("s_n"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    scored = pre.filter(F.col("t") < F.col("n")).select(
+        "event_type",
+        "day",
+        "t",
+        "n",
+        F.abs(F.col("n") * F.col("s_t") - F.col("t") * F.col("s_n")).alias("dev"),
+    )
+    best = scored.withColumn(
+        "pick",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.desc("dev"), F.asc("day"))
+        ),
+    ).filter(F.col("pick") == 1)
+    return best.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+        F.col("t").cast("long").alias("split_index"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("dev").cast("long").alias("scaled_deviation"),
+    ).orderBy("event_type")
