@@ -1537,3 +1537,137 @@ def d15_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_correct"),
     )
+
+
+# --- d16: incremental batch-vs-corpus dedup ---------------------------------------
+@register(
+    "d16_incremental_dedup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    split AS (
+      SELECT doc_id, n_chars, {sql_norm_text('text')} AS norm,
+             (doc_id % 10 = 7) AS is_new
+      FROM documents
+    ),
+    exact_hits AS (
+      SELECT DISTINCT nw.doc_id
+      FROM split nw JOIN split corp
+        ON corp.is_new = FALSE AND md5(nw.norm) = md5(corp.norm)
+      WHERE nw.is_new
+    ),
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h, (s.doc_id % 10 = 7) AS is_new
+      FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (
+      SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corp_id, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.is_new AND NOT b.is_new
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near_hits AS (
+      SELECT DISTINCT i.new_id AS doc_id
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.new_id
+      JOIN card cb ON cb.doc_id = i.corp_id
+      WHERE i.c * 2 >= ca.n + cb.n - i.c
+    ),
+    classified AS (
+      SELECT s.doc_id, s.n_chars,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                  WHEN nh.doc_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'unique' END AS status
+      FROM split s
+      LEFT JOIN exact_hits e ON e.doc_id = s.doc_id
+      LEFT JOIN near_hits nh ON nh.doc_id = s.doc_id
+      WHERE s.is_new
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars
+    FROM classified GROUP BY status ORDER BY status
+    """,
+)
+def d16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify a NEW batch (docs with
+    doc_id % 10 == 7, the deterministic stand-in for today's crawl) against
+    the standing corpus — exact duplicates by normalized-content hash,
+    near-duplicates by rare-shingle blocked Jaccard ≥ 0.5 against CORPUS
+    docs only, the rest unique.  This is the shape production dedup actually
+    runs daily: never re-pair the corpus against itself (d05/d07 do that
+    once, offline), only new × corpus — candidate volume scales with the
+    BATCH, not the corpus.
+
+    Scale: the batch side of every join is the small side — the md5 equi
+    semi-join probes a corpus hash index, and the blocked pair join is
+    new-side rare shingles ⋈ corpus-side rare shingles (frequency cap
+    bounds per-shingle fan-out exactly as in d05).  The Jaccard ≥ 0.5 test
+    is cross-multiplied to integers (2c ≥ na + nb − c): no float division
+    anywhere.  Reuses the family's memoized shingle frame.  No reference
+    counterpart (the reference reloads blindly; SURVEY.md §2 S6)."""
+    d = read_table(spark, sf_dir, "documents")
+    split = d.select(
+        "doc_id",
+        "n_chars",
+        norm_text(F.col("text")).alias("norm"),
+        (F.col("doc_id") % 10 == 7).alias("is_new"),
+    )
+    new_side = split.filter("is_new")
+    corp_hashes = (
+        split.filter(~F.col("is_new")).select(F.md5("norm").alias("hh")).distinct()
+    )
+    exact_hits = (
+        new_side.select("doc_id", F.md5("norm").alias("hh"))
+        .join(corp_hashes, "hh", "left_semi")
+        .select("doc_id")
+    )
+    sh = _shingles(spark, sf_dir)
+    rare = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("h")
+    )
+    rs = sh.join(rare, "h").withColumn("is_new", F.col("doc_id") % 10 == 7)
+    card = rs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = rs.filter("is_new").alias("a")
+    b = rs.filter(~F.col("is_new")).alias("b")
+    inter = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corp_id")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    near_hits = (
+        inter.join(card.select(F.col("doc_id").alias("new_id"), F.col("n").alias("na")), "new_id")
+        .join(card.select(F.col("doc_id").alias("corp_id"), F.col("n").alias("nb")), "corp_id")
+        .filter(F.col("c") * 2 >= F.col("na") + F.col("nb") - F.col("c"))
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    classified = (
+        new_side.select("doc_id", "n_chars")
+        .join(exact_hits.withColumn("is_exact", F.lit(True)), "doc_id", "left")
+        .join(near_hits.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .select(
+            "n_chars",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .otherwise("unique")
+            .alias("status"),
+        )
+    )
+    return (
+        classified.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("status")
+    )

@@ -1336,3 +1336,129 @@ def v05_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# --- s08: grid-blocked fixed-radius nearest neighbor ------------------------------
+_S08_R = 50  # radius AND cell edge, in 1e-3 embedding units
+
+
+@register(
+    "s08_grid_nearest_neighbor",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
+      FROM embeddings
+    ),
+    build AS (
+      SELECT vec_id, x, y,
+             (x + 100000) // {_S08_R} AS cx,
+             (y + 100000) // {_S08_R} AS cy
+      FROM p
+    ),
+    probe AS (
+      SELECT p.vec_id, p.x, p.y,
+             (p.x + 100000) // {_S08_R} + dx.d AS cx,
+             (p.y + 100000) // {_S08_R} + dy.d AS cy
+      FROM p
+      CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+      WHERE p.vec_id % 37 = 0
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS nn_id,
+             (q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y) AS d2
+      FROM probe q JOIN build b ON b.cx = q.cx AND b.cy = q.cy
+      WHERE q.vec_id <> b.vec_id
+        AND (q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)
+            <= {_S08_R * _S08_R}
+    ),
+    best AS (
+      SELECT query_id, nn_id, d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, nn_id) AS rk
+      FROM cand
+    )
+    SELECT query_id, nn_id, CAST(d2 AS BIGINT) AS d2
+    FROM best WHERE rk = 1
+    ORDER BY query_id
+    """,
+)
+def s08_grid_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius nearest neighbor by GRID blocking — the spatial-join
+    primitive (geohash bucketing, uniform-grid FRNN, public textbook
+    design): embed the first two vector dimensions on an integer 1e-3 grid,
+    hash every point to a cell whose edge EQUALS the search radius, and
+    probe only the 3×3 neighborhood — any neighbor within L2 radius R
+    provably lies in those 9 cells, so the blocked join is exact, never
+    all-pairs.  Queries are the strided vec_id % 37 == 0 subset (the
+    pinned-query-set contract of s01/s05); squared distances stay BIGINT,
+    ties break to the lowest neighbor id.
+
+    Scale: both sides partition by (cell_x, cell_y) equi-keys — ONE shuffle
+    each at corpus scale; per-cell occupancy is corpus-density-bounded
+    (~points/cell constant as data and area grow together), and the 9× probe
+    fan-out is a constant.  The float→int quantization (floor of a float32
+    widened to double ×1000) is IEEE-deterministic cross-engine.  A miss
+    (no neighbor within R) simply emits no row — the fixed-radius contract.
+    No reference counterpart (SURVEY.md §2 Part B)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    p = e.select(
+        "vec_id",
+        F.floor(F.col("embedding")[0].cast("double") * 1000).cast("long").alias("x"),
+        F.floor(F.col("embedding")[1].cast("double") * 1000).cast("long").alias("y"),
+    )
+    r = _S08_R
+    build = p.select(
+        "vec_id",
+        "x",
+        "y",
+        F.expr(f"(x + 100000) DIV {r}").alias("cx"),
+        F.expr(f"(y + 100000) DIV {r}").alias("cy"),
+    )
+    probe = (
+        p.filter(F.col("vec_id") % 37 == 0)
+        .select(
+            "vec_id",
+            "x",
+            "y",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+        )
+        .select(
+            "vec_id",
+            "x",
+            "y",
+            "dx",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            (F.expr(f"(x + 100000) DIV {r}") + F.col("dx")).alias("cx"),
+            (F.expr(f"(y + 100000) DIV {r}") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x")) + (
+        F.col("qy") - F.col("y")
+    ) * (F.col("qy") - F.col("y"))
+    cand = (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nn_id"),
+            d2.alias("d2"),
+        )
+        .filter(F.col("d2") <= r * r)
+    )
+    best = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy("d2", "nn_id")
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "query_id", "nn_id", F.col("d2").cast("long").alias("d2")
+    ).orderBy("query_id")

@@ -1993,3 +1993,120 @@ def t28_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_e9"), "w1", "w2")
         .limit(_T28_TOP)
     )
+
+
+# --- t29: BM25 ranked retrieval ---------------------------------------------------
+_T29_TERMS = ["hash", "join", "vector"]
+
+
+@register(
+    "t29_bm25_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens(sql_norm_text('text'))} AS toks FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+    ),
+    totals AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl
+    ),
+    hits AS (
+      SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(list_filter(toks,
+                 x -> {' OR '.join(f"x = '{w}'" for w in _T29_TERMS)})) AS w
+            FROM toks)
+      GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term
+    ),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(round(1e6 * ln(1 + (totals.n - df.df + 0.5) / (df.df + 0.5))
+                  * (h.tf * 2.2)
+                  / (h.tf + 1.2 * (0.25 + 0.75 * (dl.dl * totals.n)
+                                           / CAST(totals.t AS DOUBLE)))) AS BIGINT)
+               AS s
+      FROM hits h
+      JOIN dl ON dl.doc_id = h.doc_id
+      JOIN df ON df.term = h.term
+      CROSS JOIN totals
+    )
+    SELECT doc_id,
+           CAST(sum(s) AS BIGINT)      AS score_micros,
+           CAST(count(*) AS BIGINT)    AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micros DESC, doc_id
+    LIMIT 15
+    """,
+)
+def t29_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones, the public Okapi
+    formula with k1=1.2, b=0.75): top-15 documents for a fixed conjunctive
+    query — the SEARCH side of the index t05's TF-IDF only profiles.  Each
+    (doc, term) partial score is ONE float expression over exact integer
+    sufficient statistics (tf, dl, df, N, Σdl) written identically in both
+    engines, rounded to 1e-6 fixed point BEFORE the per-doc sum (t18's
+    ln-of-integer-ratio discipline), so ranking and scores hash-match.
+
+    Scale: the token array is filtered to the query terms JVM-side BEFORE
+    the explode, so the explode's fan-out is |matches|, not |tokens|; dl is
+    a doc-grain aggregate off the same scan; df and the (N, Σdl) totals are
+    term-grain/1-row broadcasts.  The only doc-scale shuffle is the
+    (doc, term) tf aggregate — exactly an inverted index's posting build.
+    No reference counterpart (SURVEY.md §2 Part B: no text analysis)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = spread(
+        d.select("doc_id", tokens(norm_text(F.col("text"))).alias("toks"))
+    )
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("t"),
+    )
+    terms_pred = " OR ".join(f"x = '{w}'" for w in _T29_TERMS)
+    hits = (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr(f"filter(toks, x -> {terms_pred})")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        hits.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1e6)
+                * F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * (F.col("dl") * F.col("n"))
+                        / F.col("t").cast("double")
+                    )
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("long").alias("score_micros"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_micros"), "doc_id")
+        .limit(15)
+    )
