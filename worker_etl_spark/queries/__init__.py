@@ -133,6 +133,13 @@ _PRIORITY: list[str] = [
     "src21_variant_ingest",  # NEW r7: row required
     "w17_write_audit_publish",  # NEW r7: row required
     "i23_sequence_gap_audit",  # NEW r7: row required
+    "q93_order_count_distribution",  # NEW r7: row required
+    "q94_rebate_allocation",  # NEW r7: row required
+    "i24_linear_interpolation",  # NEW r7: row required
+    "evt17_cusum_changepoint",  # NEW r7: row required
+    "t29_bm25_retrieval",  # NEW r7: row required
+    "d16_incremental_dedup",  # NEW r7: row required
+    "s08_grid_nearest_neighbor",  # NEW r7: row required
     "d02_minhash_signatures",  # green r2
     "d03_lsh_buckets",  # green r2
     "d04_simhash",  # green r2
