@@ -257,3 +257,38 @@ def test_s08_grid_matches_brute_force(spark):
         if best is not None:
             want[q] = (best[1], best[0])
     assert got == want
+
+
+def test_p17_quotas_spend_the_budget_exactly(spark):
+    """Largest-remainder apportionment: per-lang quotas must sum to exactly
+    floor(N/10), every n_eval must equal its quota, and the two-level
+    bucketed rank must select the same members as a naive per-lang window
+    (the md5 prefix is a prefix of the sort key)."""
+    reg = load_all()
+    rows = reg["p17_stratified_split"].fn(spark, SF).collect()
+    n_total = sum(r.n_docs for r in rows)
+    assert sum(r.quota for r in rows) == n_total // 10
+    assert all(r.n_eval == r.quota for r in rows)
+    # naive-window replay of the selection at this SF
+    from worker_etl_spark.sources.tables import read_table
+
+    d = read_table(spark, SF, "documents").selectExpr(
+        "doc_id", "lang", "n_chars", "md5(CAST(doc_id AS STRING)) AS h"
+    )
+    naive = d.selectExpr(
+        "lang",
+        "n_chars",
+        "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk",
+    )
+    quotas = {r.lang: r.quota for r in rows}
+    for r in rows:
+        got_chars = r.eval_chars
+        want_chars = (
+            naive.filter(
+                (F.col("lang") == r.lang) & (F.col("rk") <= int(quotas[r.lang]))
+            )
+            .agg(F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"))
+            .first()
+            .c
+        )
+        assert got_chars == want_chars, r.lang

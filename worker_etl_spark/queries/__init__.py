@@ -140,6 +140,7 @@ _PRIORITY: list[str] = [
     "t29_bm25_retrieval",  # NEW r7: row required
     "d16_incremental_dedup",  # NEW r7: row required
     "s08_grid_nearest_neighbor",  # NEW r7: row required
+    "p17_stratified_split",  # NEW r7: row required
     "d02_minhash_signatures",  # green r2
     "d03_lsh_buckets",  # green r2
     "d04_simhash",  # green r2

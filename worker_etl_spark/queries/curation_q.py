@@ -1201,3 +1201,145 @@ def p16_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("mode_count") / F.col("group_size").cast("double")), 6
         ).alias("max_homogeneity"),
     )
+
+
+# --- p17: exact-quota stratified eval split ---------------------------------------
+@register(
+    "p17_stratified_split",
+    oracle="""
+    WITH strata AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_l) AS BIGINT) AS n,
+             CAST(sum(n_l) // 10 AS BIGINT) AS total_eval
+      FROM strata
+    ),
+    quota0 AS (
+      SELECT s.lang, s.n_l,
+             (s.n_l * t.total_eval) // t.n AS base,
+             (s.n_l * t.total_eval) % t.n  AS rem,
+             t.total_eval
+      FROM strata s CROSS JOIN tot t
+    ),
+    quota AS (
+      SELECT lang, n_l,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                         <= total_eval - sum(base) OVER ()
+                    THEN 1 ELSE 0 END AS q
+      FROM quota0
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rk
+      FROM documents d
+    )
+    SELECT r.lang,
+           CAST(q.n_l AS BIGINT)  AS n_docs,
+           CAST(q.q AS BIGINT)    AS quota,
+           CAST(count(*) FILTER (WHERE r.rk <= q.q) AS BIGINT) AS n_eval,
+           CAST(coalesce(sum(r.n_chars) FILTER (WHERE r.rk <= q.q), 0)
+                AS BIGINT)        AS eval_chars
+    FROM ranked r JOIN quota q ON q.lang = r.lang
+    GROUP BY r.lang, q.n_l, q.q
+    ORDER BY r.lang
+    """,
+)
+def p17_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified eval split with EXACT per-stratum quotas: a 10% eval set
+    where each language contributes its largest-remainder-apportioned share
+    (Σ quotas == ⌊N/10⌋ exactly), members chosen by deterministic md5 order —
+    the guarantee p03's hash split (proportions only in expectation) and
+    p15's weighted sample (per-language K, not corpus-budgeted) don't give.
+    Eval-set size is a budget; this spends it exactly and reproducibly.
+
+    Scale: the naive lowering is a per-language doc-grain rank window —
+    |langs| tasks at corpus scale (the q79 fan-out lesson).  Here the rank
+    is TWO-LEVEL: docs salt into (lang, md5-prefix-byte) buckets, each
+    bucket ranks locally in parallel (the md5 prefix IS a prefix of the sort
+    key, so bucket-major order ≡ md5 order), and bucket offsets come from a
+    (|langs|·256)-row count aggregate joined back broadcast — the
+    ranks.py recipe (round-8) generalized to grouped ranking.  Quota
+    arithmetic runs on the |langs|-row strata frame (bounded window grain).
+    The oracle keeps the naive window as the semantic spec."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn("bucket", F.substring("h", 1, 2))
+    # per-(lang, bucket) counts -> per-lang cumulative offsets (tiny frame)
+    from pyspark.sql.window import Window as W
+
+    bcounts = d.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+    offs = bcounts.select(
+        "lang",
+        "bucket",
+        (
+            F.coalesce(
+                F.sum("bn").over(
+                    W.partitionBy("lang")
+                    .orderBy("bucket")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("off"),
+    )
+    ranked = d.join(F.broadcast(offs), ["lang", "bucket"]).withColumn(
+        "rk",
+        F.col("off")
+        + F.row_number().over(
+            W.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+        ),
+    )
+    strata = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    tot = strata.agg(
+        F.sum("n_l").cast("long").alias("n"),
+        F.expr("sum(n_l) DIV 10").cast("long").alias("total_eval"),
+    )
+    quota0 = strata.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.expr("n_l * total_eval DIV n").alias("base"),
+        F.expr("(n_l * total_eval) % n").alias("rem"),
+        "total_eval",
+    )
+    w_all = W.partitionBy()  # |langs|-row frame: bounded aggregate grain
+    quota = quota0.select(
+        "lang",
+        "n_l",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_all.orderBy(F.desc("rem"), F.asc("lang")))
+                <= F.col("total_eval") - F.sum("base").over(w_all),
+                1,
+            ).otherwise(0)
+        ).alias("q"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .groupBy("lang", "n_l", "q")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("q"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_eval"),
+            F.coalesce(
+                F.sum(F.when(F.col("rk") <= F.col("q"), F.col("n_chars"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("eval_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_l").cast("long").alias("n_docs"),
+            F.col("q").cast("long").alias("quota"),
+            "n_eval",
+            "eval_chars",
+        )
+        .orderBy("lang")
+    )
