@@ -136,6 +136,13 @@ SMOKE_QUERIES = [
     "t14_substring_dup_share",  # gram-frequency semi-join, no all-pairs
     "p07_per_source_cap",    # per-source rank window
     "i10_drift_psi",         # |bins|-key counting aggregate
+    # round 7
+    "q94_rebate_allocation",  # join + two window passes on one exchange
+    "t29_bm25_retrieval",    # filtered explode + broadcast df/totals
+    "d16_incremental_dedup",  # batch-vs-corpus blocked pairs (mutated corpus)
+    "s08_grid_nearest_neighbor",  # grid-cell equi-join, 9x bounded probe
+    "p17_stratified_split",  # two-level bucketed grouped rank
+    "i24_linear_interpolation",  # daily agg + shared 4-window context sort
 ]
 
 #: dedup growth ladder: the candidate-generating queries re-run on
@@ -151,6 +158,11 @@ DEDUP_QUERIES = (
     "d05_ngram_jaccard",
     "d12_containment_pairs",
     "d14_sorted_neighborhood",
+    # round 7: batch-vs-corpus blocking — the %10 new-batch stride applies
+    # to every key-offset replica, so the batch grows WITH the corpus (the
+    # harsher-than-production contract: real daily batches are ~constant);
+    # expected linear, never quadratic
+    "d16_incremental_dedup",
 )
 
 #: similarity growth ladder (round-4 verdict #6): the broadcast-matrix ANN
@@ -171,6 +183,12 @@ SIM_QUERIES = (
     "s03_topk_ivf",
     "s05_quantized_topk",
     "s06_pq_adc_topk",
+    # s08_grid_nearest_neighbor is deliberately NOT here: verbatim embedding
+    # replication stacks identical coordinates into the same grid cells, so
+    # candidate pairs grow ~copies² BY CONSTRUCTION of the synthetic build
+    # (the same artifact the mutated-text build exists to avoid for simhash).
+    # s08's fan-out claim is covered measured by tools/audit_fanout.py at
+    # sf0.1 and the 10x-copies smoke rung instead.
 )
 
 
