@@ -310,7 +310,13 @@ def _time_queries(spark, names, sf_dir: str) -> dict:
         disagree = round(max(ok) / max(min(ok), 1e-9), 2)
         out["_spread"][n] = {"min": min(ok), "max": max(ok), "disagree_x": disagree}
         out[n] = round(statistics.median(ok), 2)
-        if disagree > MAX_PASS_DISAGREEMENT:
+        # ratio dispersion only means something above an absolute floor:
+        # when the FASTEST pass is sub-second the query's intrinsic cost is
+        # sub-second, and 1-2 s GC/scheduler pauses dominate any ratio —
+        # a 0.26 s CC fixpoint with one 2 s pass is floor noise, not an
+        # unmeasured operator (and a sub-second query at BOTH rungs is
+        # nowhere near its scaling regime anyway)
+        if disagree > MAX_PASS_DISAGREEMENT and min(ok) >= 1.0:
             out["_unmeasured"].append(n)
     return out
 
@@ -334,6 +340,12 @@ def dedup_rung(spark, copies: int) -> dict:
         _warm_session(spark, os.path.join(tmp, "documents.parquet"))
         dedup_q._shingles(spark, tmp).count()
         dedup_q._simhash_df(spark, tmp).count()
+        # the memoized blocked-pair frame too: without this, whichever
+        # consumer runs FIRST (d07) bills the one-time pair build in pass 1
+        # and reuses the persisted frame in passes 2-3 — a 75x pass
+        # "disagreement" that is cache attribution, not host noise
+        # (observed exactly that before this line existed)
+        dedup_q._jaccard_pairs(spark, tmp).count()
         warm_s = round(time.time() - t0, 1)
         return {
             "build_sec": build_s,

@@ -141,6 +141,10 @@ _PRIORITY: list[str] = [
     "d16_incremental_dedup",  # NEW r7: row required
     "s08_grid_nearest_neighbor",  # NEW r7: row required
     "p17_stratified_split",  # NEW r7: row required
+    "q95_windowed_funnel",  # NEW r7: row required
+    "t30_ngram_novelty",  # NEW r7: row required
+    "w18_shallow_clone",  # NEW r7: row required
+    "src22_multichar_delim_csv",  # NEW r7: row required
     "d02_minhash_signatures",  # green r2
     "d03_lsh_buckets",  # green r2
     "d04_simhash",  # green r2

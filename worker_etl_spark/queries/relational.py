@@ -4870,3 +4870,76 @@ def q94_rebate_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q95: time-constrained (windowed) funnel --------------------------------------
+@register(
+    "q95_windowed_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS ts0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS ts1
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.ts0 AND e.ts <= v.ts0 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.ts1 AND e.ts <= c.ts1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_7d,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_7d
+    """,
+)
+def q95_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED conversion funnel (the windowFunnel primitive of
+    the analytics-DB world): view → click within 7 days of the first view →
+    purchase within 7 days of that click.  q68's ordered funnel only
+    sequences stages; real funnels expire — a click three weeks after the
+    view is a new journey, not a conversion.  Each stage anchors on the
+    PREVIOUS stage's earliest qualifying time, so the lowering is cascading
+    per-user conditional mins with interval predicates — exact timestamp
+    arithmetic, no floats.
+
+    Scale: each stage is one user-grain aggregate joined back to the
+    (shrinking) qualified-user set on user_id — the fact never self-joins,
+    and every stage's join keys on the same user shuffle.  Counts collapse
+    to one row.  No reference counterpart (SURVEY.md §2 Part B)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts0"))
+            & (F.col("ts") <= F.col("ts0") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts1"))
+            & (F.col("ts") <= F.col("ts1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_7d"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_7d"))
+    return nv.crossJoin(nc).crossJoin(np_)

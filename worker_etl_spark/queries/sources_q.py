@@ -2260,3 +2260,138 @@ def w17_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("served_rows", F.lit(int(served)).cast("long"))
         .orderBy("batch")
     )
+
+
+# --- w18: zero-copy shallow clone + copy-on-write divergence ---------------------
+@register(
+    "w18_shallow_clone",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders
+    ),
+    fixed AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 9 = 0
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100
+                           ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+                  AS BIGINT) AS total_cents
+      FROM orders
+    )
+    SELECT 'clone_after_fix' AS which, n_rows, total_cents FROM fixed
+    UNION ALL
+    SELECT 'clone_at_birth'  AS which, n_rows, total_cents FROM base
+    UNION ALL
+    SELECT 'source_latest'   AS which, n_rows, total_cents FROM base
+    ORDER BY which
+    """,
+)
+def w18_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (public Delta CLONE / Iceberg snapshot-ref
+    shape): the clone's first version is a file-list MANIFEST borrowing the
+    source's parquet files — O(|files|) metadata however many bytes the
+    table holds — and a corrected batch written to the CLONE lands as its
+    own version dir, so the clone diverges copy-on-write while the source
+    and the clone's birth version stay bit-identical to the original.  The
+    dev/test-against-production and what-if-repair primitive at 100 TB.
+
+    The result reads all three states through the snapshot API: the
+    source's latest (untouched), the clone pinned at birth (manifest), and
+    the clone's latest (the +100-cent repair of every 9th order).  Scale:
+    clone cost is metadata-only by construction; the repair is one
+    projection write.  Source-vacuum-vs-clone hazard documented on
+    ``shallow_clone``."""
+    from worker_etl_spark.sinks.writer import (
+        read_snapshot,
+        shallow_clone,
+        snapshot_write,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="w18_clone_")
+    snapshot_write(o, tmp, "lake", "orders")
+    birth = shallow_clone(tmp, "lake", "orders", "orders_dev")
+    repaired = read_snapshot(spark, tmp, "lake", "orders_dev").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 9 == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    snapshot_write(repaired, tmp, "lake", "orders_dev")
+
+    def _agg(df, which):
+        return df.agg(
+            F.lit(which).alias("which"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select("which", "n_rows", "total_cents")
+
+    return (
+        _agg(read_snapshot(spark, tmp, "lake", "orders_dev"), "clone_after_fix")
+        .unionByName(
+            _agg(
+                read_snapshot(spark, tmp, "lake", "orders_dev", version=birth),
+                "clone_at_birth",
+            )
+        )
+        .unionByName(_agg(read_snapshot(spark, tmp, "lake", "orders"), "source_latest"))
+        .orderBy("which")
+    )
+
+
+# --- src22: multi-character-delimiter CSV ingest -----------------------------------
+@register(
+    "src22_multichar_delim_csv",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           s_name || '|' || CAST(s_nationkey AS VARCHAR) AS tag,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM supplier WHERE s_suppkey < 200
+    ORDER BY s_suppkey
+    """,
+)
+def src22_multichar_delim_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-character-delimiter CSV (``||``-separated — the de-facto export
+    format of mainframe/EDW dumps whose fields legally contain single
+    pipes): the one delimiter family src01's sniffing, src07's gzip,
+    src11's RFC-4180 multiline and src15's latin-1 don't cover.  The
+    ``tag`` field embeds a SINGLE ``|`` on purpose — a naive single-char
+    split corrupts every row, so parity proves true multi-char semantics
+    end-to-end.  Values re-enter through the engine's untyped contract
+    (all-string grid → explicit casts), integer cents for the money field.
+
+    Scale: the fixture is a bounded deterministic slice (s_suppkey < 200 —
+    SF-independent, the src19 lesson) written distributed as text; the read
+    is Spark's native CSV reader with a multi-char ``sep`` — splittable by
+    line like any uncompressed text source.  Reference: single-char sniff
+    only (``etl.py:548-557``)."""
+    sup = read_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 200)
+    tmp = tempfile.mkdtemp(prefix="src22_")
+    path = os.path.join(tmp, "feed")
+    sup.select(
+        F.concat_ws(
+            "||",
+            F.col("s_suppkey").cast("string"),
+            F.concat(F.col("s_name"), F.lit("|"), F.col("s_nationkey").cast("string")),
+            F.round(F.col("s_acctbal") * 100, 0).cast("long").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    grid = (
+        spark.read.option("sep", "||")
+        .option("header", "false")
+        .schema("c0 string, c1 string, c2 string")
+        .csv(path)
+    )
+    return (
+        grid.select(
+            F.col("c0").cast("long").alias("s_suppkey"),
+            F.col("c1").alias("tag"),
+            F.col("c2").cast("long").alias("acctbal_cents"),
+        )
+        .orderBy("s_suppkey")
+    )

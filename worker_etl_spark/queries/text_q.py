@@ -2110,3 +2110,96 @@ def t29_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micros"), "doc_id")
         .limit(15)
     )
+
+
+# --- t30: corpus novelty curve per source -----------------------------------------
+_T30_N = 8  # word n-gram width for the novelty grain
+
+
+@register(
+    "t30_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {sql_tokens(sql_norm_text('text'))} AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source, {sql_hex_int('g')} AS h FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(toks) - {_T30_N - 2}),
+                      i -> array_to_string(toks[i:i+{_T30_N - 1}], ' '))) AS g
+        FROM toks WHERE len(toks) >= {_T30_N}
+      )
+    ),
+    first_seen AS (
+      SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h
+    ),
+    per_source AS (
+      SELECT g.source,
+             CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT)                 AS grams_total,
+             CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT)                          AS novel_total
+      FROM grams g JOIN first_seen f USING (h)
+      GROUP BY g.source
+    )
+    SELECT source, n_docs, grams_total, novel_total,
+           CAST((novel_total * 1000000) // grams_total AS BIGINT) AS novelty_ppm
+    FROM per_source ORDER BY source
+    """,
+)
+def t30_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY accounting per source: the share of each source's
+    distinct word-8-grams that first appear (by doc_id arrival order) in
+    that source's own documents — the marginal-value metric of incremental
+    crawls (t14 measures how duplicated a doc is; this measures how much
+    genuinely NEW text a source contributes to the corpus, the number a
+    data-buying or crawl-prioritization decision consumes).  A gram's first
+    occurrence is its min doc_id — deterministic, order-independent.
+
+    Scale: one explode → per-doc distinct (the t14 root shape), one
+    gram-grain min aggregate (map-side combined), one gram-keyed equi-join
+    back, one source-grain rollup.  Everything linear in gram volume; the
+    ppm share is exact integer division.  No reference counterpart
+    (SURVEY.md §2 Part B: no text analysis)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = spread(
+        d.select(
+            "doc_id", "source", tokens(norm_text(F.col("text"))).alias("toks")
+        )
+    ).filter(F.size("toks") >= _T30_N)
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_T30_N - 1}),"
+                    f" i -> array_join(slice(toks, i, {_T30_N}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", hex_int(F.col("g")).alias("h"))
+        .distinct()
+    )
+    first_seen = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_source = (
+        grams.join(first_seen, "h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("grams_total"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_total"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "grams_total",
+        "novel_total",
+        F.expr("novel_total * 1000000 DIV grams_total").alias("novelty_ppm"),
+    ).orderBy("source")

@@ -244,11 +244,16 @@ def snapshot_write(
     staging = os.path.join(location, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(staging)
     while True:
-        existing = [
-            int(d[2:])
-            for d in os.listdir(location)
-            if d.startswith("_v") and d[2:].isdigit()
-        ]
+        # both version forms count: _v<N> data dirs and _v<N>.manifest
+        # shallow-clone file lists — otherwise a write to a cloned table
+        # would re-claim the manifest's version number
+        existing = []
+        for d in os.listdir(location):
+            if not d.startswith("_v"):
+                continue
+            core = d[2:-len(".manifest")] if d.endswith(".manifest") else d[2:]
+            if core.isdigit():
+                existing.append(int(core))
         version = max(existing, default=0) + 1
         try:
             # atomic claim: fails (EEXIST/ENOTEMPTY) if a racer took N first
@@ -266,12 +271,62 @@ def snapshot_write(
 def read_snapshot(
     spark, warehouse_root: str, dataset: str, table: str, version: int | None = None
 ):
-    """Read a committed snapshot; ``version=None`` resolves ``_LATEST``."""
+    """Read a committed snapshot; ``version=None`` resolves ``_LATEST``.
+
+    A version is either a data directory ``_v<N>`` (snapshot_write) or a
+    file-list manifest ``_v<N>.manifest`` (shallow_clone) — the manifest
+    names the borrowed parquet files directly, Iceberg's manifest shape."""
     location = os.path.join(warehouse_root, dataset, table)
     if version is None:
         with open(os.path.join(location, "_LATEST"), encoding="utf-8") as fh:
             version = int(fh.read().strip())
-    return spark.read.parquet(os.path.join(location, f"_v{version}"))
+    vdir = os.path.join(location, f"_v{version}")
+    if os.path.isdir(vdir):
+        return spark.read.parquet(vdir)
+    manifest = vdir + ".manifest"
+    with open(manifest, encoding="utf-8") as fh:
+        paths = [ln.strip() for ln in fh if ln.strip()]
+    return spark.read.parquet(*paths)
+
+
+def shallow_clone(
+    warehouse_root: str, dataset: str, src_table: str, dst_table: str
+) -> int:
+    """Zero-copy table clone (the public Delta SHALLOW CLONE / Iceberg
+    snapshot-ref shape): the clone's version 1 is a MANIFEST of the source's
+    current data files — no bytes move, however large the table — and
+    subsequent ``snapshot_write``s to the clone land as normal private
+    version dirs, so the clone diverges copy-on-write while the source
+    stays untouched.  The dev/test-against-production primitive at 100 TB:
+    cloning is O(|files|) metadata, not O(bytes).
+
+    CONTRACT: the clone borrows the source's files, so vacuuming the SOURCE
+    below the cloned version breaks the clone (real systems track cross-
+    table references before deleting; this minimal shape documents the
+    hazard instead).  The destination must be empty — cloning is a create,
+    not an overwrite."""
+    src_loc = os.path.join(warehouse_root, dataset, src_table)
+    with open(os.path.join(src_loc, "_LATEST"), encoding="utf-8") as fh:
+        src_version = int(fh.read().strip())
+    src_dir = os.path.join(src_loc, f"_v{src_version}")
+    files = sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"source snapshot {src_dir} has no parquet files")
+    dst_loc = os.path.join(warehouse_root, dataset, dst_table)
+    if os.path.exists(dst_loc) and os.listdir(dst_loc):
+        raise ValueError(f"clone destination {dst_loc} is not empty")
+    os.makedirs(dst_loc, exist_ok=True)
+    with open(os.path.join(dst_loc, "_v1.manifest"), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(files) + "\n")
+    tmp = os.path.join(dst_loc, "_LATEST.tmp.clone")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("1")
+    os.replace(tmp, os.path.join(dst_loc, "_LATEST"))
+    return 1
 
 
 def vacuum_snapshots(
@@ -292,15 +347,24 @@ def vacuum_snapshots(
     location = os.path.join(warehouse_root, dataset, table)
     with open(os.path.join(location, "_LATEST"), encoding="utf-8") as fh:
         latest = int(fh.read().strip())
-    versions = sorted(
-        int(d[2:])
-        for d in os.listdir(location)
-        if d.startswith("_v") and d[2:].isdigit()
-    )
+    # manifest versions (shallow clones) participate in retention ordering;
+    # removing one deletes only the borrowed-file LIST, never source bytes
+    versions = []
+    for d in os.listdir(location):
+        if not d.startswith("_v"):
+            continue
+        core = d[2:-len(".manifest")] if d.endswith(".manifest") else d[2:]
+        if core.isdigit():
+            versions.append(int(core))
+    versions = sorted(set(versions))
     survivors = set(versions[-keep:]) | {latest}
     removed = []
     for v in versions:
         if v not in survivors:
-            shutil.rmtree(os.path.join(location, f"_v{v}"))
+            vdir = os.path.join(location, f"_v{v}")
+            if os.path.isdir(vdir):
+                shutil.rmtree(vdir)
+            elif os.path.exists(vdir + ".manifest"):
+                os.unlink(vdir + ".manifest")
             removed.append(v)
     return removed
