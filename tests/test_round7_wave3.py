@@ -164,3 +164,48 @@ def test_src22_single_pipes_do_not_split(spark):
     assert df.columns == ["s_suppkey", "tag", "acctbal_cents"]
     assert all("|" in r.tag for r in rows)
     assert all(r.acctbal_cents is not None for r in rows)
+
+
+def test_q96_listagg_order_is_revenue_ranked(spark):
+    """The concatenated string must list nations in exact-cents revenue
+    order (name tiebreak) — the WITHIN GROUP ordering, not input order."""
+    reg = load_all()
+    rows = reg["q96_listagg_top_nations"].fn(spark, SF).collect()
+    from worker_etl_spark.sources.tables import read_table
+
+    o = read_table(spark, SF, "orders").selectExpr(
+        "o_custkey", "CAST(round(o_totalprice * 100) AS LONG) AS cents"
+    )
+    c = read_table(spark, SF, "customer")
+    n = read_table(spark, SF, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.sum("cents").alias("cents"))
+        .collect()
+    )
+    by_seg = {}
+    for r in rev:
+        by_seg.setdefault(r.c_mktsegment, []).append((-r.cents, r.n_name))
+    for row in rows:
+        want = [nm for _, nm in sorted(by_seg[row.c_mktsegment])[:3]]
+        assert row.top_nations == ", ".join(want), row.c_mktsegment
+
+
+def test_d17_excludes_text_neardups_and_orders_by_distance(spark):
+    """Every emitted pair must be embedding-close AND text-far: no pair may
+    also appear in the rare-shingle Jaccard >= 0.5 set, and d2 must be
+    within the radius bound and ascending."""
+    reg = load_all()
+    rows = reg["d17_semantic_neardup"].fn(spark, SF).collect()
+    assert rows, "sf0.001 should still produce grid-close pairs"
+    assert all(r.d2 <= 2500 for r in rows)
+    assert [r.d2 for r in rows] == sorted(r.d2 for r in rows)
+    from worker_etl_spark.queries.dedup_q import _jaccard_pairs
+
+    text = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_pairs(spark, SF).filter("jaccard >= 0.5").collect()
+    }
+    assert all((r.doc_a, r.doc_b) not in text for r in rows)

@@ -145,6 +145,8 @@ _PRIORITY: list[str] = [
     "t30_ngram_novelty",  # NEW r7: row required
     "w18_shallow_clone",  # NEW r7: row required
     "src22_multichar_delim_csv",  # NEW r7: row required
+    "q96_listagg_top_nations",  # NEW r7: row required
+    "d17_semantic_neardup",  # NEW r7: row required
     "d02_minhash_signatures",  # green r2
     "d03_lsh_buckets",  # green r2
     "d04_simhash",  # green r2

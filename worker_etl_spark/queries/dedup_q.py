@@ -1671,3 +1671,132 @@ def d16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --- d17: semantic-only near-dup candidates (embedding ∧ ¬text) --------------------
+@register(
+    "d17_semantic_neardup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    pts AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, x, y,
+             (x + 100000) // 50 AS cx, (y + 100000) // 50 AS cy
+      FROM pts
+    ),
+    probe AS (
+      SELECT vec_id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+      FROM cells
+      CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+    ),
+    emb_pairs AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM probe a JOIN cells b ON b.cx = a.cx AND b.cy = a.cy
+      WHERE a.vec_id < b.vec_id
+        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500
+    ),
+    rare AS (
+      SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
+    ),
+    rs AS (
+      SELECT s.doc_id, s.h FROM shingles s JOIN rare USING (h)
+    ),
+    card AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM rs a JOIN rs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    text_pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN card ca ON ca.doc_id = i.doc_a
+      JOIN card cb ON cb.doc_id = i.doc_b
+      WHERE i.c * 2 >= ca.n + cb.n - i.c
+    )
+    SELECT e.doc_a, e.doc_b, CAST(e.d2 AS BIGINT) AS d2
+    FROM emb_pairs e
+    LEFT JOIN text_pairs t ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+    WHERE t.doc_a IS NULL
+    ORDER BY d2, e.doc_a, e.doc_b
+    LIMIT 20
+    """,
+)
+def d17_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC-only near-dup candidates: pairs whose embeddings are close
+    (grid-blocked fixed-radius search over the projected coordinates, the
+    s08 kernel over ALL points) but whose TEXTS are not near-duplicates
+    (rare-shingle blocked Jaccard < 0.5, the d05 program) — the paraphrase/
+    translation/re-write detector every text-grain dedup pass (d01–d16)
+    structurally misses, and the pair set a semantic-dedup reviewer or a
+    cross-encoder verifier consumes at 100 TB.  vec_id keys the same corpus
+    as doc_id (the d06 catalog convention).
+
+    Scale: both legs are blocked — grid-cell equi-join (cell edge = radius,
+    exact by the 3×3 pigeonhole) and DF-capped shingle equi-join — and the
+    subtraction is a pair-keyed LEFT ANTI join, so nothing all-pairs
+    anywhere.  Exact integer distances; the anti-join makes the composition
+    one extra key-equi shuffle over the two candidate sets.  No reference
+    counterpart (SURVEY.md §2)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.floor(F.col("embedding")[0].cast("double") * 1000).cast("long").alias("x"),
+        F.floor(F.col("embedding")[1].cast("double") * 1000).cast("long").alias("y"),
+    )
+    cells = pts.select(
+        "vec_id", "x", "y",
+        F.expr("(x + 100000) DIV 50").alias("cx"),
+        F.expr("(y + 100000) DIV 50").alias("cy"),
+    )
+    probe = (
+        cells.select(
+            "vec_id", "x", "y", "cx", "cy",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+        )
+        .select(
+            "vec_id", "x", "y", "dx", "cy",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+        )
+        .select(
+            F.col("vec_id").alias("va"), F.col("x").alias("xa"),
+            F.col("y").alias("ya"), "cx",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+            "cy",
+        )
+        .select("va", "xa", "ya", "cx", (F.col("cy") + F.col("dy")).alias("cy"))
+    )
+    d2 = (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x")) + (
+        F.col("ya") - F.col("y")
+    ) * (F.col("ya") - F.col("y"))
+    emb_pairs = (
+        probe.join(cells, ["cx", "cy"])
+        .filter(F.col("va") < F.col("vec_id"))
+        .select(
+            F.col("va").alias("doc_a"),
+            F.col("vec_id").alias("doc_b"),
+            d2.alias("d2"),
+        )
+        .filter(F.col("d2") <= 2500)
+        .distinct()
+    )
+    # thresholding the memoized frame's 6-dp-rounded jaccard vs the oracle's
+    # exact cross-multiplied test can only diverge for exact values inside
+    # [0.4999995, 0.5), which needs a blocked-pair union above 2M shingles —
+    # unreachable under the DF cap at any SF
+    text_pairs = _jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc_a", "doc_b")
+    return (
+        emb_pairs.join(text_pairs, ["doc_a", "doc_b"], "left_anti")
+        .select("doc_a", "doc_b", F.col("d2").cast("long").alias("d2"))
+        .orderBy("d2", "doc_a", "doc_b")
+        .limit(20)
+    )

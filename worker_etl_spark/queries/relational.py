@@ -4943,3 +4943,73 @@ def q95_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_7d"))
     np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_7d"))
     return nv.crossJoin(nc).crossJoin(np_)
+
+
+# --- q96: ordered string aggregation (LISTAGG WITHIN GROUP) -----------------------
+@register(
+    "q96_listagg_top_nations",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment, n.n_name,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY c.c_mktsegment, n.n_name
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY cents DESC, n_name) AS rk
+      FROM rev
+    )
+    SELECT c_mktsegment,
+           string_agg(n_name, ', ' ORDER BY cents DESC, n_name) AS top_nations,
+           CAST(sum(cents) AS BIGINT) AS top3_cents
+    FROM ranked WHERE rk <= 3
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q96_listagg_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's ``listagg(...) WITHIN GROUP
+    (ORDER BY ...)`` (ANSI LISTAGG, DuckDB ``string_agg`` with ORDER BY):
+    each market segment's top-3 revenue nations as ONE ordered display
+    string — the report-formatting aggregate q33's canonical-sorted
+    collect_set can't express (order there is a post-hoc sort key, not a
+    revenue ranking).  Revenue ranks on exact cents with a name tiebreak,
+    so the concatenation order is deterministic cross-engine.
+
+    Scale: orders ⋈ customer is the one fact-scale shuffle (nation
+    broadcast); the rank window and the listagg both run at the
+    (segment × nation) grain — bounded.  No reference counterpart
+    (SURVEY.md §2 Part B: aggregations absent)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    ranked = rev.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("c_mktsegment").orderBy(F.desc("cents"), "n_name")
+        ),
+    ).filter(F.col("rk") <= 3)
+    ranked.createOrReplaceTempView("q96_ranked")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(n_name, ', ') WITHIN GROUP (ORDER BY cents DESC, n_name)
+                 AS top_nations,
+               CAST(sum(cents) AS BIGINT) AS top3_cents
+        FROM q96_ranked
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
