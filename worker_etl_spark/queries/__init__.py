@@ -147,6 +147,7 @@ _PRIORITY: list[str] = [
     "src22_multichar_delim_csv",  # NEW r7: row required
     "q96_listagg_top_nations",  # NEW r7: row required
     "d17_semantic_neardup",  # NEW r7: row required
+    "q97_bag_setops",  # NEW r7: row required
     "d02_minhash_signatures",  # green r2
     "d03_lsh_buckets",  # green r2
     "d04_simhash",  # green r2

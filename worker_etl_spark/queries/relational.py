@@ -5013,3 +5013,63 @@ def q96_listagg_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+# --- q97: bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) ---------------
+@register(
+    "q97_bag_setops",
+    oracle="""
+    WITH h1 AS (
+      SELECT l_partkey FROM lineitem WHERE l_shipdate <  TIMESTAMP '1997-01-01'
+    ),
+    h2 AS (
+      SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    ),
+    ex AS (SELECT l_partkey FROM h1 EXCEPT ALL SELECT l_partkey FROM h2),
+    ia AS (SELECT l_partkey FROM h1 INTERSECT ALL SELECT l_partkey FROM h2)
+    SELECT 'except_all' AS op,
+           CAST(count(*) AS BIGINT)               AS n_rows,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct,
+           CAST(sum(l_partkey) AS BIGINT)         AS key_checksum
+    FROM ex
+    UNION ALL
+    SELECT 'intersect_all' AS op,
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_partkey) AS BIGINT),
+           CAST(sum(l_partkey) AS BIGINT)
+    FROM ia
+    ORDER BY op
+    """,
+)
+def q97_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations — ``exceptAll`` / ``intersectAll``
+    (ANSI EXCEPT ALL / INTERSECT ALL): the part-demand multiset of the early
+    shipping era minus/intersected-with the late era, MULTIPLICITY-aware —
+    a part shipped 5 times then 3 times survives EXCEPT ALL twice, where
+    q10's set-semantics EXCEPT erases it entirely.  The inventory-delta /
+    demand-shift accounting that set semantics silently gets wrong.
+
+    Scale: Spark lowers both to a multiplicity aggregate + generate
+    (count per key each side, emit max(m1−m2,0) / min(m1,m2) copies) —
+    one key-equi shuffle per side, never a row-by-row comparison; results
+    re-aggregate to two summary rows (count / distinct / checksum, all
+    exact integers).  No reference counterpart (SURVEY.md §2 Part B: set
+    ops absent)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    cut = "1997-01-01"
+    h1 = li.filter(F.col("l_shipdate") < cut).select("l_partkey")
+    h2 = li.filter(F.col("l_shipdate") >= cut).select("l_partkey")
+
+    def _summ(df, op):
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("l_partkey").cast("long").alias("n_distinct"),
+            F.sum("l_partkey").cast("long").alias("key_checksum"),
+        ).select("op", "n_rows", "n_distinct", "key_checksum")
+
+    return (
+        _summ(h1.exceptAll(h2), "except_all")
+        .unionByName(_summ(h1.intersectAll(h2), "intersect_all"))
+        .orderBy("op")
+    )
