@@ -649,6 +649,50 @@ def test_w14_vacuum_keeps_recent_and_latest(spark, tmp_path):
         vacuum_snapshots(wh, "ds", "t", keep=0)
 
 
+def test_vacuum_protects_versions_borrowed_by_live_clones(spark, tmp_path):
+    """Round-8 ADVICE: a shallow clone registers its borrow in the SOURCE
+    location, so vacuuming the source refuses to delete the borrowed
+    version while the clone lives, garbage-collects the registration once
+    the clone is gone, and read_snapshot names the hazard clearly if the
+    borrowed files vanish anyway."""
+    import shutil
+
+    import pytest as _pytest
+
+    from worker_etl_spark.sinks.writer import (
+        read_snapshot,
+        shallow_clone,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+
+    wh = str(tmp_path)
+    df = spark.range(10).selectExpr("id", "id * 3 AS v")
+    snapshot_write(df, wh, "ds", "src")  # v1
+    assert shallow_clone(wh, "ds", "src", "dev") == 1
+    for _ in range(3):
+        snapshot_write(df, wh, "ds", "src")  # v2..v4
+
+    # v1 is borrowed by the live clone: keep=1 must NOT delete it
+    removed = vacuum_snapshots(wh, "ds", "src", keep=1)
+    assert 1 not in removed and removed == [2, 3]
+    assert read_snapshot(spark, wh, "ds", "dev").count() == 10  # clone intact
+
+    # clone deleted → registration is stale → next vacuum reclaims v1
+    shutil.rmtree(str(tmp_path / "ds" / "dev"))
+    assert vacuum_snapshots(wh, "ds", "src", keep=1) == [1]
+    assert not [
+        f for f in (tmp_path / "ds" / "src").iterdir() if f.name.startswith("_clone.")
+    ]
+
+    # a manifest whose borrowed files are gone fails with the named hazard
+    snapshot_write(df, wh, "ds", "src2")
+    shallow_clone(wh, "ds", "src2", "dev2")
+    shutil.rmtree(str(tmp_path / "ds" / "src2" / "_v1"))
+    with _pytest.raises(FileNotFoundError, match="vacuumed out from under"):
+        read_snapshot(spark, wh, "ds", "dev2")
+
+
 def test_xlsgrid_datasource_reads_xlsx_and_mixed_dirs(spark, tmp_path):
     """Round-4 verdict #8 (prepared during the freeze): the xlsgrid Python
     DataSource handles OOXML .xlsx through the SAME per-(file, sheet)

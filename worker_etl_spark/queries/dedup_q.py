@@ -42,6 +42,7 @@ from worker_etl_spark.functions.text import (
 )
 from worker_etl_spark.functions.vectors import dot, norm, sql_dot, sql_norm
 from worker_etl_spark.queries import register
+from worker_etl_spark.queries.similarity_q import _S08_R
 from worker_etl_spark.sources.tables import read_table, spread
 
 # --- deterministic MinHash permutation constants ----------------------------
@@ -371,6 +372,15 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double"), 6
             ).alias("jaccard"),
+            # exact integer intermediates alongside the rounded score, so a
+            # consumer thresholding at exactly j can use the cross-multiplied
+            # test (c >= j·(na+nb-c) in integers) instead of the 6-dp rounded
+            # double — round-8 ADVICE: d17's >= 0.5 cut on the rounded value
+            # could disagree with an exact-arithmetic oracle for pairs inside
+            # [0.4999995, 0.5)
+            F.col("c").alias("c"),
+            F.col("na").alias("na"),
+            F.col("nb").alias("nb"),
         )
         # Persisted, not just memoized: d07 alone consumes the pair frame
         # twice (edge list + its reverse), and d05/d08/d09/d11 re-read it —
@@ -413,6 +423,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(10)
     )
@@ -1686,7 +1697,7 @@ def d16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (
       SELECT vec_id, x, y,
-             (x + 100000) // 50 AS cx, (y + 100000) // 50 AS cy
+             (x + 100000) // {_S08_R} AS cx, (y + 100000) // {_S08_R} AS cy
       FROM pts
     ),
     probe AS (
@@ -1700,7 +1711,7 @@ def d16_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
       FROM probe a JOIN cells b ON b.cx = a.cx AND b.cy = a.cy
       WHERE a.vec_id < b.vec_id
-        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500
+        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_S08_R * _S08_R}
     ),
     rare AS (
       SELECT h FROM shingles GROUP BY h HAVING count(*) <= {_DF_CAP}
@@ -1753,8 +1764,8 @@ def d17_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = pts.select(
         "vec_id", "x", "y",
-        F.expr("(x + 100000) DIV 50").alias("cx"),
-        F.expr("(y + 100000) DIV 50").alias("cy"),
+        F.expr(f"(x + 100000) DIV {_S08_R}").alias("cx"),
+        F.expr(f"(y + 100000) DIV {_S08_R}").alias("cy"),
     )
     probe = (
         cells.select(
@@ -1784,15 +1795,13 @@ def d17_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_b"),
             d2.alias("d2"),
         )
-        .filter(F.col("d2") <= 2500)
+        .filter(F.col("d2") <= _S08_R * _S08_R)
         .distinct()
     )
-    # thresholding the memoized frame's 6-dp-rounded jaccard vs the oracle's
-    # exact cross-multiplied test can only diverge for exact values inside
-    # [0.4999995, 0.5), which needs a blocked-pair union above 2M shingles —
-    # unreachable under the DF cap at any SF
+    # exact integer near-dup test (2c >= na+nb-c), same arithmetic as the
+    # oracle — no dependence on the memoized frame's 6-dp rounded double
     text_pairs = _jaccard_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= 0.5
+        F.col("c") * 2 >= F.col("na") + F.col("nb") - F.col("c")
     ).select("doc_a", "doc_b")
     return (
         emb_pairs.join(text_pairs, ["doc_a", "doc_b"], "left_anti")

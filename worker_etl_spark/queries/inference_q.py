@@ -1662,10 +1662,12 @@ def i24_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-of-month % 5 == 2 are deterministically masked (synthetic outage),
     which makes the truth available, so the result also reports the repair's
     max absolute error — the audit a real imputation ships with.  The
-    interpolated value (pv·(nd−d) + nv·(d−pd)) DIV (nd−pd) is one truncated
-    integer division of exact cent/epoch-day BIGINTs (all non-negative, so
-    Spark's truncating DIV == DuckDB's flooring //) — bit-exact cross-engine,
-    the i14 integer-percentile lesson applied to interpolation.
+    interpolated value (pv·(nd−d) + nv·(d−pd)) over (nd−pd) is one exact
+    FLOOR division of cent/epoch-day BIGINTs — Spark's truncating DIV plus
+    an explicit negative-remainder correction, so it matches DuckDB's
+    flooring // for ANY numerator sign rather than relying on daily sums
+    staying non-negative — bit-exact cross-engine, the i14
+    integer-percentile lesson applied to interpolation.
 
     Scale: the only event-scale stage is the daily aggregate (one shuffle,
     map-side partials); all four IGNORE-NULLS context windows share ONE
@@ -1712,7 +1714,17 @@ def i24_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("known"), F.col("c"))
         .when(
             F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            F.expr("(pv * (nd - d) + nv * (d - pd)) DIV (nd - pd)"),
+            # explicit FLOOR division (denominator nd-pd > 0 by window
+            # construction): Spark's DIV truncates toward zero, DuckDB's //
+            # floors — identical only for non-negative numerators.  The
+            # correction term makes the Spark side floor for ANY sign, so
+            # bit-exactness no longer rests on events.value never producing
+            # a negative daily sum (round-8 ADVICE).
+            F.expr(
+                "(pv * (nd - d) + nv * (d - pd)) DIV (nd - pd)"
+                " - CASE WHEN (pv * (nd - d) + nv * (d - pd)) % (nd - pd) != 0"
+                "        AND (pv * (nd - d) + nv * (d - pd)) < 0 THEN 1 ELSE 0 END"
+            ),
         )
         .when(F.col("pv").isNotNull(), F.col("pv"))
         .otherwise(F.col("nv"))

@@ -286,6 +286,14 @@ def read_snapshot(
     manifest = vdir + ".manifest"
     with open(manifest, encoding="utf-8") as fh:
         paths = [ln.strip() for ln in fh if ln.strip()]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"shallow-clone manifest {manifest} references {len(missing)} "
+            f"file(s) no longer on disk (first: {missing[0]}) — the source "
+            "table's version was vacuumed out from under the clone; restore "
+            "the source version or re-clone"
+        )
     return spark.read.parquet(*paths)
 
 
@@ -300,11 +308,15 @@ def shallow_clone(
     stays untouched.  The dev/test-against-production primitive at 100 TB:
     cloning is O(|files|) metadata, not O(bytes).
 
-    CONTRACT: the clone borrows the source's files, so vacuuming the SOURCE
-    below the cloned version breaks the clone (real systems track cross-
-    table references before deleting; this minimal shape documents the
-    hazard instead).  The destination must be empty — cloning is a create,
-    not an overwrite."""
+    CONTRACT: the clone borrows the source's files, so the clone is
+    REGISTERED in the source's location (a ``_clone.<id>`` record naming
+    the borrowed version and the clone's path).  ``vacuum_snapshots`` on
+    the source refuses to delete a version a live clone still borrows
+    (stale registrations — clone directory gone — are garbage-collected),
+    and ``read_snapshot`` raises a clear borrowed-files-vacuumed error if
+    the files vanish anyway (e.g. manual deletion).  The destination must
+    be empty — cloning is a create, not an overwrite."""
+    import uuid
     src_loc = os.path.join(warehouse_root, dataset, src_table)
     with open(os.path.join(src_loc, "_LATEST"), encoding="utf-8") as fh:
         src_version = int(fh.read().strip())
@@ -326,6 +338,11 @@ def shallow_clone(
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write("1")
     os.replace(tmp, os.path.join(dst_loc, "_LATEST"))
+    # register the borrow in the SOURCE location so its vacuum can protect
+    # the borrowed version; one private file per clone, no write races
+    reg = os.path.join(src_loc, f"_clone.{uuid.uuid4().hex}")
+    with open(reg, "w", encoding="utf-8") as fh:
+        fh.write(f"{src_version}\t{dst_loc}\n")
     return 1
 
 
@@ -335,10 +352,13 @@ def vacuum_snapshots(
     """Retention for the snapshot log: delete all but the newest *keep*
     versions (the Delta/Iceberg VACUUM / expire_snapshots shape, public).
     The committed ``_LATEST`` version is ALWAYS retained regardless of
-    *keep*, and deletion walks oldest-first so a crash mid-vacuum leaves a
-    contiguous recent suffix — readers pinned to a vacuumed version fail
-    loudly on the missing directory (the documented time-travel retention
-    contract: pin only within the retention window).  Returns the versions
+    *keep*, as is any version a LIVE shallow clone still borrows (its
+    ``_clone.<id>`` registration names the version; registrations whose
+    clone directory no longer exists are garbage-collected here), and
+    deletion walks oldest-first so a crash mid-vacuum leaves a contiguous
+    recent suffix — readers pinned to a vacuumed version fail loudly on
+    the missing directory (the documented time-travel retention contract:
+    pin only within the retention window).  Returns the versions
     removed."""
     import shutil
 
@@ -357,7 +377,28 @@ def vacuum_snapshots(
         if core.isdigit():
             versions.append(int(core))
     versions = sorted(set(versions))
-    survivors = set(versions[-keep:]) | {latest}
+    borrowed: set[int] = set()
+    for d in os.listdir(location):
+        if not d.startswith("_clone."):
+            continue
+        reg = os.path.join(location, d)
+        try:
+            with open(reg, encoding="utf-8") as fh:
+                ver_s, _, dst_loc = fh.read().strip().partition("\t")
+            ver = int(ver_s)
+        except (OSError, ValueError):
+            continue  # unreadable registration: keep it, protect nothing
+        # the borrow is live while the clone's manifest version exists —
+        # a clone that was deleted OR vacuumed its own manifest away no
+        # longer references source bytes
+        if dst_loc and any(
+            f.endswith(".manifest")
+            for f in (os.listdir(dst_loc) if os.path.isdir(dst_loc) else [])
+        ):
+            borrowed.add(ver)
+        else:
+            os.unlink(reg)  # clone gone: registration is stale
+    survivors = set(versions[-keep:]) | {latest} | borrowed
     removed = []
     for v in versions:
         if v not in survivors:
