@@ -551,3 +551,72 @@ def test_q89_pivot_inference_scan_is_column_pruned(spark):
     # the fact's wide payload must NOT be read for the pivot
     for col in ("o_comment", "o_clerk", "o_custkey"):
         assert col not in read_schema, f"{col} read but unused: {read_schema}"
+
+
+# --- registry-wide window/cross-product pin (round-7 verdict #3) -----------------
+#: Every single-partition WindowExec the engine is ALLOWED to plan — each one
+#: a bounded-by-construction grain (days, months, sources, file inventories,
+#: k seed rows), audited in AUDIT_WINDOWS.json.  A 9th name appearing here
+#: means someone introduced a new all-data-to-one-task window: the sweep
+#: below FAILS until it is either re-planned or consciously added with a
+#: bounded-grain justification.
+BOUNDED_WINDOW_ALLOWLIST = {
+    "p06_dataset_card",        # |sources|-row summary frame
+    "p17_stratified_split",    # |language buckets|-row offsets frame
+    "q27_revenue_momentum",    # |months|-row monthly rollup
+    "q31_moving_revenue",      # |days|-row daily rollup
+    "q55_calendar_gapfill",    # |days|-row calendar spine
+    "q76_cumulative_uniques",  # |days|-row first-seen counts
+    "v03_kmeans_quantized",    # k-row seed/centroid frames
+    "w13_compaction_plan",     # |files|-row inventory (metadata scale)
+}
+
+
+@pytest.mark.slow
+def test_registry_single_partition_windows_match_allowlist(spark):
+    """Build every registered query's physical plan and assert the set of
+    queries planning an Exchange SinglePartition into a WindowExec is
+    EXACTLY the known bounded-grain allowlist, and that nothing anywhere
+    plans a CartesianProduct."""
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_windows",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools", "audit_windows.py"),
+    )
+    audit = importlib.util.module_from_spec(spec)
+    _sys.modules["audit_windows"] = audit
+    spec.loader.exec_module(audit)
+
+    flagged: set[str] = set()
+    cartesian: list[str] = []
+    errors: dict[str, str] = {}
+    for name, qspec in load_all().items():
+        try:
+            df = qspec.fn(spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = str(exc)[:200]
+            continue
+        if audit.single_partition_windows(plan):
+            flagged.add(name)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+    from worker_etl_spark.queries import release_persists
+
+    release_persists()
+    assert not errors, f"plan build failed: {errors}"
+    assert not cartesian, f"CartesianProduct planned by: {cartesian}"
+    new = flagged - BOUNDED_WINDOW_ALLOWLIST
+    gone = BOUNDED_WINDOW_ALLOWLIST - flagged
+    assert not new, (
+        f"NEW single-partition window(s) planned by {sorted(new)} — re-plan "
+        "with a partitioned window/ranks.py, or justify the bounded grain "
+        "and extend BOUNDED_WINDOW_ALLOWLIST"
+    )
+    assert not gone, (
+        f"allowlisted window(s) no longer planned by {sorted(gone)} — prune "
+        "BOUNDED_WINDOW_ALLOWLIST so it stays exact"
+    )
