@@ -2395,3 +2395,115 @@ def src22_multichar_delim_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# --- src23/src24: Avro Object Container File ingest ------------------------------
+_AVRO_SUP_SCHEMA = (
+    '{"type":"record","name":"supplier","fields":['
+    '{"name":"s_suppkey","type":"long"},'
+    '{"name":"s_name","type":"string"},'
+    '{"name":"s_nationkey","type":"int"},'
+    '{"name":"s_acctbal","type":["null","double"]}]}'
+)
+
+
+def _avro_supplier_fixture(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Deterministic supplier OCF: bounded slice (s_suppkey < 200, the src22
+    SF-independent fixture rule), deflate codec, 40-record blocks so the
+    per-block partition contract is exercised (>=3 blocks at sf0.01), and
+    every s_suppkey % 7 == 0 row carries a NULL acctbal through the
+    ['null','double'] union."""
+    from worker_etl_spark.sources.avro import write_ocf
+
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 200)
+        .orderBy("s_suppkey")
+        .collect()
+    )
+    recs = [
+        {
+            "s_suppkey": r.s_suppkey,
+            "s_name": r.s_name,
+            "s_nationkey": r.s_nationkey,
+            "s_acctbal": None if r.s_suppkey % 7 == 0 else r.s_acctbal,
+        }
+        for r in sup
+    ]
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    path = os.path.join(tmp, "supplier.avro")
+    write_ocf(path, _AVRO_SUP_SCHEMA, recs, codec="deflate", records_per_block=40)
+    return path
+
+
+@register(
+    "src23_avro_ingest",
+    oracle="""
+    SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
+           s_nationkey::BIGINT AS s_nationkey,
+           CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_acctbal END AS s_acctbal
+    FROM supplier WHERE s_suppkey < 200 ORDER BY s_suppkey
+    """,
+)
+def src23_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO Object Container File ingest through the reference's untyped
+    tail: the stdlib OCF codec (``sources/avro.py`` — public Avro 1.x spec;
+    no spark-avro jar ships here) mounted as the ``avroocf`` Python
+    DataSource in GRID mode, so the exact untyped-scan → detect → clean →
+    infer → coerce path that serves CSV (src01) and Excel (src02/09/19)
+    serves Avro unchanged — field names become the promoted header row,
+    deflate blocks become InputPartitions, and the ['null','double'] union
+    round-trips masked acctbals as NULL cells.  Avro is reference-adjacent:
+    the other BigQuery export wire format besides Parquet
+    (``etl.py:1187-1193``).
+
+    Scale: one InputPartition PER OCF BLOCK (Avro's native split unit —
+    how Hadoop/Spark split .avro), listed by reading two varints per block
+    with payloads seeked over; executors inflate only their own block.  The
+    tail's detection/inference stages are the audited src01 plan."""
+    from worker_etl_spark.sources.pyds_avro import register_avroocf
+
+    path = _avro_supplier_fixture(spark, sf_dir, "src23_")
+    register_avroocf(spark)
+    grid = spark.read.format("avroocf").option("mode", "grid").load(path)
+    return _grid_to_typed(widen_grid(grid)).orderBy("s_suppkey")
+
+
+@register(
+    "src24_avro_typed_rollup",
+    oracle="""
+    SELECT s_nationkey::BIGINT AS s_nationkey,
+           count(*)::BIGINT AS n_suppliers,
+           CAST(sum(CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                         ELSE CAST(round(s_acctbal * 100) AS BIGINT) END) AS BIGINT)
+             AS acctbal_cents
+    FROM supplier WHERE s_suppkey < 200
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def src24_avro_typed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED Avro scan: the same OCF fixture read in the DataSource's typed
+    mode (Avro schema → Spark types planner-side from ONE header read:
+    long→bigint, int→int, ['null','double']→nullable double), aggregated
+    per nation — the analytics path a user takes when the Avro schema is
+    already the contract and no inference is wanted.  NULL union branches
+    flow into Spark NULLs and are ignored by SUM, matching the oracle's
+    CASE mask.
+
+    Scale: block-grain partitions feed a single map-side-combined
+    aggregate; the rollup's key cardinality is |nations|."""
+    from worker_etl_spark.sources.pyds_avro import register_avroocf
+
+    path = _avro_supplier_fixture(spark, sf_dir, "src24_")
+    register_avroocf(spark)
+    typed = spark.read.format("avroocf").load(path)
+    return (
+        typed.groupBy(F.col("s_nationkey").cast("long").alias("s_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("s_nationkey")
+    )
