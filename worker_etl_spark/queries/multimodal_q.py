@@ -640,3 +640,149 @@ def m10_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --- m11: real PNG pixel statistics (stdlib decode inside mapInPandas) -----------
+#: SF-independent image count (the src22 bounded-fixture rule) and the
+#: deterministic pixel formula both sides compute: channel c of pixel (x, y)
+#: in image i is a small integer polynomial mod 256.
+_M11_MAX_DOC = 200
+_M11_SQL_PX = (
+    "(d.doc_id*37 + x.v*11 + y.v*7) % 256",   # R
+    "(d.doc_id*59 + x.v*13 + y.v*5) % 256",   # G
+    "(d.doc_id*83 + x.v*3 + y.v*17) % 256",   # B
+)
+
+
+@register(
+    "m11_png_pixel_stats",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id FROM documents WHERE doc_id < {_M11_MAX_DOC}
+    ),
+    dims AS (
+      SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM docs
+    ),
+    rng AS (SELECT unnest(generate_series(0, 32)) AS v),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, x.v AS x, y.v AS y,
+             299 * ({_M11_SQL_PX[0]}) + 587 * ({_M11_SQL_PX[1]})
+               + 114 * ({_M11_SQL_PX[2]}) AS l,
+             (x.v * 8) // d.w AS bx, (y.v * 8) // d.h AS by
+      FROM dims d
+      JOIN rng x ON x.v < d.w
+      JOIN rng y ON y.v < d.h
+    ),
+    tot AS (
+      SELECT doc_id, w, h, SUM(l) AS total, COUNT(*) AS n
+      FROM px GROUP BY doc_id, w, h
+    ),
+    blocks AS (
+      SELECT doc_id, by, bx, SUM(l) AS bsum, COUNT(*) AS bcnt
+      FROM px GROUP BY doc_id, by, bx
+    ),
+    hashes AS (
+      SELECT b.doc_id,
+             string_agg(CASE WHEN b.bsum * t.n > t.total * b.bcnt
+                             THEN '1' ELSE '0' END, '' ORDER BY b.by, b.bx)
+               AS ahash
+      FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id
+    )
+    SELECT t.doc_id::BIGINT AS doc_id, t.w::INT AS width, t.h::INT AS height,
+           t.total::BIGINT AS total_lum_e3, h.ahash
+    FROM tot t JOIN hashes h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def m11_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode for the m-family (round-7 verdict #4): the fixture
+    is genuine PNG files (stdlib encoder, scanline filters cycling through
+    all five spec types), the ``binaryFile`` scan feeds ``mapInPandas``, and
+    the Arrow batch kernel runs a real zlib inflate + per-row filter
+    reconstruction (``operators/png.py``) before computing per-image mean
+    luminance and an 8×8 average-hash — while the DuckDB oracle recomputes
+    the SAME statistics from the pixel FORMULA, never seeing a PNG byte.  A
+    wrong Paeth reconstruction, CRC skip, or IDAT misframe therefore fails
+    the value hash instead of hiding behind a self-consistent codec pair.
+
+    Exact-integer discipline: luminance is the 299/587/114 milli-weight
+    integer form; the aHash bit compares block_sum·n_pixels >
+    total_lum·block_count (global-mean threshold variant — exact integers,
+    no rational mean-of-means), bits ordered (by, bx).
+
+    Scale: one fixture file per image under ``binaryFile`` (partition
+    packing by ``spark.sql.files.maxPartitionBytes``); the decode runs
+    where the bytes are, per Arrow batch — swap this stdlib loop for a
+    native codec and the plan is the production image pipeline.  Payloads
+    never shuffle; the result is one row per image."""
+    import os
+    import tempfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from worker_etl_spark.operators.png import decode_png, encode_png
+
+    doc_ids = [
+        r.doc_id
+        for r in read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _M11_MAX_DOC)
+        .select("doc_id")
+        .collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="m11_")
+    for i in doc_ids:
+        w, h = 16 + i % 17, 16 + i % 13
+        rows = [
+            [
+                v
+                for x in range(w)
+                for v in (
+                    (i * 37 + x * 11 + y * 7) % 256,
+                    (i * 59 + x * 13 + y * 5) % 256,
+                    (i * 83 + x * 3 + y * 17) % 256,
+                )
+            ]
+            for y in range(h)
+        ]
+        with open(os.path.join(tmp, f"img_{i:05d}.png"), "wb") as fh:
+            fh.write(encode_png(rows, w, h, channels=3))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "total_lum_e3": [], "ahash": []}
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                doc_id = int(os.path.basename(path)[4:9])
+                w, h, ch, px = decode_png(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+                lum = 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+                total = int(lum.sum())
+                n = w * h
+                ys, xs = np.mgrid[0:h, 0:w]
+                block = (ys * 8 // h) * 8 + (xs * 8 // w)
+                bsum = np.bincount(block.ravel(), weights=lum.ravel(), minlength=64).astype(np.int64)
+                bcnt = np.bincount(block.ravel(), minlength=64)
+                bits = "".join(
+                    "1" if int(bsum[k]) * n > total * int(bcnt[k]) else "0"
+                    for k in range(64)
+                )
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["total_lum_e3"].append(total)
+                out["ahash"].append(bits)
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .load(tmp)
+        .select("path", "content")
+        .mapInPandas(
+            stats,
+            schema="doc_id long, width int, height int, total_lum_e3 long, ahash string",
+        )
+        .orderBy("doc_id")
+    )
