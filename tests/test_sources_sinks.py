@@ -809,3 +809,69 @@ def test_xlsgrid_pushfilters_unsound_on_this_spark(spark, tmp_path):
     assert df.filter("sheet = 'S1'").count() == 2
     assert df.count() == 4  # unchanged by the sibling filtered query
     assert df.filter("sheet = 'S1' or row_idx = 1").count() == 3
+
+
+# --- cow_delete (w19): file skipping, borrow chain, vacuum protection ------------
+def _cow_fixture(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from worker_etl_spark.sinks.writer import cow_delete, snapshot_write
+
+    df = spark.range(8000).selectExpr("id AS k", "id % 97 AS v")
+    snapshot_write(df.repartitionByRange(8, F.col("k")), str(tmp_path), "ds", "t")
+    stats = cow_delete(spark, str(tmp_path), "ds", "t", "k", 1000, 2999)
+    return df, stats
+
+
+def test_cow_delete_skips_disjoint_files_and_serves_correctly(spark, tmp_path):
+    """A range delete on a range-clustered table must rewrite only the
+    files whose footer stats intersect the range (a strict minority of 8)
+    and the served snapshot must equal the filtered source exactly."""
+    from worker_etl_spark.sinks.writer import read_snapshot
+
+    df, stats = _cow_fixture(spark, tmp_path)
+    assert stats["n_files"] == 8
+    assert 1 <= stats["n_rewritten"] <= 3, stats  # ~2k of 8k keys span ~2 files
+    assert stats["n_borrowed"] == stats["n_files"] - stats["n_rewritten"]
+    assert stats["n_deleted_rows"] == 2000
+    got = read_snapshot(spark, str(tmp_path), "ds", "t")
+    assert got.count() == 6000
+    assert got.filter("k BETWEEN 1000 AND 2999").count() == 0
+    # borrowed files are the SOURCE version's bytes, by path
+    assert got.selectExpr("sum(v)").first()[0] == sum(
+        i % 97 for i in range(8000) if not 1000 <= i <= 2999
+    )
+
+
+def test_cow_vacuum_protects_borrowed_version_to_fixpoint(spark, tmp_path):
+    """vacuum(keep=1) must NOT delete v1 while the CoW v2 borrows its
+    files; once a full v3 supersedes the chain, both go, and a pinned read
+    of the vacuumed CoW version fails loudly."""
+    import pytest as _pytest
+
+    from worker_etl_spark.sinks.writer import (
+        read_snapshot,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+
+    df, _ = _cow_fixture(spark, tmp_path)
+    assert vacuum_snapshots(str(tmp_path), "ds", "t", keep=1) == []
+    assert read_snapshot(spark, str(tmp_path), "ds", "t", version=2).count() == 6000
+    snapshot_write(df.limit(10), str(tmp_path), "ds", "t")  # v3, no borrows
+    assert sorted(vacuum_snapshots(str(tmp_path), "ds", "t", keep=1)) == [1, 2]
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path), "ds", "t", version=2)
+
+
+def test_shallow_clone_of_cow_version_carries_borrowed_files(spark, tmp_path):
+    """Cloning a CoW version must reference its borrowed files too — the
+    clone reads equal to the CoW snapshot, and vacuuming the SOURCE keeps
+    the clone readable (the clone registration + borrow chain compose)."""
+    from worker_etl_spark.sinks.writer import read_snapshot, shallow_clone
+
+    _, _ = _cow_fixture(spark, tmp_path)
+    shallow_clone(str(tmp_path), "ds", "t", "t_clone")
+    got = read_snapshot(spark, str(tmp_path), "ds", "t_clone")
+    assert got.count() == 6000
+    assert got.filter("k BETWEEN 1000 AND 2999").count() == 0

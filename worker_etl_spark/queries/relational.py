@@ -5073,3 +5073,216 @@ def q97_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_summ(h1.intersectAll(h2), "intersect_all"))
         .orderBy("op")
     )
+
+
+# --- q98: TPC-H Q22 shape — global-average filter + anti join --------------------
+@register(
+    "q98_global_balance_anti",
+    oracle="""
+    WITH bal AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bc
+      FROM customer
+    ),
+    g AS (
+      SELECT CAST(sum(bc) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      FROM bal WHERE bc > 0
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(b.bc) AS BIGINT) AS bal_cents
+    FROM bal b, g
+    JOIN nation n ON n.n_nationkey = b.c_nationkey
+    WHERE b.bc * g.c > g.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = b.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q98_global_balance_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-counts-customers): wealthy-but-dormant
+    accounts — customers whose balance beats the mean of all POSITIVE
+    balances yet who placed NO order in the current era (>= 2000-01-01;
+    every generator customer has SOME order, so "never ordered" is
+    vacuous here — churn is the live formulation), rolled up per nation.
+    Composes the two decorrelation patterns in one plan: a scalar aggregate
+    subquery (the global mean) and a NOT EXISTS anti join, the shape Q22
+    uses to find lost sales opportunity.
+
+    Exactness: balances become cents on the tie-free floor(x·100 + 0.5)
+    grid (the v05 discipline; acctbal can be negative and the grid is the
+    identical IEEE op sequence in both engines), and the mean threshold is
+    the cross-multiplied integer test bc·count > sum — no division, no
+    float mean, so the qualifying SET is bit-identical across engines.
+
+    Scale: the global (sum, count) pair is ONE row crossJoin-broadcast back
+    (never a per-row correlated scan); the anti join shuffles customer vs
+    orders.o_custkey once on the key — at 100 TB it is the same
+    hash-partitioned LEFT ANTI every engine runs Q22 with; nation is a
+    25-row broadcast.  No reference counterpart (SURVEY.md §2 Part B:
+    subqueries absent)."""
+    bal = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bc"),
+    )
+    g = bal.filter(F.col("bc") > 0).agg(
+        F.sum("bc").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")  # pushed to the scan
+        .select("o_custkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        bal.crossJoin(F.broadcast(g))
+        .filter(F.col("bc") * F.col("c") > F.col("s"))
+        .join(orders, bal.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), bal.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.sum("bc").cast("long").alias("bal_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- q99: rolling 7-day COUNT DISTINCT via window-key explode --------------------
+@register(
+    "q99_rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    b AS (
+      SELECT u.d + CAST(x.i AS INT) AS bday, u.user_id
+      FROM du u JOIN (SELECT unnest(generate_series(0, 6)) AS i) x ON TRUE
+    )
+    SELECT strftime(d.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT b.user_id) AS BIGINT) AS users_7d
+    FROM days d JOIN b ON b.bday = d.d
+    GROUP BY d.d ORDER BY day
+    """,
+)
+def q99_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU family's
+    workhorse, and the canonical example of a metric a RANGE window CANNOT
+    compute at scale (COUNT(DISTINCT) OVER is unsupported in Spark and a
+    full re-scan per frame anywhere): instead each distinct (day, user)
+    pair is EXPLODED to the <=7 window buckets it contributes to, and each
+    bucket is then an ordinary COUNT(DISTINCT) group.
+
+    Scale: the fact scan collapses to day-grain pairs FIRST (distinct
+    (day, user) — the map-side-combinable shrink), the explode amplifies
+    that already-small frame by exactly 7, and the final aggregate
+    shuffles on the day key.  Versus the naive day-spine range self-join
+    (every day re-joining 7 days of raw events), the amplification is
+    bounded and the raw fact table is touched once.  Buckets beyond the
+    observed day range are dropped by the semi join back to real days, so
+    both engines agree on the output domain."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    du = ev.distinct()
+    days = du.select("d").distinct()
+    buckets = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
+    ).select(F.date_add(F.col("d"), F.col("i")).alias("bday"), "user_id")
+    return (
+        buckets.join(days, buckets.bday == days.d, "left_semi")
+        .groupBy(F.date_format("bday", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+# --- q100: Pareto frontier (skyline) via two-phase bucket pruning ----------------
+#: Fixed bucket width in price cents: the part generator's retail price lives
+#: in a bounded band (900..1000 dollars at every SF), so ~100 buckets is a
+#: data-size-independent grain — the cum-min window below runs on bucket
+#: STATISTICS, never on parts.
+_Q100_BUCKET_CENTS = 100
+
+
+@register(
+    "q100_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc
+      FROM part
+    )
+    SELECT a.p_partkey::BIGINT AS p_partkey, a.pc AS price_cents,
+           a.p_size::BIGINT AS p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.pc <= a.pc AND b.p_size <= a.p_size
+        AND (b.pc < a.pc OR b.p_size < a.p_size)
+    )
+    ORDER BY price_cents, p_size, p_partkey
+    """,
+)
+def q100_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts minimizing (price, size): the
+    non-dominated set — no other part is <= on both axes and < on one.
+    Skylines power cost/quality trade-off curves (cheapest model above
+    each quality bar) and are the textbook case where the naive plan is an
+    all-pairs NOT EXISTS (the ORACLE's formulation — quadratic, fine for
+    DuckDB at sf0.01, fatal at 100 TB).
+
+    The Spark plan is the two-phase distributed skyline: (1) parts hash
+    into ~100 fixed price-cent buckets; per-bucket MIN(size) statistics
+    (a 100-row frame) get a cumulative min over STRICTLY EARLIER buckets —
+    the only no-partition window, on a data-size-independent grain
+    (AUDIT_WINDOWS allowlist).  Any part whose size >= the min size of a
+    strictly-cheaper bucket is dominated and dies without comparing to
+    individual rows.  (2) Survivors resolve dominance INSIDE their bucket
+    with partitioned windows: the running min size over strictly-cheaper
+    rows (RANGE .. -1 on integer cents) and the min size among exact price
+    ties.  Every comparison is exact-integer; ties on both axes survive
+    together (bag semantics the NOT EXISTS oracle mirrors).
+
+    Scale: one scan, one shuffle on bucket (bounded width), windows only
+    within buckets; the cross-bucket pruning is a broadcast of bucket
+    stats.  Frontier size is O(distinct prices) at worst, never collected."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("pc"),
+    ).withColumn("bkt", (F.col("pc") / _Q100_BUCKET_CENTS).cast("long"))
+
+    # phase 1 — bucket statistics + cum-min over strictly earlier buckets
+    stats = p.groupBy("bkt").agg(F.min("p_size").alias("bmin"))
+    w_prev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    prev = stats.select(
+        "bkt", F.min("bmin").over(w_prev).alias("prev_min")
+    )
+    pruned = p.join(F.broadcast(prev), "bkt").filter(
+        F.col("prev_min").isNull() | (F.col("p_size") < F.col("prev_min"))
+    )
+
+    # phase 2 — intra-bucket dominance with partitioned windows
+    w_cheaper = (
+        W.partitionBy("bkt").orderBy("pc").rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_tie = W.partitionBy("bkt", "pc")
+    resolved = pruned.select(
+        "p_partkey",
+        F.col("pc").alias("price_cents"),
+        "p_size",
+        F.min("p_size").over(w_cheaper).alias("cheaper_min"),
+        F.min("p_size").over(w_tie).alias("tie_min"),
+    ).filter(
+        (F.col("cheaper_min").isNull() | (F.col("p_size") < F.col("cheaper_min")))
+        & (F.col("p_size") <= F.col("tie_min"))
+    )
+    return resolved.select(
+        "p_partkey", "price_cents", F.col("p_size").cast("long").alias("p_size")
+    ).orderBy("price_cents", "p_size", "p_partkey")

@@ -1462,3 +1462,97 @@ def s08_grid_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "query_id", "nn_id", F.col("d2").cast("long").alias("d2")
     ).orderBy("query_id")
+
+
+# --- v06: exact-integer inter-class centroid distance matrix ----------------------
+#: Shift added to every quantized component before the floor-div mean so the
+#: numerator is provably non-negative: Spark's `div` truncates toward zero
+#: while DuckDB's `//` floors, and they agree ONLY on non-negative operands
+#: (the i24 lesson, enforced here by construction: |qx| <= 10_000 because
+#: components are unit-scale).  The shift cancels exactly in every centroid
+#: DIFFERENCE, so distances are unaffected.
+_V06_SHIFT = 10_000
+
+
+@register(
+    "v06_centroid_distance_matrix",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) + {_V06_SHIFT} AS qx
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, i,
+             CAST(sum(qx) // count(*) AS BIGINT) AS m,
+             count(*) AS nv
+      FROM comp GROUP BY label, i
+    )
+    SELECT a.label::BIGINT AS label_a, b.label::BIGINT AS label_b,
+           CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2_q,
+           CAST(min(a.nv) AS BIGINT) AS n_a, CAST(min(b.nv) AS BIGINT) AS n_b
+    FROM cent a
+    JOIN cent b ON a.i = b.i AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def v06_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared distances between per-label embedding centroids —
+    the class-separation matrix behind cluster-quality monitoring, label
+    drift alarms, and choosing merge candidates in taxonomy curation.
+
+    Exactness across engines: components quantize to the 1e-4 floor grid
+    (v05 discipline), centroids are FLOOR-DIV means of those exact integer
+    sums — integer-exact in both engines because the _V06_SHIFT offset
+    makes every sum non-negative (truncating DIV == flooring // holds only
+    there, the i24 lesson) and an additive shift commutes with the floored
+    mean (floor((s + k·n)/n) = floor(s/n) + k) so it cancels in every
+    centroid difference.  dist² is then pure BIGINT arithmetic: max |m_a −
+    m_b| ~ 2e4, squared 4e8, times 64 dims — five orders below overflow.
+
+    Scale: one explode to (n·d) component rows, ONE map-side-combinable
+    aggregate down to |labels|·d centroid cells, and the pair join runs on
+    that dimension-table-sized frame (10 labels × 64 dims here; thousands
+    of labels would still be KBs) — the corpus is scanned exactly once and
+    nothing all-pairs ever touches vectors."""
+    e = read_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("p", "x")
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("i"),
+        (
+            F.floor(F.col("x").cast("double") * 10000 + F.lit(0.5)).cast("long")
+            + F.lit(_V06_SHIFT)
+        ).alias("qx"),
+    )
+    cent = comp.groupBy("label", "i").agg(
+        F.expr("CAST(sum(qx) div count(*) AS BIGINT)").alias("m"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "i",
+        F.col("m").alias("ma"), F.col("nv").alias("nva"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "i",
+        F.col("m").alias("mb"), F.col("nv").alias("nvb"),
+    )
+    return (
+        a.join(b, (a.i == b.i) & (F.col("label_a") < F.col("label_b")))
+        .groupBy(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+        )
+        .agg(
+            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            .cast("long")
+            .alias("dist2_q"),
+            F.min("nva").cast("long").alias("n_a"),
+            F.min("nvb").cast("long").alias("n_b"),
+        )
+        .orderBy("label_a", "label_b")
+    )

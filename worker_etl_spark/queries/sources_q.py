@@ -2507,3 +2507,50 @@ def src24_avro_typed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# --- w19: copy-on-write delete with file skipping ---------------------------------
+@register(
+    "w19_cow_delete",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN 1000 AND 2999
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def w19_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level delete — the dual of w08's merge-on-read:
+    the table is range-clustered on the delete key at write time
+    (``repartitionByRange``, the w05 sorted-layout discipline), so a range
+    delete rewrites ONLY the files whose parquet footer min/max intersect
+    the range; every other file carries into the new snapshot version by
+    path (zero bytes moved, Iceberg/Delta CoW DELETE shape).  The serving
+    read is then a plain scan — no anti join, no delete log to merge —
+    which is why CoW is what you pick for read-hot tables and MoR (w08)
+    for write-hot ones; this pair registers both ends of that tradeoff.
+
+    The file-skipping claim is pinned in tests/test_sources_sinks.py:
+    at 8 range-clustered files a 2000-key delete rewrites a strict
+    minority and borrows the rest, and vacuum on the borrowed-from version
+    is refused while the CoW version lives (the writer.py borrow-chain
+    fixpoint).  The oracle states the post-delete table directly."""
+    from worker_etl_spark.sinks.writer import cow_delete, read_snapshot, snapshot_write
+
+    o = read_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="w19_")
+    snapshot_write(
+        o.repartitionByRange(8, F.col("o_orderkey")), tmp, "lake", "orders"
+    )
+    cow_delete(spark, tmp, "lake", "orders", "o_orderkey", 1000, 2999)
+    served = read_snapshot(spark, tmp, "lake", "orders")
+    return (
+        served.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

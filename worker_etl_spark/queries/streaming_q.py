@@ -1217,3 +1217,67 @@ def evt17_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         F.col("dev").cast("long").alias("scaled_deviation"),
     ).orderBy("event_type")
+
+
+# --- evt18: OHLC conflation (candlestick rollup) ----------------------------------
+@register(
+    "evt18_ohlc_conflation",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id)           AS rn_a,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(max(CASE WHEN rn_a = 1 THEN c END) AS BIGINT) AS open_cents,
+           CAST(max(c) AS BIGINT)                             AS high_cents,
+           CAST(min(c) AS BIGINT)                             AS low_cents,
+           CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT)                           AS n_events,
+           CAST(sum(c) AS BIGINT)                             AS vol_cents
+    FROM r GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def evt18_ohlc_conflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC conflation — per (event_type, day) candlesticks: open/close are
+    the first/last value by event time, high/low/volume the extremes and
+    sum.  Conflation is THE downsampling operator of tick/metric pipelines
+    (a 100 TB firehose becomes a bounded bar series consumers can hold).
+
+    The Spark plan uses ``min_by``/``max_by`` with a (ts, event_id) struct
+    comparator — open and close are decided INSIDE one hash aggregate, so
+    the whole query is a single map-side-combinable pass with no window
+    sort at all; the DuckDB oracle proves the same rows with two
+    row_number windows.  The (ts, event_id) tiebreak makes first/last
+    deterministic even under timestamp collisions.  Values are cents on
+    the tie-free floor grid (v05 discipline) so every output is an exact
+    integer.
+
+    Streaming form: the identical aggregate under a watermarked
+    ``window()`` (evt01's machinery) — min_by/max_by are algebraic, so the
+    same partial-merge runs per micro-batch; this registered batch query
+    is the replayable oracle of that stream."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    return (
+        ev.groupBy("event_type", "day")
+        .agg(
+            F.expr("min_by(c, struct(ts, event_id))").cast("long").alias("open_cents"),
+            F.max("c").cast("long").alias("high_cents"),
+            F.min("c").cast("long").alias("low_cents"),
+            F.expr("max_by(c, struct(ts, event_id))").cast("long").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("c").cast("long").alias("vol_cents"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -281,17 +281,20 @@ def read_snapshot(
         with open(os.path.join(location, "_LATEST"), encoding="utf-8") as fh:
             version = int(fh.read().strip())
     vdir = os.path.join(location, f"_v{version}")
-    if os.path.isdir(vdir):
+    if os.path.isdir(vdir) and not os.path.exists(
+        os.path.join(vdir, "_borrowed.manifest")
+    ):
         return spark.read.parquet(vdir)
-    manifest = vdir + ".manifest"
-    with open(manifest, encoding="utf-8") as fh:
-        paths = [ln.strip() for ln in fh if ln.strip()]
+    manifest = (
+        vdir if os.path.isdir(vdir) else vdir + ".manifest"
+    )  # cow dir with borrows, or a shallow-clone file list
+    paths = _version_files(location, version)
     missing = [p for p in paths if not os.path.exists(p)]
     if missing:
         raise FileNotFoundError(
-            f"shallow-clone manifest {manifest} references {len(missing)} "
-            f"file(s) no longer on disk (first: {missing[0]}) — the source "
-            "table's version was vacuumed out from under the clone; restore "
+            f"manifest {manifest} references {len(missing)} "
+            f"file(s) no longer on disk (first: {missing[0]}) — the borrowed "
+            "version was vacuumed out from under this snapshot; restore "
             "the source version or re-clone"
         )
     return spark.read.parquet(*paths)
@@ -320,14 +323,14 @@ def shallow_clone(
     src_loc = os.path.join(warehouse_root, dataset, src_table)
     with open(os.path.join(src_loc, "_LATEST"), encoding="utf-8") as fh:
         src_version = int(fh.read().strip())
-    src_dir = os.path.join(src_loc, f"_v{src_version}")
-    files = sorted(
-        os.path.join(src_dir, f)
-        for f in os.listdir(src_dir)
-        if f.endswith(".parquet")
-    )
+    # the full file set of the source version, INCLUDING files a cow_delete
+    # version borrows from older versions — a clone of a CoW version must
+    # reference every file the version actually serves
+    files = _version_files(src_loc, src_version)
     if not files:
-        raise ValueError(f"source snapshot {src_dir} has no parquet files")
+        raise ValueError(
+            f"source snapshot _v{src_version} at {src_loc} has no parquet files"
+        )
     dst_loc = os.path.join(warehouse_root, dataset, dst_table)
     if os.path.exists(dst_loc) and os.listdir(dst_loc):
         raise ValueError(f"clone destination {dst_loc} is not empty")
@@ -391,14 +394,32 @@ def vacuum_snapshots(
         # the borrow is live while the clone's manifest version exists —
         # a clone that was deleted OR vacuumed its own manifest away no
         # longer references source bytes
-        if dst_loc and any(
-            f.endswith(".manifest")
-            for f in (os.listdir(dst_loc) if os.path.isdir(dst_loc) else [])
-        ):
+        if dst_loc and _location_has_live_manifest(dst_loc):
             borrowed.add(ver)
         else:
             os.unlink(reg)  # clone gone: registration is stale
     survivors = set(versions[-keep:]) | {latest} | borrowed
+    # intra-table borrow chains (cow_delete): a surviving CoW version's
+    # _borrowed.manifest references files inside older _v<M> dirs of THIS
+    # table — protect every such M, to fixpoint (CoW-of-CoW chains)
+    import re as _re
+
+    changed = True
+    while changed:
+        changed = False
+        for v in list(survivors):
+            bm = os.path.join(location, f"_v{v}", "_borrowed.manifest")
+            if not os.path.exists(bm):
+                continue
+            with open(bm, encoding="utf-8") as fh:
+                for ln in fh:
+                    p = ln.strip()
+                    if not p.startswith(location + os.sep):
+                        continue  # cross-table borrow: the _clone.reg there protects it
+                    m = _re.search(r"/_v(\d+)/", p[len(location):])
+                    if m and int(m.group(1)) not in survivors:
+                        survivors.add(int(m.group(1)))
+                        changed = True
     removed = []
     for v in versions:
         if v not in survivors:
@@ -409,3 +430,149 @@ def vacuum_snapshots(
                 os.unlink(vdir + ".manifest")
             removed.append(v)
     return removed
+
+
+def _location_has_live_manifest(dst_loc: str) -> bool:
+    """A registered borrow is live while the borrower still has ANY manifest:
+    a top-level ``_v<N>.manifest`` (shallow clone) or a ``_v<N>/
+    _borrowed.manifest`` (a cow_delete version that carried the borrowed
+    files forward)."""
+    if not os.path.isdir(dst_loc):
+        return False
+    for f in os.listdir(dst_loc):
+        p = os.path.join(dst_loc, f)
+        if f.endswith(".manifest"):
+            return True
+        if (
+            f.startswith("_v")
+            and os.path.isdir(p)
+            and os.path.exists(os.path.join(p, "_borrowed.manifest"))
+        ):
+            return True
+    return False
+
+
+def _version_files(location: str, version: int) -> list[str]:
+    """All data files of a committed version: a data dir's own parquet plus
+    any files its ``_borrowed.manifest`` (cow_delete) or ``.manifest``
+    (shallow_clone) references."""
+    vdir = os.path.join(location, f"_v{version}")
+    if os.path.isdir(vdir):
+        files = sorted(
+            os.path.join(vdir, f)
+            for f in os.listdir(vdir)
+            if f.endswith(".parquet")
+        )
+        bm = os.path.join(vdir, "_borrowed.manifest")
+        if os.path.exists(bm):
+            with open(bm, encoding="utf-8") as fh:
+                files += [ln.strip() for ln in fh if ln.strip()]
+        return files
+    with open(vdir + ".manifest", encoding="utf-8") as fh:
+        return [ln.strip() for ln in fh if ln.strip()]
+
+
+def cow_delete(
+    spark,
+    warehouse_root: str,
+    dataset: str,
+    table: str,
+    key_col: str,
+    key_lo: int,
+    key_hi: int,
+) -> dict:
+    """Copy-on-write row-level delete — the dual of w08's merge-on-read:
+    instead of logging a delete set applied at read time, the files that
+    CONTAIN matching rows are rewritten without them, and every other file
+    is carried into the new version untouched (borrowed by path, zero
+    bytes moved).  This is the Delta/Iceberg copy-on-write DELETE shape:
+    read amplification zero (the serving read is a plain scan, no anti
+    join), write amplification bounded by FILE SKIPPING — a file is
+    rewritten only if its parquet footer min/max for *key_col* intersects
+    [key_lo, key_hi], the manifest-stats pruning every lakehouse does, so
+    a range delete on a range-clustered 100 TB table rewrites a handful of
+    files, not the table.
+
+    Commit shape: rewritten files land in a private staging dir together
+    with a ``_borrowed.manifest`` naming the untouched files of the source
+    version; the dir claims ``_v<N>`` with the same atomic-rename loop as
+    ``snapshot_write``, so racers never tear a version.  ``read_snapshot``
+    serves dir parquet + borrowed paths; ``vacuum_snapshots`` protects a
+    borrowed version for as long as a surviving version borrows from it
+    (fixpoint over the borrow chain).  Returns
+    ``{version, n_files, n_rewritten, n_borrowed, n_deleted_rows}``."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    import pyarrow.parquet as pq
+
+    location = os.path.join(warehouse_root, dataset, table)
+    with open(os.path.join(location, "_LATEST"), encoding="utf-8") as fh:
+        latest = int(fh.read().strip())
+    files = _version_files(location, latest)
+
+    touched, borrowed = [], []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            (i for i in range(md.num_columns)
+             if md.schema.column(i).name == key_col),
+            None,
+        )
+        lo = hi = None
+        if idx is not None:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None and (hi < key_lo or lo > key_hi):
+            borrowed.append(f)  # provably disjoint: skip
+        else:
+            touched.append(f)  # intersects or no stats: conservative rewrite
+
+    staging = os.path.join(location, f"_staging_{uuid.uuid4().hex}")
+    os.makedirs(staging, exist_ok=True)
+    n_deleted = 0
+    if touched:
+        src = spark.read.parquet(*touched)
+        kept = src.filter(~F.col(key_col).between(key_lo, key_hi))
+        n_deleted = src.count() - kept.count()
+        # write into a subdir then hoist: Spark owns the dir it writes
+        data_tmp = os.path.join(staging, "_data")
+        kept.write.mode("errorifexists").parquet(data_tmp)
+        for f in os.listdir(data_tmp):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(data_tmp, f), os.path.join(staging, f))
+        shutil.rmtree(data_tmp)
+    with open(
+        os.path.join(staging, "_borrowed.manifest"), "w", encoding="utf-8"
+    ) as fh:
+        fh.write("\n".join(borrowed) + ("\n" if borrowed else ""))
+    while True:
+        existing = []
+        for d in os.listdir(location):
+            if not d.startswith("_v"):
+                continue
+            core = d[2:-len(".manifest")] if d.endswith(".manifest") else d[2:]
+            if core.isdigit():
+                existing.append(int(core))
+        version = max(existing, default=0) + 1
+        try:
+            os.rename(staging, os.path.join(location, f"_v{version}"))
+            break
+        except OSError:
+            continue
+    tmp = os.path.join(location, f"_LATEST.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(location, "_LATEST"))
+    return {
+        "version": version,
+        "n_files": len(files),
+        "n_rewritten": len(touched),
+        "n_borrowed": len(borrowed),
+        "n_deleted_rows": n_deleted,
+    }
