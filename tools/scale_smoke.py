@@ -143,6 +143,11 @@ SMOKE_QUERIES = [
     "s08_grid_nearest_neighbor",  # grid-cell equi-join, 9x bounded probe
     "p17_stratified_split",  # two-level bucketed grouped rank
     "i24_linear_interpolation",  # daily agg + shared 4-window context sort
+    # round 8
+    "q99_rolling_distinct_users",  # explode-to-window-bucket sliding distinct
+    "q100_pareto_frontier",  # two-phase bucket-pruned skyline
+    "evt18_ohlc_conflation",  # min_by/max_by single-pass candlesticks
+    "w19_cow_delete",        # footer-stats file skipping + borrow commit
 ]
 
 #: dedup growth ladder: the candidate-generating queries re-run on

@@ -122,56 +122,44 @@ def release_persists() -> int:
 # --- i01-i06, q01-q35), whose code has seen two years of shared-helper
 # --- evolution since their only driver row.
 _PRIORITY: list[str] = [
-    "d06_embedding_neardup",  # changed r7: float32 broadcast + memoized guard count — row required
-    "src09_xls_datasource",  # changed r7: pyds option-parse hardening — row required
-    "src19_xlsx_datasource",  # changed r7: fixed 200-row fixture slice + pyds — row required
-    "src20_jdbc_roundtrip",  # changed r7: uuid-named Derby db + drop lifecycle — row required
-    "w09_snapshot_time_travel",  # changed r7: atomic rename version claim in snapshot_write — row required
-    "q90_sole_late_supplier",  # NEW r7: row required
-    "q91_polymorphic_udtf",  # NEW r7: row required
-    "q92_activity_streaks",  # NEW r7: row required
-    "src21_variant_ingest",  # NEW r7: row required
-    "w17_write_audit_publish",  # NEW r7: row required
-    "i23_sequence_gap_audit",  # NEW r7: row required
-    "q93_order_count_distribution",  # NEW r7: row required
-    "q94_rebate_allocation",  # NEW r7: row required
-    "i24_linear_interpolation",  # NEW r7: row required
-    "evt17_cusum_changepoint",  # NEW r7: row required
-    "t29_bm25_retrieval",  # NEW r7: row required
-    "d16_incremental_dedup",  # NEW r7: row required
-    "s08_grid_nearest_neighbor",  # NEW r7: row required
-    "p17_stratified_split",  # NEW r7: row required
-    "q95_windowed_funnel",  # NEW r7: row required
-    "t30_ngram_novelty",  # NEW r7: row required
-    "w18_shallow_clone",  # NEW r7: row required
-    "src22_multichar_delim_csv",  # NEW r7: row required
-    "q96_listagg_top_nations",  # NEW r7: row required
-    "d17_semantic_neardup",  # NEW r7: row required
-    "q97_bag_setops",  # NEW r7: row required
-    "d02_minhash_signatures",  # green r2
-    "d03_lsh_buckets",  # green r2
-    "d04_simhash",  # green r2
-    "d05_ngram_jaccard",  # green r2
-    "i01_infer_types",  # green r2
-    "i02_align_coerce",  # green r2
-    "i03_catalog_schema_reingest",  # green r2
-    "i04_coercion_metrics",  # green r2
-    "i05_schema_evolution",  # green r2
-    "i06_type_widening",  # green r2
-    "q01_pricing_summary",  # green r2
-    "q02_forecast_revenue",  # green r2
-    "q03_top_orders",  # green r2
-    "q04_order_priority",  # green r2
-    "q05_region_revenue",  # green r2
-    "q06_segment_stats",  # green r2
-    "q07_topn_per_flag",  # green r2
-    "q08_running_total",  # green r2
-    "q09_distinct_parts",  # green r2
-    "q10_setops",  # green r2
-    "q11_customers_without_orders",  # green r2
-    "q12_rollup",  # green r2
-    "q13_pivot",  # green r2
-    "q14_sessionize",  # green r2
+    # round-8 head: new + materially-changed surfaces (rows required) ...
+    "m11_png_pixel_stats",  # NEW r8
+    "src23_avro_ingest",  # NEW r8
+    "src24_avro_typed_rollup",  # NEW r8
+    "q98_global_balance_anti",  # NEW r8
+    "q99_rolling_distinct_users",  # NEW r8
+    "q100_pareto_frontier",  # NEW r8
+    "evt18_ohlc_conflation",  # NEW r8
+    "v06_centroid_distance_matrix",  # NEW r8
+    "w19_cow_delete",  # NEW r8
+    "d17_semantic_neardup",  # changed r8: exact-integer text leg
+    "i24_linear_interpolation",  # changed r8: explicit floor division
+    "w18_shallow_clone",  # changed r8: clone borrow registration + vacuum guard
+    "w09_snapshot_time_travel",  # changed r8: read_snapshot borrowed-manifest branch
+    # ... then the 21 names dropped from the r7 replica artifact (verdict #2:
+    # the stalest driver-confirmed rows; each re-verified green since)
+    "d06_embedding_neardup",  # replica-dropped r7; green r7
+    "src09_xls_datasource",  # replica-dropped r7; green r7
+    "w17_write_audit_publish",  # replica-dropped r7; green r7
+    "t29_bm25_retrieval",  # replica-dropped r7; green r7
+    "d16_incremental_dedup",  # replica-dropped r7; green r7
+    "t30_ngram_novelty",  # replica-dropped r7; green r7
+    "d04_simhash",  # replica-dropped r7; green r7
+    "q29_approx_stats",  # replica-dropped r7; green r2
+    "i08_column_profile",  # replica-dropped r7; green r3
+    "srm02_multi_object_batch",  # replica-dropped r7; green r3
+    "t05_tfidf_topterms",  # replica-dropped r7; green r3
+    "t10_contamination",  # replica-dropped r7; green r3
+    "w04_partitioned_bucketed_layout",  # replica-dropped r7; green r3
+    "q53_cogroup_asof",  # replica-dropped r7; green r4
+    "t14_substring_dup_share",  # replica-dropped r7; green r4
+    "d10_simhash_hamming",  # replica-dropped r7; green r6
+    "q79_triangle_count",  # replica-dropped r7; green r6
+    "t16_distinctive_terms",  # replica-dropped r7; green r6
+    "t17_countmin_audit",  # replica-dropped r7; green r6
+    "t18_bigram_perplexity",  # replica-dropped r7; green r6
+    "t28_collocations",  # replica-dropped r7; green r6
+    # stalest-green rotation (tools/rotate_priority.py order)
     "q15_tumbling_windows",  # green r2
     "q16_sliding_windows",  # green r2
     "q17_json_props",  # green r2
@@ -186,7 +174,6 @@ _PRIORITY: list[str] = [
     "q26_grouping_sets",  # green r2
     "q27_revenue_momentum",  # green r2
     "q28_hash_sample",  # green r2
-    "q29_approx_stats",  # green r2
     "q30_small_qty_revenue",  # green r2
     "q31_moving_revenue",  # green r2
     "q32_rank_family",  # green r2
@@ -204,7 +191,6 @@ _PRIORITY: list[str] = [
     "g01_grid_ingest_e2e",  # green r3
     "g03_grid_fallback_whole_sheet",  # green r3
     "g04_detection_config_knobs",  # green r3
-    "i08_column_profile",  # green r3
     "m03_frame_samples",  # green r3
     "m04_media_dedup",  # green r3
     "m05_magic_byte_quarantine",  # green r3
@@ -223,15 +209,12 @@ _PRIORITY: list[str] = [
     "src04_jsonl_ingest",  # green r3
     "src05_xls_ingest",  # green r3
     "src06_orc_ingest",  # green r3
-    "srm02_multi_object_batch",  # green r3
     "srm03_excel_object",  # green r3
     "t01_token_stats",  # green r3
-    "t05_tfidf_topterms",  # green r3
     "t06_pii_redaction",  # green r3
     "t07_bigram_stats",  # green r3
     "t08_bpe_token_stats",  # green r3
     "t09_cdc_chunking",  # green r3
-    "t10_contamination",  # green r3
     "t11_repetition_filters",  # green r3
     "t12_vocab_coverage",  # green r3
     "v01_embedding_centroids",  # green r3
@@ -239,7 +222,6 @@ _PRIORITY: list[str] = [
     "w01_partitioned_sink",  # green r3
     "w02_upsert_sink",  # green r3
     "w03_compaction_sink",  # green r3
-    "w04_partitioned_bucketed_layout",  # green r3
     "d14_sorted_neighborhood",  # green r4
     "evt05_stream_dedup",  # green r4
     "evt06_stream_static_enrich",  # green r4
@@ -268,7 +250,6 @@ _PRIORITY: list[str] = [
     "q50_scd2_dimension",  # green r4
     "q51_last_touch_attribution",  # green r4
     "q52_rollup_merge",  # green r4
-    "q53_cogroup_asof",  # green r4
     "q54_pagerank_transitions",  # green r4
     "q55_calendar_gapfill",  # green r4
     "q56_mad_anomalies",  # green r4
@@ -278,7 +259,6 @@ _PRIORITY: list[str] = [
     "src08_corrupt_jsonl",  # green r4
     "src10_fixed_width_ingest",  # green r4
     "t13_word_entropy",  # green r4
-    "t14_substring_dup_share",  # green r4
     "v03_kmeans_quantized",  # green r4
     "v05_covariance_matrix",  # green r4
     "w05_sorted_layout",  # green r4
@@ -337,12 +317,10 @@ _PRIORITY: list[str] = [
     "c02_drop_all_null_rows",  # green r6
     "c03_sanitized_projection",  # green r6
     "d01_exact_dedup",  # green r6
-    "d10_simhash_hamming",  # green r6
     "g02_grid_detection",  # green r6
     "i11_constraint_audit",  # green r6
     "m01_media_metadata",  # green r6
     "m02_media_features",  # green r6
-    "q79_triangle_count",  # green r6
     "q89_dynamic_pivot",  # green r6
     "s01_topk_bruteforce",  # green r6
     "s02_topk_lsh",  # green r6
@@ -363,9 +341,6 @@ _PRIORITY: list[str] = [
     "t02_quality_score",  # green r6
     "t03_langid",  # green r6
     "t04_fingerprint",  # green r6
-    "t16_distinctive_terms",  # green r6
-    "t17_countmin_audit",  # green r6
-    "t18_bigram_perplexity",  # green r6
     "t19_zipf_fit",  # green r6
     "t20_code_detection",  # green r6
     "t22_langid_metrics",  # green r6
@@ -373,13 +348,51 @@ _PRIORITY: list[str] = [
     "t25_template_detection",  # green r6
     "t26_script_detection",  # green r6
     "t27_line_boilerplate",  # green r6
-    "t28_collocations",  # green r6
     "v04_feature_hashing",  # green r6
     "w11_snapshot_diff_cdc",  # green r6
     "w12_partition_evolution",  # green r6
     "w13_compaction_plan",  # green r6
     "w14_inferred_members",  # green r6
     "w16_row_ttl_retention",  # green r6
+    "d02_minhash_signatures",  # green r7
+    "d03_lsh_buckets",  # green r7
+    "d05_ngram_jaccard",  # green r7
+    "evt17_cusum_changepoint",  # green r7
+    "i01_infer_types",  # green r7
+    "i02_align_coerce",  # green r7
+    "i03_catalog_schema_reingest",  # green r7
+    "i04_coercion_metrics",  # green r7
+    "i05_schema_evolution",  # green r7
+    "i06_type_widening",  # green r7
+    "i23_sequence_gap_audit",  # green r7
+    "p17_stratified_split",  # green r7
+    "q01_pricing_summary",  # green r7
+    "q02_forecast_revenue",  # green r7
+    "q03_top_orders",  # green r7
+    "q04_order_priority",  # green r7
+    "q05_region_revenue",  # green r7
+    "q06_segment_stats",  # green r7
+    "q07_topn_per_flag",  # green r7
+    "q08_running_total",  # green r7
+    "q09_distinct_parts",  # green r7
+    "q10_setops",  # green r7
+    "q11_customers_without_orders",  # green r7
+    "q12_rollup",  # green r7
+    "q13_pivot",  # green r7
+    "q14_sessionize",  # green r7
+    "q90_sole_late_supplier",  # green r7
+    "q91_polymorphic_udtf",  # green r7
+    "q92_activity_streaks",  # green r7
+    "q93_order_count_distribution",  # green r7
+    "q94_rebate_allocation",  # green r7
+    "q95_windowed_funnel",  # green r7
+    "q96_listagg_top_nations",  # green r7
+    "q97_bag_setops",  # green r7
+    "s08_grid_nearest_neighbor",  # green r7
+    "src19_xlsx_datasource",  # green r7
+    "src20_jdbc_roundtrip",  # green r7
+    "src21_variant_ingest",  # green r7
+    "src22_multichar_delim_csv",  # green r7
 ]
 
 
