@@ -188,3 +188,102 @@ def test_avroocf_partitions_per_block_and_grid_rows(spark, tmp_path):
     assert rows[0].row_idx == 0 and rows[0].cells == ["k", "v"]  # header
     assert [r.row_idx for r in rows] == list(range(91))  # consecutive across blocks
     assert rows[1].cells == ["0", None]  # null union → NULL cell
+
+
+def test_union_branch_picked_by_value_type(tmp_path):
+    """A multi-branch union routes each value to the branch matching its
+    PYTHON type (5 -> long, 'x' -> string), not first-non-null."""
+    p = str(tmp_path / "u.avro")
+    schema = (
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"v","type":["null","string","long"]}]}'
+    )
+    recs = [{"v": 5}, {"v": "x"}, {"v": None}, {"v": -9}]
+    write_ocf(p, schema, recs, codec="null")
+    meta = scan_blocks(p)
+    out = []
+    for offset, count, size in meta["blocks"]:
+        out += read_block(p, offset, size, count, meta["codec"], meta["schema"])
+    assert [r["v"] for r in out] == [5, "x", None, -9]
+
+
+def test_truncated_varint_raises_value_error(tmp_path):
+    """A file cut inside a varint fails with the module's loud ValueError,
+    not a bare IndexError."""
+    p = str(tmp_path / "t.avro")
+    schema = '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}'
+    write_ocf(p, schema, [{"a": 1 << 40}], codec="null")
+    raw = open(p, "rb").read()
+    # find a multi-byte varint: the record value 2^40 zigzags to 6+ bytes in
+    # the block payload; cut the file mid-payload so a continuation bit dangles
+    cut = str(tmp_path / "cut.avro")
+    with open(cut, "wb") as fh:
+        fh.write(raw[: len(raw) - 20])
+    with pytest.raises((ValueError, OSError)):
+        scan_blocks(cut)
+
+
+def test_missing_schema_metadata_raises_value_error(tmp_path):
+    """An OCF whose metadata map lacks avro.schema is refused by name."""
+    import struct as _struct
+
+    def zz(n: int) -> bytes:
+        u = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    p = str(tmp_path / "noschema.avro")
+    with open(p, "wb") as fh:
+        fh.write(b"Obj\x01")
+        fh.write(zz(1))  # one metadata entry
+        fh.write(zz(len(b"avro.codec")) + b"avro.codec")
+        fh.write(zz(len(b"null")) + b"null")
+        fh.write(zz(0))  # end of map
+        fh.write(b"S" * 16)  # sync
+    with pytest.raises(ValueError, match="avro.schema"):
+        scan_blocks(p)
+
+
+def test_typed_mode_rejects_mixed_schema_directory(spark, tmp_path):
+    """A directory whose files carry different field sets fails LOUDLY in
+    read() (planner schema comes from one header), and a same-fields file
+    with a different field ORDER is realigned by name, never misaligned."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from worker_etl_spark.sources.pyds_avro import register_avroocf
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    write_ocf(
+        str(d / "a.avro"),
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"k","type":"long"},{"name":"s","type":"string"}]}',
+        [{"k": 1, "s": "one"}],
+    )
+    write_ocf(
+        str(d / "b.avro"),
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"s","type":"string"},{"name":"k","type":"long"}]}',
+        [{"k": 2, "s": "two"}],  # same fields, swapped declaration order
+    )
+    register_avroocf(spark)
+    got = sorted(
+        (r.k, r.s)
+        for r in spark.read.format("avroocf").option("path", str(d)).load().collect()
+    )
+    assert got == [(1, "one"), (2, "two")]  # realigned by NAME
+
+    write_ocf(
+        str(d / "c.avro"),
+        '{"type":"record","name":"r","fields":[{"name":"other","type":"long"}]}',
+        [{"other": 3}],  # different field set: must fail loudly
+    )
+    with pytest.raises(PythonException, match="differ from"):
+        spark.read.format("avroocf").option("path", str(d)).load().collect()

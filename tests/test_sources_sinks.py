@@ -875,3 +875,32 @@ def test_shallow_clone_of_cow_version_carries_borrowed_files(spark, tmp_path):
     got = read_snapshot(spark, str(tmp_path), "ds", "t_clone")
     assert got.count() == 6000
     assert got.filter("k BETWEEN 1000 AND 2999").count() == 0
+
+
+def test_transitive_clone_survives_intermediate_clone_deletion(spark, tmp_path):
+    """src -> clone c1 -> clone c2, then DELETE c1 (normal dev teardown):
+    c2's borrow registration lives in SRC (the owner of the bytes), so
+    src's vacuum must keep protecting the borrowed version and c2 stays
+    readable."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from worker_etl_spark.sinks.writer import (
+        read_snapshot,
+        shallow_clone,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+
+    wh = str(tmp_path)
+    base = spark.range(50).selectExpr("id", "id * 3 AS v")
+    snapshot_write(base, wh, "ds", "src")                      # src v1
+    shallow_clone(wh, "ds", "src", "c1")
+    shallow_clone(wh, "ds", "c1", "c2")                        # borrows SRC files
+    snapshot_write(base.limit(5), wh, "ds", "src")             # src v2
+    _shutil.rmtree(os.path.join(wh, "ds", "c1"))               # c1 torn down
+    removed = vacuum_snapshots(wh, "ds", "src", keep=1)
+    assert removed == [], f"v1 vacuumed despite c2's live borrow: {removed}"
+    got = read_snapshot(spark, wh, "ds", "c2")
+    assert got.agg(F.sum("v")).first()[0] == sum(i * 3 for i in range(50))

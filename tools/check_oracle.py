@@ -115,6 +115,9 @@ def main() -> int:
     out_path = os.environ.get("SPARK_GRAFT_REPLICA_OUT")
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: check_oracle.py [query ...] [--out FILE]", file=sys.stderr)
+            return 2
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     only = set(argv)

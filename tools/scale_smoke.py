@@ -434,11 +434,12 @@ def _growth_subproc(kind: str, ladder, queries, extra: dict | None = None) -> di
     out: dict[str, dict] = {"copies": {}}
     if extra:
         out.update(extra)
-    for copies in ladder:
+    def _run_rung(copies: int):
         fd, rung_json = tempfile.mkstemp(
             prefix=f"rung_{kind}_{copies}_", suffix=".json"
         )
         os.close(fd)
+        load_before = os.getloadavg()[0]
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--rung", kind,
@@ -449,17 +450,38 @@ def _growth_subproc(kind: str, ladder, queries, extra: dict | None = None) -> di
             # record the rung as errored instead of aborting the whole smoke
             # run and discarding every previously collected result
             print(f"{kind} rung {copies} timed out (3600 s)", file=sys.stderr)
-            out["copies"][str(copies)] = {"error": "timeout_3600s"}
             os.unlink(rung_json)
-            continue
+            return {"error": "timeout_3600s"}
         if proc.returncode != 0:
             print(f"{kind} rung {copies} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
-            out["copies"][str(copies)] = {"error": proc.returncode}
             os.unlink(rung_json)
-            continue
+            return {"error": proc.returncode}
         with open(rung_json) as fh:
-            out["copies"][str(copies)] = json.load(fh)
+            rung = json.load(fh)
         os.unlink(rung_json)
+        rung["load_avg_1m_before"] = round(load_before, 2)
+        return rung
+
+    for copies in ladder:
+        rung = _run_rung(copies)
+        # One mechanical retry when passes disagreed: a single host-
+        # contention event poisons one pass and flags the whole rung
+        # (observed: pass 3 of a rung slowing 4-5x ACROSS every query at
+        # once — external load, not the plans).  Keep whichever attempt has
+        # fewer unmeasured queries and record the discarded one verbatim,
+        # so the artifact shows both the rule and the evidence.
+        if rung.get("_unmeasured"):
+            print(
+                f"{kind} rung {copies}: pass disagreement on "
+                f"{rung['_unmeasured']} — one retry", file=sys.stderr,
+            )
+            retry = _run_rung(copies)
+            if len(retry.get("_unmeasured", [])) < len(rung["_unmeasured"]):
+                retry["_retry_discarded_attempt"] = rung
+                rung = retry
+            else:
+                rung["_retry_discarded_attempt"] = retry
+        out["copies"][str(copies)] = rung
     lo, hi = (str(c) for c in (ladder[0], ladder[-1]))
     unmeasured = set(out["copies"].get(lo, {}).get("_unmeasured", [])) | set(
         out["copies"].get(hi, {}).get("_unmeasured", [])
@@ -477,7 +499,10 @@ def _growth_subproc(kind: str, ladder, queries, extra: dict | None = None) -> di
     out["protocol"] = (
         f"median of {N_PASSES} passes per rung, per-query min/max recorded in "
         f"_spread; any query with pass disagreement > {MAX_PASS_DISAGREEMENT}x "
-        "on either endpoint rung is reported unmeasured instead of ratio'd"
+        "on either endpoint rung is reported unmeasured instead of ratio'd; a "
+        "rung with unmeasured queries is retried ONCE (fresh subprocess) and "
+        "the attempt with fewer unmeasured kept, the other recorded verbatim "
+        "under _retry_discarded_attempt"
     )
     return out
 

@@ -16,6 +16,7 @@ Scale posture: writes go through the normal distributed parquet committer;
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from urllib.parse import urlparse
 
@@ -216,6 +217,41 @@ def compact_files(
     return location, files_before, files_after
 
 
+def _claim_version(location: str, staging: str) -> int:
+    """Atomically claim the next version number by renaming *staging* to
+    ``_v<N>``.  Both version forms count toward N — ``_v<N>`` data dirs and
+    ``_v<N>.manifest`` shallow-clone file lists — otherwise a write to a
+    cloned table would re-claim the manifest's number.  A racer that claimed
+    N first makes the rename fail (EEXIST/ENOTEMPTY) and the loser retries
+    with the next number, so version dirs are never shared or torn.  The
+    ONE claim protocol for every committer (snapshot_write, cow_delete)."""
+    while True:
+        existing = []
+        for d in os.listdir(location):
+            if not d.startswith("_v"):
+                continue
+            core = d[2:-len(".manifest")] if d.endswith(".manifest") else d[2:]
+            if core.isdigit():
+                existing.append(int(core))
+        version = max(existing, default=0) + 1
+        try:
+            os.rename(staging, os.path.join(location, f"_v{version}"))
+            return version
+        except OSError:
+            continue
+
+
+def _commit_latest(location: str, version: int) -> None:
+    """Replace ``_LATEST`` atomically from a private tmp (the commit point;
+    a fixed tmp name was itself a race)."""
+    import uuid
+
+    tmp = os.path.join(location, f"_LATEST.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(location, "_LATEST"))
+
+
 def snapshot_write(
     df: "DataFrame", warehouse_root: str, dataset: str, table: str
 ) -> int:
@@ -243,28 +279,8 @@ def snapshot_write(
     os.makedirs(location, exist_ok=True)
     staging = os.path.join(location, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("errorifexists").parquet(staging)
-    while True:
-        # both version forms count: _v<N> data dirs and _v<N>.manifest
-        # shallow-clone file lists — otherwise a write to a cloned table
-        # would re-claim the manifest's version number
-        existing = []
-        for d in os.listdir(location):
-            if not d.startswith("_v"):
-                continue
-            core = d[2:-len(".manifest")] if d.endswith(".manifest") else d[2:]
-            if core.isdigit():
-                existing.append(int(core))
-        version = max(existing, default=0) + 1
-        try:
-            # atomic claim: fails (EEXIST/ENOTEMPTY) if a racer took N first
-            os.rename(staging, os.path.join(location, f"_v{version}"))
-            break
-        except OSError:
-            continue
-    tmp = os.path.join(location, f"_LATEST.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(location, "_LATEST"))
+    version = _claim_version(location, staging)
+    _commit_latest(location, version)
     return version
 
 
@@ -341,11 +357,28 @@ def shallow_clone(
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write("1")
     os.replace(tmp, os.path.join(dst_loc, "_LATEST"))
-    # register the borrow in the SOURCE location so its vacuum can protect
-    # the borrowed version; one private file per clone, no write races
-    reg = os.path.join(src_loc, f"_clone.{uuid.uuid4().hex}")
-    with open(reg, "w", encoding="utf-8") as fh:
-        fh.write(f"{src_version}\t{dst_loc}\n")
+    # Register the borrow in the OWNING location of every borrowed file —
+    # one private file per (owner, version), no write races.  Registering
+    # per-owner (not blindly in src_loc) is what keeps TRANSITIVE clones
+    # safe: cloning a clone borrows the ORIGINAL table's files, so the
+    # registration must land there, where the bytes live — otherwise
+    # deleting the intermediate clone would garbage-collect the only
+    # registration and the original's vacuum could delete files this clone
+    # still serves.  A CoW source version similarly spans several of the
+    # owner's versions; each gets its own registration.
+    owners: set[tuple[str, int]] = set()
+    pat = re.compile(r"^_v(\d+)$")
+    for f in files:
+        vdir = os.path.dirname(os.path.abspath(f))
+        m = pat.match(os.path.basename(vdir))
+        if m:
+            owners.add((os.path.dirname(vdir), int(m.group(1))))
+    if not owners:  # defensive: unrecognized layout falls back to the source
+        owners = {(os.path.abspath(src_loc), src_version)}
+    for owner_loc, ver in owners:
+        reg = os.path.join(owner_loc, f"_clone.{uuid.uuid4().hex}")
+        with open(reg, "w", encoding="utf-8") as fh:
+            fh.write(f"{ver}\t{dst_loc}\n")
     return 1
 
 
@@ -401,9 +434,11 @@ def vacuum_snapshots(
     survivors = set(versions[-keep:]) | {latest} | borrowed
     # intra-table borrow chains (cow_delete): a surviving CoW version's
     # _borrowed.manifest references files inside older _v<M> dirs of THIS
-    # table — protect every such M, to fixpoint (CoW-of-CoW chains)
-    import re as _re
-
+    # table — protect every such M, to fixpoint (CoW-of-CoW chains).
+    # Paths are compared ABSOLUTIZED on both sides: a relative vs absolute
+    # spelling of the same warehouse must not demote an intra-table borrow
+    # to "cross-table" and lose protection.
+    loc_abs = os.path.abspath(location)
     changed = True
     while changed:
         changed = False
@@ -413,10 +448,10 @@ def vacuum_snapshots(
                 continue
             with open(bm, encoding="utf-8") as fh:
                 for ln in fh:
-                    p = ln.strip()
-                    if not p.startswith(location + os.sep):
+                    p = os.path.abspath(ln.strip())
+                    if not p.startswith(loc_abs + os.sep):
                         continue  # cross-table borrow: the _clone.reg there protects it
-                    m = _re.search(r"/_v(\d+)/", p[len(location):])
+                    m = re.search(r"[/\\]_v(\d+)[/\\]", p[len(loc_abs):])
                     if m and int(m.group(1)) not in survivors:
                         survivors.add(int(m.group(1)))
                         changed = True
@@ -550,25 +585,16 @@ def cow_delete(
     with open(
         os.path.join(staging, "_borrowed.manifest"), "w", encoding="utf-8"
     ) as fh:
-        fh.write("\n".join(borrowed) + ("\n" if borrowed else ""))
-    while True:
-        existing = []
-        for d in os.listdir(location):
-            if not d.startswith("_v"):
-                continue
-            core = d[2:-len(".manifest")] if d.endswith(".manifest") else d[2:]
-            if core.isdigit():
-                existing.append(int(core))
-        version = max(existing, default=0) + 1
-        try:
-            os.rename(staging, os.path.join(location, f"_v{version}"))
-            break
-        except OSError:
-            continue
-    tmp = os.path.join(location, f"_LATEST.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(location, "_LATEST"))
+        # absolute paths: the vacuum borrow-chain fixpoint classifies a line
+        # as intra-table by prefix against the (absolutized) location — a
+        # relative spelling would silently demote it to "cross-table" and
+        # lose protection
+        fh.write(
+            "\n".join(os.path.abspath(b) for b in borrowed)
+            + ("\n" if borrowed else "")
+        )
+    version = _claim_version(location, staging)
+    _commit_latest(location, version)
     return {
         "version": version,
         "n_files": len(files),

@@ -179,13 +179,30 @@ def _encode_value(s: Any, v: Any) -> bytes:
     if t == "bytes":
         return _encode_long(len(v)) + bytes(v)
     if t == "union":
-        for i, branch in enumerate(s):
-            bt = _schema_type(branch)
-            if v is None and bt == "null":
-                return _encode_long(i)
-            if v is not None and bt != "null":
-                return _encode_long(i) + _encode_value(branch, v)
-        raise ValueError(f"no union branch for {v!r} in {s!r}")
+        # pick the branch by VALUE TYPE, not first-non-null: a
+        # ['null','string','long'] union must route 5 to 'long', not crash
+        # encoding it as a string
+        _match = {
+            bool: ("boolean",),
+            int: ("long", "int"),
+            float: ("double", "float"),
+            str: ("string", "enum"),
+            bytes: ("bytes", "fixed"),
+            bytearray: ("bytes", "fixed"),
+            list: ("array",),
+            dict: ("record", "map"),
+        }
+        if v is None:
+            for i, branch in enumerate(s):
+                if _schema_type(branch) == "null":
+                    return _encode_long(i)
+        else:
+            wanted = _match.get(type(v), ())
+            for pref in wanted:  # best match first (long before int, etc.)
+                for i, branch in enumerate(s):
+                    if _schema_type(branch) == pref:
+                        return _encode_long(i) + _encode_value(branch, v)
+        raise ValueError(f"no union branch for {v!r} ({type(v).__name__}) in {s!r}")
     if t == "record":
         return b"".join(_encode_value(f["type"], v[f["name"]]) for f in s["fields"])
     if t == "enum":
@@ -278,8 +295,54 @@ def _read_varint_from(fh) -> int | None:  # noqa: ANN001
         if not b & 0x80:
             break
         shift += 7
-        b = fh.read(1)[0]
+        nxt = fh.read(1)
+        if not nxt:
+            raise ValueError(
+                "truncated Avro file: EOF inside a varint (continuation bit "
+                "set on the last byte) — the file was cut mid-write/copy"
+            )
+        b = nxt[0]
     return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_header(fh, path: str) -> tuple[str, str, bytes]:
+    """Read magic + metadata map + sync from an open OCF; returns
+    (schema_json, codec, sync) with the handle positioned at block 1."""
+    if fh.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro Object Container File")
+    meta: dict[str, bytes] = {}
+    while True:
+        cnt = _read_varint_from(fh)
+        if cnt == 0 or cnt is None:
+            break
+        if cnt < 0:
+            cnt = -cnt
+            _read_varint_from(fh)  # block byte size, unused
+        for _ in range(cnt):
+            klen = _read_varint_from(fh)
+            k = fh.read(klen).decode("utf-8")
+            vlen = _read_varint_from(fh)
+            meta[k] = fh.read(vlen)
+    sync = fh.read(SYNC_LEN)
+    if "avro.schema" not in meta:
+        raise ValueError(
+            f"{path}: Avro container metadata carries no avro.schema "
+            "entry — not a valid Object Container File"
+        )
+    schema_json = meta["avro.schema"].decode("utf-8")
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"{path}: unsupported Avro codec {codec!r}")
+    return schema_json, codec, sync
+
+
+def read_header(path: str) -> tuple[str, str]:
+    """(schema_json, codec) from the file header alone — a handful of small
+    reads, no block walking.  The executor-side resolution used by the
+    DataSource so per-BLOCK partitions never ship the schema string."""
+    with open(path, "rb") as fh:
+        schema_json, codec, _ = _read_header(fh, path)
+    return schema_json, codec
 
 
 def scan_blocks(path: str) -> dict:
@@ -289,26 +352,7 @@ def scan_blocks(path: str) -> dict:
     and SEEKS over the payload — O(blocks) tiny reads, payload bytes never
     touched; the per-block InputPartition contract's listing cost."""
     with open(path, "rb") as fh:
-        if fh.read(4) != MAGIC:
-            raise ValueError(f"{path}: not an Avro Object Container File")
-        meta: dict[str, bytes] = {}
-        while True:
-            cnt = _read_varint_from(fh)
-            if cnt == 0 or cnt is None:
-                break
-            if cnt < 0:
-                cnt = -cnt
-                _read_varint_from(fh)  # block byte size, unused
-            for _ in range(cnt):
-                klen = _read_varint_from(fh)
-                k = fh.read(klen).decode("utf-8")
-                vlen = _read_varint_from(fh)
-                meta[k] = fh.read(vlen)
-        sync = fh.read(SYNC_LEN)
-        schema_json = meta["avro.schema"].decode("utf-8")
-        codec = meta.get("avro.codec", b"null").decode("utf-8")
-        if codec not in ("null", "deflate"):
-            raise ValueError(f"{path}: unsupported Avro codec {codec!r}")
+        schema_json, codec, sync = _read_header(fh, path)
         blocks: list[tuple[int, int, int]] = []
         while True:
             count = _read_varint_from(fh)

@@ -30,6 +30,7 @@ the public OCF spec is implemented directly (round-7 verdict next-round #3).
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 from collections.abc import Iterator, Sequence
 
@@ -42,6 +43,16 @@ from worker_etl_spark.sources.avro import (
 )
 
 GRID_SCHEMA = "file string, sheet string, row_idx bigint, cells array<string>"
+
+
+@_functools.lru_cache(maxsize=256)
+def _cached_header(path: str):
+    """Executor-side (parsed_schema, codec) for one file, cached per worker
+    process so N block tasks on the same worker read the header once."""
+    from worker_etl_spark.sources.avro import parse_schema, read_header
+
+    schema_json, codec = read_header(path)
+    return parse_schema(schema_json), codec
 
 
 def _stringify(v) -> str | None:  # noqa: ANN001
@@ -84,13 +95,20 @@ class AvroOcfDataSource(DataSource):
         return avro_to_spark_schema(scan_blocks(files[0])["schema"])
 
     def reader(self, schema) -> DataSourceReader:  # noqa: ANN001
-        return AvroOcfReader(self.options, self._files())
+        return AvroOcfReader(
+            self.options, self._files(), [f.name for f in schema.fields]
+        )
 
 
 class AvroOcfReader(DataSourceReader):
-    def __init__(self, options, files: list[str]) -> None:  # noqa: ANN001
+    def __init__(self, options, files: list[str], field_order: list[str]) -> None:  # noqa: ANN001
         self._grid = options.get("mode", "typed") == "grid"
         self._files = files
+        #: planner-schema field order (typed mode): every file's records are
+        #: emitted in THIS order, and a file whose field-name set differs
+        #: from the planner's fails loudly instead of silently misaligning
+        #: columns (the planner schema came from one header read).
+        self._field_order = field_order
 
     def partitions(self) -> Sequence[InputPartition]:
         parts: list[InputPartition] = []
@@ -105,8 +123,6 @@ class AvroOcfReader(DataSourceReader):
                             offset,
                             count,
                             size,
-                            meta["codec"],
-                            meta["schema_json"],
                             row_base,  # first row_idx this block emits (grid)
                             bi == 0,  # block 0 also emits the header row
                         )
@@ -118,12 +134,13 @@ class AvroOcfReader(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         if partition is None:  # zero files matched
             return
-        from worker_etl_spark.sources.avro import parse_schema
-
-        path, offset, count, size, codec, schema_json, row_base, is_first = (
-            partition.value
-        )
-        schema = parse_schema(schema_json)
+        path, offset, count, size, row_base, is_first = partition.value
+        # per-block partitions deliberately do NOT carry the schema string
+        # (a thousand-block file would ship a thousand copies through the
+        # partition plumbing); the executor re-reads the tiny file header
+        # once per (worker process, file) — cached below, reused across all
+        # of that worker's block tasks
+        schema, codec = _cached_header(path)
         records = read_block(path, offset, size, count, codec, schema)
         fields = [f["name"] for f in schema["fields"]]
         if self._grid:
@@ -135,8 +152,18 @@ class AvroOcfReader(DataSourceReader):
                     _stringify(rec[f]) for f in fields
                 ]
         else:
+            if set(fields) != set(self._field_order):
+                raise ValueError(
+                    f"{path}: Avro schema fields {sorted(fields)} differ from "
+                    f"the planner schema {sorted(self._field_order)} (taken "
+                    "from the directory's first file) — a mixed-schema "
+                    "directory cannot be read as one typed frame; read files "
+                    "separately or use mode=grid"
+                )
+            # emit in PLANNER order: a same-fields file whose record order
+            # differs still lands every value under its own column
             for rec in records:
-                yield tuple(rec[f] for f in fields)
+                yield tuple(rec[f] for f in self._field_order)
 
 
 def register_avroocf(spark) -> None:  # noqa: ANN001
