@@ -567,7 +567,6 @@ BOUNDED_WINDOW_ALLOWLIST = {
     "q31_moving_revenue",      # |days|-row daily rollup
     "q55_calendar_gapfill",    # |days|-row calendar spine
     "q76_cumulative_uniques",  # |days|-row first-seen counts
-    "q100_pareto_frontier",    # ~100-row price-bucket stats (fixed band / width)
     "v03_kmeans_quantized",    # k-row seed/centroid frames
     "w13_compaction_plan",     # |files|-row inventory (metadata scale)
 }

@@ -1,6 +1,6 @@
-"""Round-8 surfaces: Q22-shape global-balance anti join (q98), rolling
-7-day distinct users (q99), two-phase Pareto frontier (q100), OHLC
-conflation (evt18), centroid distance matrix (v06).  Cross-engine parity is
+"""Round-8 surfaces: Q22-shape global-balance anti join (q98),
+conversion-latency histogram (q99), OHLC conflation (evt18), centroid
+distance matrix (v06).  Cross-engine parity is
 covered by test_oracle_parity; these pin semantics and plan properties
 parity can't see."""
 
@@ -50,63 +50,35 @@ def test_q98_plan_anti_join_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def test_q99_rolling_window_semantics(spark):
-    """users_7d for day D == |distinct users over [D-6, D]| — recomputed
-    independently; and the output has exactly one row per observed day."""
+def test_q99_conversion_latency_semantics(spark):
+    """Per-bucket counts equal a row-by-row recomputation: first signup,
+    first purchase at-or-after it, exact microsecond floor-div to days,
+    -1 for never-converted; shares are floor ppm of all signups."""
     from worker_etl_spark.sources.tables import read_table
 
-    got = {r.day: r.users_7d
-           for r in load_all()["q99_rolling_distinct_users"].fn(spark, SF).collect()}
-    pairs = (
-        read_table(spark, SF, "events")
-        .select(F.to_date("ts").alias("d"), "user_id").distinct().collect()
-    )
+    got = {r.days_to_convert: (r.n_users, r.share_ppm)
+           for r in load_all()["q99_conversion_latency"].fn(spark, SF).collect()}
+    ev = read_table(spark, SF, "events").collect()
+    signups, purchases = {}, {}
+    for e in ev:
+        if e.event_type == "signup":
+            if e.user_id not in signups or e.ts < signups[e.user_id]:
+                signups[e.user_id] = e.ts
+        elif e.event_type == "purchase":
+            purchases.setdefault(e.user_id, []).append(e.ts)
     import datetime
-    by_day: dict = {}
-    for r in pairs:
-        by_day.setdefault(r.d, set()).add(r.user_id)
-    days = sorted(by_day)
-    assert set(got) == {d.isoformat() for d in days}
-    for d in days:
-        window_users = set()
-        for back in range(7):
-            window_users |= by_day.get(d - datetime.timedelta(days=back), set())
-        assert got[d.isoformat()] == len(window_users), d
-
-
-def test_q100_matches_bruteforce_skyline(spark):
-    """The two-phase plan must emit EXACTLY the brute-force non-dominated
-    set (all-pairs dominance check, feasible at sf0.001's 200 parts)."""
-    from worker_etl_spark.sources.tables import read_table
-
-    got = sorted(
-        (r.p_partkey, r.price_cents, r.p_size)
-        for r in load_all()["q100_pareto_frontier"].fn(spark, SF).collect()
-    )
-    import math
-    parts = [
-        (r.p_partkey, math.floor(r.p_retailprice * 100 + 0.5), r.p_size)
-        for r in read_table(spark, SF, "part").collect()
-    ]
-    brute = sorted(
-        a for a in parts
-        if not any(
-            b[1] <= a[1] and b[2] <= a[2] and (b[1] < a[1] or b[2] < a[2])
-            for b in parts
-        )
-    )
-    assert got == brute and got, "frontier mismatch or empty"
-
-
-def test_q100_windows_are_bucket_partitioned_except_stats(spark):
-    """The only single-partition window may be the ~100-row bucket-stats
-    cum-min; the per-row windows must be hash-partitioned by bucket."""
-    plan = (
-        load_all()["q100_pareto_frontier"].fn(spark, SF)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "CartesianProduct" not in plan
-    assert plan.count("Exchange SinglePartition") <= 1
+    hist: dict[int, int] = {}
+    for u, s in signups.items():
+        after = [p for p in purchases.get(u, []) if p >= s]
+        if not after:
+            hist[-1] = hist.get(-1, 0) + 1
+        else:
+            us = int((min(after) - s) / datetime.timedelta(microseconds=1))
+            d = us // 86_400_000_000
+            hist[d] = hist.get(d, 0) + 1
+    n = len(signups)
+    expect = {d: (c, c * 1_000_000 // n) for d, c in hist.items()}
+    assert got == expect and got  # (-1 appears only when someone never converts)
 
 
 def test_evt18_bar_invariants_and_exact_first_last(spark):

@@ -144,8 +144,7 @@ SMOKE_QUERIES = [
     "p17_stratified_split",  # two-level bucketed grouped rank
     "i24_linear_interpolation",  # daily agg + shared 4-window context sort
     # round 8
-    "q99_rolling_distinct_users",  # explode-to-window-bucket sliding distinct
-    "q100_pareto_frontier",  # two-phase bucket-pruned skyline
+    "q99_conversion_latency",  # funnel latency: two pruned aggs + one key join
     "evt18_ohlc_conflation",  # min_by/max_by single-pass candlesticks
     "w19_cow_delete",        # footer-stats file skipping + borrow commit
 ]

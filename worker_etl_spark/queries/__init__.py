@@ -127,8 +127,7 @@ _PRIORITY: list[str] = [
     "src23_avro_ingest",  # NEW r8
     "src24_avro_typed_rollup",  # NEW r8
     "q98_global_balance_anti",  # NEW r8
-    "q99_rolling_distinct_users",  # NEW r8
-    "q100_pareto_frontier",  # NEW r8
+    "q99_conversion_latency",  # NEW r8
     "evt18_ohlc_conflation",  # NEW r8
     "v06_centroid_distance_matrix",  # NEW r8
     "w19_cow_delete",  # NEW r8

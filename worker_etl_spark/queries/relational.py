@@ -5152,137 +5152,91 @@ def q98_global_balance_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q99: rolling 7-day COUNT DISTINCT via window-key explode --------------------
+# --- q99: conversion-latency histogram (time-to-convert distribution) ------------
 @register(
-    "q99_rolling_distinct_users",
+    "q99_conversion_latency",
     oracle="""
-    WITH du AS (
-      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    WITH su AS (
+      SELECT user_id, min(ts) AS s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
     ),
-    days AS (SELECT DISTINCT d FROM du),
-    b AS (
-      SELECT u.d + CAST(x.i AS INT) AS bday, u.user_id
-      FROM du u JOIN (SELECT unnest(generate_series(0, 6)) AS i) x ON TRUE
-    )
-    SELECT strftime(d.d, '%Y-%m-%d') AS day,
-           CAST(count(DISTINCT b.user_id) AS BIGINT) AS users_7d
-    FROM days d JOIN b ON b.bday = d.d
-    GROUP BY d.d ORDER BY day
+    pu AS (
+      SELECT su.user_id, min(e.ts) AS p
+      FROM su JOIN events e
+        ON e.user_id = su.user_id
+       AND e.event_type = 'purchase' AND e.ts >= su.s
+      GROUP BY su.user_id
+    ),
+    conv AS (
+      SELECT su.user_id,
+             CASE WHEN pu.p IS NULL THEN -1
+                  ELSE CAST(date_diff('microsecond', su.s, pu.p)
+                            // 86400000000 AS BIGINT)
+             END AS days_to_convert
+      FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM su)
+    SELECT c.days_to_convert,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) * 1000000 // min(t.n) AS BIGINT) AS share_ppm
+    FROM conv c CROSS JOIN tot t
+    GROUP BY c.days_to_convert
+    ORDER BY c.days_to_convert
     """,
 )
-def q99_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day distinct active users per day — the DAU/WAU family's
-    workhorse, and the canonical example of a metric a RANGE window CANNOT
-    compute at scale (COUNT(DISTINCT) OVER is unsupported in Spark and a
-    full re-scan per frame anywhere): instead each distinct (day, user)
-    pair is EXPLODED to the <=7 window buckets it contributes to, and each
-    bucket is then an ordinary COUNT(DISTINCT) group.
+def q99_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every signed-up user, days from
+    FIRST signup to the first purchase AT-OR-AFTER it, histogrammed (bucket
+    −1 = signed up, never purchased) with each bucket's share of all
+    signups in exact ppm.  The funnel family counts WHO converts (q68
+    sequences, q95 window-expiring stages); this measures HOW LONG
+    conversion takes — the latency curve behind trial-length, payback and
+    re-engagement decisions.
 
-    Scale: the fact scan collapses to day-grain pairs FIRST (distinct
-    (day, user) — the map-side-combinable shrink), the explode amplifies
-    that already-small frame by exactly 7, and the final aggregate
-    shuffles on the day key.  Versus the naive day-spine range self-join
-    (every day re-joining 7 days of raw events), the amplification is
-    bounded and the raw fact table is touched once.  Buckets beyond the
-    observed day range are dropped by the semi join back to real days, so
-    both engines agree on the output domain."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("d"), "user_id"
+    Exactness: latency is an exact integer microsecond difference
+    (`unix_micros`, DuckDB `date_diff('microsecond', ...)`) floor-divided
+    to days — both operands non-negative (purchase >= signup by the join
+    predicate), so truncating DIV == flooring // (the i24 rule); shares
+    are integer-ppm floor divisions of exact counts.
+
+    Scale: one scan pruned to two event types (filter pushed to the scan),
+    a user-grain first-signup aggregate, one equi-join back to purchase
+    events on the SAME user key (no time-window self-join — the predicate
+    rides the join), and a |buckets|-row histogram with the signup total
+    broadcast as ONE row.  Everything map-side-combinable; nothing
+    user-grain survives past the histogram aggregate."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
     )
-    du = ev.distinct()
-    days = du.select("d").distinct()
-    buckets = du.select(
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
-    ).select(F.date_add(F.col("d"), F.col("i")).alias("bday"), "user_id")
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    conv = su.join(pu, "user_id", "left").select(
+        F.when(F.col("p").isNull(), F.lit(-1).cast("long"))
+        .otherwise(
+            # timestampdiff is NTZ-safe (events parquet reads as
+            # TIMESTAMP_NTZ; unix_micros rejects it) and tz-free: both
+            # operands carry the same no-timezone semantics
+            F.expr("timestampdiff(MICROSECOND, s, p) div 86400000000")
+        )
+        .alias("days_to_convert")
+    )
+    tot = su.agg(F.count(F.lit(1)).cast("long").alias("n"))
     return (
-        buckets.join(days, buckets.bday == days.d, "left_semi")
-        .groupBy(F.date_format("bday", "yyyy-MM-dd").alias("day"))
-        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
-        .orderBy("day")
+        conv.groupBy("days_to_convert")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "days_to_convert",
+            "n_users",
+            F.expr("CAST(n_users * 1000000 div n AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("days_to_convert")
     )
-
-
-# --- q100: Pareto frontier (skyline) via two-phase bucket pruning ----------------
-#: Fixed bucket width in price cents: the part generator's retail price lives
-#: in a bounded band (900..1000 dollars at every SF), so ~100 buckets is a
-#: data-size-independent grain — the cum-min window below runs on bucket
-#: STATISTICS, never on parts.
-_Q100_BUCKET_CENTS = 100
-
-
-@register(
-    "q100_pareto_frontier",
-    oracle="""
-    WITH p AS (
-      SELECT p_partkey, p_size,
-             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc
-      FROM part
-    )
-    SELECT a.p_partkey::BIGINT AS p_partkey, a.pc AS price_cents,
-           a.p_size::BIGINT AS p_size
-    FROM p a
-    WHERE NOT EXISTS (
-      SELECT 1 FROM p b
-      WHERE b.pc <= a.pc AND b.p_size <= a.p_size
-        AND (b.pc < a.pc OR b.p_size < a.p_size)
-    )
-    ORDER BY price_cents, p_size, p_partkey
-    """,
-)
-def q100_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto frontier (skyline) of parts minimizing (price, size): the
-    non-dominated set — no other part is <= on both axes and < on one.
-    Skylines power cost/quality trade-off curves (cheapest model above
-    each quality bar) and are the textbook case where the naive plan is an
-    all-pairs NOT EXISTS (the ORACLE's formulation — quadratic, fine for
-    DuckDB at sf0.01, fatal at 100 TB).
-
-    The Spark plan is the two-phase distributed skyline: (1) parts hash
-    into ~100 fixed price-cent buckets; per-bucket MIN(size) statistics
-    (a 100-row frame) get a cumulative min over STRICTLY EARLIER buckets —
-    the only no-partition window, on a data-size-independent grain
-    (AUDIT_WINDOWS allowlist).  Any part whose size >= the min size of a
-    strictly-cheaper bucket is dominated and dies without comparing to
-    individual rows.  (2) Survivors resolve dominance INSIDE their bucket
-    with partitioned windows: the running min size over strictly-cheaper
-    rows (RANGE .. -1 on integer cents) and the min size among exact price
-    ties.  Every comparison is exact-integer; ties on both axes survive
-    together (bag semantics the NOT EXISTS oracle mirrors).
-
-    Scale: one scan, one shuffle on bucket (bounded width), windows only
-    within buckets; the cross-bucket pruning is a broadcast of bucket
-    stats.  Frontier size is O(distinct prices) at worst, never collected."""
-    p = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_size",
-        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("pc"),
-    ).withColumn("bkt", (F.col("pc") / _Q100_BUCKET_CENTS).cast("long"))
-
-    # phase 1 — bucket statistics + cum-min over strictly earlier buckets
-    stats = p.groupBy("bkt").agg(F.min("p_size").alias("bmin"))
-    w_prev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    prev = stats.select(
-        "bkt", F.min("bmin").over(w_prev).alias("prev_min")
-    )
-    pruned = p.join(F.broadcast(prev), "bkt").filter(
-        F.col("prev_min").isNull() | (F.col("p_size") < F.col("prev_min"))
-    )
-
-    # phase 2 — intra-bucket dominance with partitioned windows
-    w_cheaper = (
-        W.partitionBy("bkt").orderBy("pc").rangeBetween(W.unboundedPreceding, -1)
-    )
-    w_tie = W.partitionBy("bkt", "pc")
-    resolved = pruned.select(
-        "p_partkey",
-        F.col("pc").alias("price_cents"),
-        "p_size",
-        F.min("p_size").over(w_cheaper).alias("cheaper_min"),
-        F.min("p_size").over(w_tie).alias("tie_min"),
-    ).filter(
-        (F.col("cheaper_min").isNull() | (F.col("p_size") < F.col("cheaper_min")))
-        & (F.col("p_size") <= F.col("tie_min"))
-    )
-    return resolved.select(
-        "p_partkey", "price_cents", F.col("p_size").cast("long").alias("p_size")
-    ).orderBy("price_cents", "p_size", "p_partkey")
