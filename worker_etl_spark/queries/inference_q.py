@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from worker_etl_spark.queries.fixtures import fixture_dir
 from worker_etl_spark.config import BOOL_FALSE_TOKENS, BOOL_TRUE_TOKENS
 from worker_etl_spark.operators import inference
 from worker_etl_spark.queries import register
@@ -347,12 +348,11 @@ def i05_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-only evolution path a long-lived warehouse table needs.  Footer
     merging is metadata-scale work; no data pass happens until the scan."""
     import os as _os
-    import tempfile as _tempfile
 
     from worker_etl_spark.operators.inference import align_to_schema
 
     n = read_table(spark, sf_dir, "nation")
-    tmp = _tempfile.mkdtemp(prefix="i05_")
+    tmp = fixture_dir("i05")
     loc = _os.path.join(tmp, "evolving")
     n.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name").write.mode(
         "overwrite"
@@ -505,10 +505,9 @@ def i09_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     prove WRITE-side evolution through the inference tail; this is the
     read-side half a 100 TB lake needs every time a producer adds a
     field).  The oracle reconstructs the same union arithmetically."""
-    import tempfile as _tf
 
     o = read_table(spark, sf_dir, "orders")
-    tmp = _tf.mkdtemp(prefix="i09_")
+    tmp = fixture_dir("i09")
     loc = os.path.join(tmp, "orders_evolved")
     (
         o.filter(F.col("o_orderkey") % 2 == 0)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from worker_etl_spark.queries.fixtures import fixture_dir
 from worker_etl_spark.operators.multimodal import attach_payload, extract_features
 from worker_etl_spark.queries import register
 from worker_etl_spark.sources.tables import read_table, spread
@@ -716,7 +717,6 @@ def m11_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     native codec and the plan is the production image pipeline.  Payloads
     never shuffle; the result is one row per image."""
     import os
-    import tempfile
     from collections.abc import Iterator
 
     import pandas as pd
@@ -730,7 +730,7 @@ def m11_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .collect()
     ]
-    tmp = tempfile.mkdtemp(prefix="m11_")
+    tmp = fixture_dir("m11")
     for i in doc_ids:
         w, h = 16 + i % 17, 16 + i % 13
         rows = [

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+from worker_etl_spark.queries.fixtures import fixture_dir
 from worker_etl_spark.sources.tables import read_table
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -2102,7 +2103,6 @@ def q52_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate partials, never raw events, and avg is derived from
     (sum, count) partials because avg itself is NOT algebraic."""
     import os
-    import tempfile
 
     e = _t(spark, sf_dir, "events")
     # fixed-point partials: cent-exact BIGINTs make merge(partials) ==
@@ -2121,7 +2121,7 @@ def q52_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(cents).alias("max_c"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="q52_")
+    tmp = fixture_dir("q52")
     loc = os.path.join(tmp, "events_hourly")
     hourly.write.mode("overwrite").parquet(loc)
     partials = spark.read.parquet(loc)

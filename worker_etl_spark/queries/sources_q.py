@@ -14,11 +14,11 @@ Driver-side file/collect work here is bounded by the *dimension* tables
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from worker_etl_spark.queries.fixtures import fixture_dir
 from worker_etl_spark.operators.cleaning import ROW_ID, clean_table
 from worker_etl_spark.operators.detection import detect_tables, extract_table
 from worker_etl_spark.operators.inference import align_to_schema, infer_schema
@@ -49,7 +49,7 @@ def _grid_to_typed(grid: DataFrame) -> DataFrame:
 )
 def src01_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src01_")
+    tmp = fixture_dir("src01")
     path = os.path.join(tmp, "nation.csv")
     with open(path, "w") as fh:
         fh.write("n_nationkey;n_name;n_regionkey\n")
@@ -70,7 +70,7 @@ def src01_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src02_excel_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
     rows = ["r_regionkey|r_name"] + [f"{r.r_regionkey}|{r.r_name}" for r in rg]
-    tmp = tempfile.mkdtemp(prefix="src02_")
+    tmp = fixture_dir("src02")
     path = os.path.join(tmp, "regions.xlsx")
     with open(path, "wb") as fh:
         fh.write(("Sheet1:" + ";".join(rows)).encode())
@@ -93,7 +93,7 @@ def srm01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_etl_spark.streaming.worker import start_worker
 
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="srm01_")
+    tmp = fixture_dir("srm01")
     queue, src, wh = (os.path.join(tmp, d) for d in ("queue", "src", "wh"))
     os.makedirs(queue), os.makedirs(src)
     with open(os.path.join(src, "nation.csv"), "w") as fh:
@@ -140,7 +140,7 @@ def srm02_multi_object_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
     rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
-    tmp = tempfile.mkdtemp(prefix="srm02_")
+    tmp = fixture_dir("srm02")
     queue, src, wh = (os.path.join(tmp, d) for d in ("queue", "src", "wh"))
     os.makedirs(queue), os.makedirs(src)
     with open(os.path.join(src, "nation.csv"), "w") as fh:
@@ -191,7 +191,7 @@ def src03_excel_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_etl_spark.sources.excel import write_minimal_xlsx
 
     rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src03_")
+    tmp = fixture_dir("src03")
     path = os.path.join(tmp, "regions_native.xlsx")
     write_minimal_xlsx(
         path,
@@ -220,7 +220,7 @@ def src05_xls_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_etl_spark.sources.biff import write_minimal_xls
 
     rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src05_")
+    tmp = fixture_dir("src05")
     path = os.path.join(tmp, "regions_legacy.xls")
     write_minimal_xls(
         path,
@@ -258,7 +258,7 @@ def srm03_excel_object(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
     rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
-    tmp = tempfile.mkdtemp(prefix="srm03_")
+    tmp = fixture_dir("srm03")
     queue, src, wh = (os.path.join(tmp, d) for d in ("queue", "src", "wh"))
     os.makedirs(queue), os.makedirs(src)
     write_minimal_xlsx(
@@ -325,7 +325,7 @@ def w02_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_etl_spark.sinks.writer import upsert_table
 
     c = read_table(spark, sf_dir, "customer")
-    tmp = tempfile.mkdtemp(prefix="w02_")
+    tmp = fixture_dir("w02")
     base = c.select(
         F.col("c_custkey").alias("id"),
         F.concat(F.lit("v1:"), F.col("c_name")).alias("payload"),
@@ -368,7 +368,7 @@ def src04_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
 
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src04_")
+    tmp = fixture_dir("src04")
     path = os.path.join(tmp, "nation.jsonl")
     with open(path, "w") as fh:
         for r in n:
@@ -404,7 +404,7 @@ def w01_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_etl_spark.sinks.writer import write_table
 
     o = read_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="w01_")
+    tmp = fixture_dir("w01")
     loc = write_table(
         o, tmp, "ds", "orders_part",
         disposition="WRITE_TRUNCATE", partition_by=["o_orderpriority"],
@@ -454,7 +454,7 @@ def w03_compaction_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    tmp = tempfile.mkdtemp(prefix="w03_")
+    tmp = fixture_dir("w03")
     loc = os.path.join(tmp, "lineitem_frag")
     li.repartition(64).write.parquet(loc)
     compact_files(spark, loc, target_file_bytes=256 * 1024)
@@ -547,7 +547,7 @@ def src06_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     properties (predicate pushdown, column pruning) come free from the
     same DataSource V2 machinery the parquet path uses."""
     o = read_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="src06_")
+    tmp = fixture_dir("src06")
     loc = os.path.join(tmp, "orders_orc")
     o.write.mode("overwrite").orc(loc)
     back = spark.read.orc(loc)
@@ -580,7 +580,7 @@ def src07_gzip_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import gzip
 
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src07_")
+    tmp = fixture_dir("src07")
     path = os.path.join(tmp, "nation.csv.gz")
     body = "n_nationkey,n_name,n_regionkey\n" + "".join(
         f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n" for r in n
@@ -617,7 +617,7 @@ def w05_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyarrow footers that only the expected fraction of row groups
     intersects the predicate range."""
     li = read_table(spark, sf_dir, "lineitem")
-    tmp = tempfile.mkdtemp(prefix="w05_")
+    tmp = fixture_dir("w05")
     loc = os.path.join(tmp, "lineitem_sorted")
     (
         li.repartitionByRange(8, "l_shipdate")
@@ -673,7 +673,7 @@ def src08_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(line)
         .alias("value")
     )
-    tmp = tempfile.mkdtemp(prefix="src08_")
+    tmp = fixture_dir("src08")
     loc = os.path.join(tmp, "feed.jsonl")
     corrupted.write.mode("overwrite").text(loc)
 
@@ -726,7 +726,7 @@ def src09_xls_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rg = read_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
     nt = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src09_")
+    tmp = fixture_dir("src09")
     path = os.path.join(tmp, "dims.xls")
     write_minimal_xls(
         path,
@@ -805,7 +805,7 @@ def src19_xlsx_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .collect()
     )
-    tmp = tempfile.mkdtemp(prefix="src19_")
+    tmp = fixture_dir("src19")
     write_minimal_xls(
         os.path.join(tmp, "dims.xls"),
         {
@@ -1005,7 +1005,7 @@ def w06_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-dimensional skipping on the footers.  The laid-out copy must then
     answer a 2-D range predicate oracle-identically to the source table."""
     li = read_table(spark, sf_dir, "lineitem")
-    tmp = tempfile.mkdtemp(prefix="w06_")
+    tmp = fixture_dir("w06")
     loc = os.path.join(tmp, "lineitem_zorder")
     (
         li.withColumn("z", _morton_z(F.col("l_partkey"), F.col("l_suppkey")))
@@ -1056,7 +1056,7 @@ def w07_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     oracle states the expected post-swap table directly; the untouched-
     files invariant is asserted in tests/test_sources_sinks.py."""
     o = read_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="w07_")
+    tmp = fixture_dir("w07")
     loc = os.path.join(tmp, "orders_by_priority")
     o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(loc)
     corrected = o.filter(
@@ -1105,7 +1105,7 @@ def w08_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the merge-on-read view, and the plan test pins the broadcast.
     The oracle states the post-delete table directly."""
     o = read_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="w08_")
+    tmp = fixture_dir("w08")
     base_loc = os.path.join(tmp, "orders_base")
     del_loc = os.path.join(tmp, "orders_deletes")
     o.write.mode("overwrite").parquet(base_loc)
@@ -1153,7 +1153,7 @@ def w09_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_etl_spark.sinks.writer import read_snapshot, snapshot_write
 
     o = read_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="w09_")
+    tmp = fixture_dir("w09")
     v1 = snapshot_write(o, tmp, "lake", "orders")
     snapshot_write(o.filter(~(F.col("o_orderkey") % 7 == 0)), tmp, "lake", "orders")
     old = read_snapshot(spark, tmp, "lake", "orders", version=v1)
@@ -1197,7 +1197,7 @@ def src10_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference routes only csv/xlsx/parquet (`etl.py:515-529`) — this is the
     extension a legacy-heavy shop needs first."""
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src10_")
+    tmp = fixture_dir("src10")
     path = os.path.join(tmp, "nation.dat")
     with open(path, "w") as fh:
         for r in n:
@@ -1229,7 +1229,7 @@ def _w10_layout(spark: SparkSession, sf_dir: str) -> tuple[str, "DataFrame"]:
     import pyarrow.parquet as pq
 
     e = read_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="w10_")
+    tmp = fixture_dir("w10")
     loc = os.path.join(tmp, "events_clustered")
     (
         e.repartitionByRange(_W10_FILES, "ts")
@@ -1330,7 +1330,7 @@ def src11_multiline_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reconstructs the embedded-newline payload character-for-
     character, so quote unescaping is value-checked, not eyeballed."""
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src11_")
+    tmp = fixture_dir("src11")
     path = os.path.join(tmp, "nation_notes.csv")
     with open(path, "w") as fh:
         fh.write("n_nationkey,note\n")
@@ -1479,7 +1479,7 @@ def w12_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented knob.  Composes with w07's dynamic overwrite for
     incremental evolution instead of full rewrite."""
     e = read_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="w12_")
+    tmp = fixture_dir("w12")
     old_loc = os.path.join(tmp, "events_by_year")
     new_loc = os.path.join(tmp, "events_by_year_month")
     # original coarse layout (what production starts with)
@@ -1538,7 +1538,7 @@ def src13_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`etl.py:515-529`); XML is the next legacy-integration format after
     fixed-width (src10)."""
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src13_")
+    tmp = fixture_dir("src13")
     path = os.path.join(tmp, "nation.xml")
     with open(path, "w") as fh:
         fh.write("<nations>\n")
@@ -1597,7 +1597,7 @@ def src14_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
     )
-    tmp = tempfile.mkdtemp(prefix="src14_")
+    tmp = fixture_dir("src14")
     frames = []
     for codec in _SRC14_CODECS:
         loc = os.path.join(tmp, codec)
@@ -1720,7 +1720,7 @@ def src15_latin1_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     faults there surface as garbage rows, another silent-corruption gap
     this closes."""
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src15_")
+    tmp = fixture_dir("src15")
     path = os.path.join(tmp, "nation_latin1.csv")
     with open(path, "w", encoding="iso-8859-1") as fh:
         fh.write("n_nationkey,label\n")
@@ -1786,7 +1786,7 @@ def src16_nested_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lines")
         )
     )
-    tmp = tempfile.mkdtemp(prefix="src16_")
+    tmp = fixture_dir("src16")
     path = os.path.join(tmp, "orders.jsonl")
     # the engine WRITES the nested feed too (to_json over struct+array)
     docs.select(
@@ -1845,7 +1845,7 @@ def src17_zip_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src17_")
+    tmp = fixture_dir("src17")
     path = os.path.join(tmp, "nations.zip")
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         for part in range(3):  # three CSV members, interleaved rows
@@ -1988,7 +1988,7 @@ def src18_packed_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    tmp = tempfile.mkdtemp(prefix="src18_")
+    tmp = fixture_dir("src18")
     path = os.path.join(tmp, "nation.bin")
     with open(path, "wb") as fh:
         for r in n:
@@ -2213,12 +2213,11 @@ def w17_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata rename.  Totals are exact integer counts.  The reference
     load-audits AFTER loading into the live table (``etl.py:1121-1126``,
     warn-only) — WAP is the design that makes the audit a GATE."""
-    import tempfile as _tf
 
     from worker_etl_spark.sinks.writer import read_snapshot, snapshot_write
 
     o = read_table(spark, sf_dir, "orders")
-    wh = _tf.mkdtemp(prefix="w17_wap_")
+    wh = fixture_dir("w17_wap")
     batches = [
         ("batch_good", o.filter(F.col("o_orderkey") % 4 == 0)),
         (
@@ -2313,7 +2312,7 @@ def w18_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
-    tmp = tempfile.mkdtemp(prefix="w18_clone_")
+    tmp = fixture_dir("w18_clone")
     snapshot_write(o, tmp, "lake", "orders")
     birth = shallow_clone(tmp, "lake", "orders", "orders_dev")
     repaired = read_snapshot(spark, tmp, "lake", "orders_dev").select(
@@ -2371,7 +2370,7 @@ def src22_multichar_delim_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     line like any uncompressed text source.  Reference: single-char sniff
     only (``etl.py:548-557``)."""
     sup = read_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 200)
-    tmp = tempfile.mkdtemp(prefix="src22_")
+    tmp = fixture_dir("src22")
     path = os.path.join(tmp, "feed")
     sup.select(
         F.concat_ws(
@@ -2430,7 +2429,7 @@ def _avro_supplier_fixture(spark: SparkSession, sf_dir: str, prefix: str) -> str
         }
         for r in sup
     ]
-    tmp = tempfile.mkdtemp(prefix=prefix)
+    tmp = fixture_dir(prefix.rstrip("_"))
     path = os.path.join(tmp, "supplier.avro")
     write_ocf(path, _AVRO_SUP_SCHEMA, recs, codec="deflate", records_per_block=40)
     return path
@@ -2540,7 +2539,7 @@ def w19_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_etl_spark.sinks.writer import cow_delete, read_snapshot, snapshot_write
 
     o = read_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="w19_")
+    tmp = fixture_dir("w19")
     snapshot_write(
         o.repartitionByRange(8, F.col("o_orderkey")), tmp, "lake", "orders"
     )

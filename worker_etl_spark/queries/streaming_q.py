@@ -16,6 +16,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from worker_etl_spark.queries.fixtures import fixture_dir
 from worker_etl_spark.queries import register
 from worker_etl_spark.sources.tables import read_table
 from worker_etl_spark.streaming.event_time import windowed_event_counts
@@ -285,12 +286,11 @@ def evt07_backfill_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-microsecond events per key), not on delivery order — exactly the
     at-least-once → exactly-once contract a 100 TB backfill needs."""
     import os
-    import tempfile
 
     from worker_etl_spark.streaming.sink import stream_upsert_sink
 
     e = read_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="evt07_")
+    tmp = fixture_dir("evt07")
     feed = os.path.join(tmp, "feed")
     wh = os.path.join(tmp, "warehouse")
     ckpt = os.path.join(tmp, "ckpt")

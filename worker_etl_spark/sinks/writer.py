@@ -224,7 +224,14 @@ def _claim_version(location: str, staging: str) -> int:
     cloned table would re-claim the manifest's number.  A racer that claimed
     N first makes the rename fail (EEXIST/ENOTEMPTY) and the loser retries
     with the next number, so version dirs are never shared or torn.  The
-    ONE claim protocol for every committer (snapshot_write, cow_delete)."""
+    ONE claim protocol for every committer (snapshot_write, cow_delete).
+
+    Only the RACE errnos retry (EEXIST/ENOTEMPTY — a racer claimed N first);
+    any other OSError (staging dir missing, EXDEV, EACCES) is a persistent
+    condition that retrying can never fix and re-raises immediately instead
+    of spinning forever (round-9 ADVICE fix)."""
+    import errno
+
     while True:
         existing = []
         for d in os.listdir(location):
@@ -237,8 +244,10 @@ def _claim_version(location: str, staging: str) -> int:
         try:
             os.rename(staging, os.path.join(location, f"_v{version}"))
             return version
-        except OSError:
-            continue
+        except OSError as exc:
+            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                continue
+            raise
 
 
 def _commit_latest(location: str, version: int) -> None:
@@ -334,7 +343,21 @@ def shallow_clone(
     (stale registrations — clone directory gone — are garbage-collected),
     and ``read_snapshot`` raises a clear borrowed-files-vacuumed error if
     the files vanish anyway (e.g. manual deletion).  The destination must
-    be empty — cloning is a create, not an overwrite."""
+    be empty — cloning is a create, not an overwrite.
+
+    COMMIT ORDER (round-9 ADVICE fix): the borrow registrations are written
+    FIRST — atomically, via a dot-prefixed tmp + ``os.replace`` so a reader
+    never sees a torn record — and the clone's manifest/_LATEST publish
+    LAST.  A vacuum racing the old order (publish-then-register) could
+    delete the source version inside the window and break the clone it had
+    promised to protect; with register-first, the protection exists before
+    any reader can see the clone.  The symmetric hazard (vacuum sees a
+    registration whose clone hasn't published yet) is handled in
+    ``vacuum_snapshots``: a registration whose clone DIRECTORY exists but
+    has no manifest yet is treated as pending and protected; only a
+    registration whose clone directory is GONE is stale.  If publish fails
+    after registration, the clone dir (created before registering) is
+    removed in the except path, reverting the registrations to stale."""
     import uuid
     src_loc = os.path.join(warehouse_root, dataset, src_table)
     with open(os.path.join(src_loc, "_LATEST"), encoding="utf-8") as fh:
@@ -351,12 +374,6 @@ def shallow_clone(
     if os.path.exists(dst_loc) and os.listdir(dst_loc):
         raise ValueError(f"clone destination {dst_loc} is not empty")
     os.makedirs(dst_loc, exist_ok=True)
-    with open(os.path.join(dst_loc, "_v1.manifest"), "w", encoding="utf-8") as fh:
-        fh.write("\n".join(files) + "\n")
-    tmp = os.path.join(dst_loc, "_LATEST.tmp.clone")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write("1")
-    os.replace(tmp, os.path.join(dst_loc, "_LATEST"))
     # Register the borrow in the OWNING location of every borrowed file —
     # one private file per (owner, version), no write races.  Registering
     # per-owner (not blindly in src_loc) is what keeps TRANSITIVE clones
@@ -375,10 +392,38 @@ def shallow_clone(
             owners.add((os.path.dirname(vdir), int(m.group(1))))
     if not owners:  # defensive: unrecognized layout falls back to the source
         owners = {(os.path.abspath(src_loc), src_version)}
-    for owner_loc, ver in owners:
-        reg = os.path.join(owner_loc, f"_clone.{uuid.uuid4().hex}")
-        with open(reg, "w", encoding="utf-8") as fh:
-            fh.write(f"{ver}\t{dst_loc}\n")
+    written_regs: list[str] = []
+    try:
+        for owner_loc, ver in owners:
+            rid = uuid.uuid4().hex
+            reg = os.path.join(owner_loc, f"_clone.{rid}")
+            # dot-prefixed tmp: never matches vacuum's "_clone." listing
+            tmp = os.path.join(owner_loc, f".tmp_clone_{rid}")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(f"{ver}\t{dst_loc}\n")
+            os.replace(tmp, reg)
+            written_regs.append(reg)
+        # publish LAST: manifest, then the _LATEST commit point
+        with open(
+            os.path.join(dst_loc, "_v1.manifest"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write("\n".join(files) + "\n")
+        tmp = os.path.join(dst_loc, "_LATEST.tmp.clone")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("1")
+        os.replace(tmp, os.path.join(dst_loc, "_LATEST"))
+    except BaseException:
+        # failed publish: remove the clone dir so the registrations become
+        # stale (clone dir gone), then best-effort unlink them directly
+        import shutil
+
+        shutil.rmtree(dst_loc, ignore_errors=True)
+        for reg in written_regs:
+            try:
+                os.unlink(reg)
+            except OSError:
+                pass
+        raise
     return 1
 
 
@@ -418,19 +463,32 @@ def vacuum_snapshots(
         if not d.startswith("_clone."):
             continue
         reg = os.path.join(location, d)
-        try:
-            with open(reg, encoding="utf-8") as fh:
-                ver_s, _, dst_loc = fh.read().strip().partition("\t")
-            ver = int(ver_s)
-        except (OSError, ValueError):
-            continue  # unreadable registration: keep it, protect nothing
-        # the borrow is live while the clone's manifest version exists —
-        # a clone that was deleted OR vacuumed its own manifest away no
-        # longer references source bytes
-        if dst_loc and _location_has_live_manifest(dst_loc):
+        ver = dst_loc = None
+        # one re-read on failure, then FAIL SAFE: an unreadable or torn
+        # registration protects EVERY version this run (round-9 ADVICE fix
+        # — the old behavior, "keep it, protect nothing", let vacuum delete
+        # the very version the unreadable record was guarding).  Writes are
+        # tmp+os.replace atomic, so this path means external corruption.
+        for _attempt in range(2):
+            try:
+                with open(reg, encoding="utf-8") as fh:
+                    ver_s, _, dst_loc = fh.read().strip().partition("\t")
+                ver = int(ver_s)
+                break
+            except (OSError, ValueError):
+                ver = dst_loc = None
+        if ver is None:
+            return []  # protect the whole table; registration left in place
+        # the borrow is live while the clone's manifest version exists — a
+        # clone that was deleted, or that diverged and vacuumed its own
+        # manifest away, no longer references source bytes.  A clone
+        # DIRECTORY that exists but holds NO version at all is a clone
+        # mid-publish (shallow_clone registers first, round-9 fix):
+        # protect it rather than GC the registration out from under it.
+        if dst_loc and _clone_borrow_live(dst_loc):
             borrowed.add(ver)
         else:
-            os.unlink(reg)  # clone gone: registration is stale
+            os.unlink(reg)  # clone gone (or borrow dropped): stale
     survivors = set(versions[-keep:]) | {latest} | borrowed
     # intra-table borrow chains (cow_delete): a surviving CoW version's
     # _borrowed.manifest references files inside older _v<M> dirs of THIS
@@ -465,6 +523,23 @@ def vacuum_snapshots(
                 os.unlink(vdir + ".manifest")
             removed.append(v)
     return removed
+
+
+def _clone_borrow_live(dst_loc: str) -> bool:
+    """True while the clone's registration must keep protecting the owner's
+    version: the clone has a manifest that references borrowed files, OR the
+    clone directory exists but holds no version yet (mid-publish —
+    shallow_clone registers before it publishes, so an empty clone dir means
+    the manifest is about to appear; GC-ing the registration here would
+    reopen the register/publish race the ordering closed)."""
+    if not os.path.isdir(dst_loc):
+        return False
+    if _location_has_live_manifest(dst_loc):
+        return True
+    # any committed version (dir or manifest) present → the clone published
+    # and later dropped its borrow manifests; the borrow is over.  No
+    # version at all → mid-publish, protect.
+    return not any(f.startswith("_v") for f in os.listdir(dst_loc))
 
 
 def _location_has_live_manifest(dst_loc: str) -> bool:

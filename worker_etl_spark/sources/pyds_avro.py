@@ -46,13 +46,23 @@ GRID_SCHEMA = "file string, sheet string, row_idx bigint, cells array<string>"
 
 
 @_functools.lru_cache(maxsize=256)
-def _cached_header(path: str):
+def _cached_header_stat(path: str, size: int, mtime_ns: int):
     """Executor-side (parsed_schema, codec) for one file, cached per worker
-    process so N block tasks on the same worker read the header once."""
+    process so N block tasks on the same worker read the header once.
+    Keyed on ``(path, size, mtime_ns)`` — NOT path alone — so a file
+    overwritten in place with a different schema invalidates the entry
+    instead of long-lived reused Python workers decoding new blocks with
+    the stale schema (round-9 ADVICE fix); the stat the caller already
+    performed supplies the key, so a hit costs no extra I/O."""
     from worker_etl_spark.sources.avro import parse_schema, read_header
 
     schema_json, codec = read_header(path)
     return parse_schema(schema_json), codec
+
+
+def _cached_header(path: str):
+    st = os.stat(path)
+    return _cached_header_stat(path, st.st_size, st.st_mtime_ns)
 
 
 def _stringify(v) -> str | None:  # noqa: ANN001
