@@ -1743,3 +1743,107 @@ def i24_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- I3: the LLM leg of the strategy chain, oracle-checked end-to-end ------------
+@register(
+    "i25_llm_schema_strategy",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 50 = 0 THEN NULL
+                  ELSE TRY_CAST(c_acctbal AS DECIMAL(38,9)) END AS acct,
+             c_mktsegment
+      FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT)                    AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT)              AS sum_custkey,
+           round(CAST(sum(acct) AS DOUBLE), 2)         AS sum_acctbal,
+           CAST(count(CASE WHEN acct IS NULL THEN 1 END) AS BIGINT)
+                                                       AS n_coerced_null,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           'c_custkey:INTEGER,c_name:STRING,c_acctbal:NUMERIC,c_mktsegment:STRING'
+                                                       AS schema_types
+    FROM src
+    """,
+)
+def i25_llm_schema_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 end-to-end: the reference's ``existing_or_gemini`` default strategy
+    (etl.py:934-948 dispatch, etl.py:712-848 LLM client) run through a CANNED
+    deterministic transport — no network, but every other leg of the chain is
+    the production code path: catalog miss (I2) → sample preparation →
+    prompt build → transport retry (first attempt fails) → markdown-fence
+    strip (etl.py:778-790) → ``validate_llm_schema`` (hallucinated column
+    skipped, off-whitelist VARCHAR degraded to STRING, etl.py:793-836) →
+    alignment projection + cell coercion I5/I6 (DF-only ``c_nationkey`` dropped,
+    bad 'N/A' cells → NULL).
+
+    The validated schema itself is emitted as the ``schema_types`` column so
+    the LLM-validation outcome is hash-checked against the oracle's expected
+    literal — not just asserted.  At 100 TB the chain's cost model is
+    unchanged from the reference: the LLM sees ``llm_sample_size`` rows via
+    ``df.limit(n).toPandas()`` (a driver-sized sample, never a data pass),
+    and the schema it yields is applied as one Catalyst projection."""
+    import json as _json
+
+    from worker_etl_spark.operators.llm_schema import gemini_schema_client
+
+    c = read_table(spark, sf_dir, "customer")
+    src = c.select(
+        F.col("c_custkey").cast("string").alias("c_custkey"),
+        F.col("c_name").alias("c_name"),
+        F.when(F.col("c_custkey") % 50 == 0, F.lit("N/A"))
+        .otherwise(F.col("c_acctbal").cast("string"))
+        .alias("c_acctbal"),
+        F.col("c_mktsegment").alias("c_mktsegment"),
+        F.col("c_nationkey").alias("c_nationkey"),  # absent from reply → dropped
+    )
+
+    reply = (
+        "```json\n"
+        + _json.dumps(
+            [
+                {"name": "c_custkey", "type": "INTEGER"},
+                {"name": "c_name", "type": "STRING"},
+                {"name": "c_acctbal", "type": "NUMERIC"},
+                {"name": "c_mktsegment", "type": "VARCHAR"},  # → STRING
+                {"name": "ghost_col", "type": "INTEGER"},  # hallucinated → skip
+            ]
+        )
+        + "\n```"
+    )
+    calls = {"n": 0}
+
+    def canned_transport(prompt: str) -> str:
+        # deterministic stand-in for the Gemini REST call: first attempt
+        # fails (exercises the retry loop, etl.py:838-848), second returns a
+        # fence-wrapped body (exercises the fence-strip fallback)
+        assert "JSON schema:" in prompt  # the production prompt reached us
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise TimeoutError("canned transient failure")
+        return reply
+
+    schema = inference.determine_schema(
+        spark,
+        src,
+        "ingest_ws.no_such_llm_table",
+        strategy="existing_or_gemini",
+        llm_infer=gemini_schema_client(transport=canned_transport, attempts=2),
+    )
+    assert schema is not None and [f["name"] for f in schema] == [
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+    ], "validation must skip ghost_col and keep sample order"
+    schema_types = ",".join(f"{f['name']}:{f['type']}" for f in schema)
+
+    aligned = inference.align_to_schema(src, schema)
+    return aligned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("sum_custkey"),
+        F.round(F.sum("c_acctbal").cast("double"), 2).alias("sum_acctbal"),
+        F.count(F.when(F.col("c_acctbal").isNull(), 1))
+        .cast("long")
+        .alias("n_coerced_null"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.lit(schema_types).alias("schema_types"),
+    )
