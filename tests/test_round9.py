@@ -217,3 +217,81 @@ def test_avro_header_cache_invalidates_on_overwrite(tmp_path):
     os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
     parsed2, _ = _cached_header(path)
     assert parsed2["name"] == "B"  # stale-path-keyed cache would say "A"
+
+
+# ------------------------------------------------------------- WAV codec
+
+
+class TestWavCodec:
+    """Spec conformance for operators/wav.py — pinned against hand-assembled
+    RIFF bytes (no third-party audio lib exists here to cross-check), the
+    same discipline as tests/test_avro.py and tests/test_png.py."""
+
+    def test_hand_assembled_wav_decodes(self):
+        import struct
+
+        from worker_etl_spark.operators.wav import decode_wav
+
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        data = struct.pack("<4h", 0, 1, -2, 32767)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 8) + data
+        )
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert decode_wav(blob) == (8000, 1, 16, [0, 1, -2, 32767])
+
+    def test_odd_chunk_pad_byte_honored(self):
+        """A 3-byte JUNK chunk forces the word-alignment pad; a reader that
+        forgets it lands mid-stream and dies (or decodes garbage)."""
+        from worker_etl_spark.operators.wav import decode_wav, encode_wav
+
+        blob = encode_wav([5, -5, 100], sample_rate=44100, junk_chunk=b"abc")
+        assert decode_wav(blob) == (44100, 1, 16, [5, -5, 100])
+
+    def test_roundtrip_8_and_32_bit(self):
+        from worker_etl_spark.operators.wav import decode_wav, encode_wav
+
+        assert decode_wav(encode_wav([0, 255], bits=8))[3] == [0, 255]
+        big = [2**31 - 1, -(2**31)]
+        assert decode_wav(encode_wav(big, bits=32))[3] == big
+
+    def test_non_pcm_refused_not_garbled(self):
+        import struct
+
+        import pytest
+
+        from worker_etl_spark.operators.wav import decode_wav
+
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError, match="format tag 3"):
+            decode_wav(blob)
+
+    def test_truncated_and_non_riff_rejected(self):
+        import pytest
+
+        from worker_etl_spark.operators.wav import decode_wav, encode_wav
+
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFX....WAVE")
+        good = encode_wav([1, 2, 3, 4])
+        with pytest.raises(ValueError):
+            decode_wav(good[:-3])  # truncated data chunk
+
+    def test_data_before_fmt_rejected(self):
+        import struct
+
+        import pytest
+
+        from worker_etl_spark.operators.wav import decode_wav
+
+        body = b"WAVE" + b"data" + struct.pack("<I", 2) + b"\x01\x00"
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="before fmt"):
+            decode_wav(blob)

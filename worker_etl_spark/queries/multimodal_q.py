@@ -786,3 +786,140 @@ def m11_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- m12: real WAV/RIFF container decode (stdlib parse inside mapInPandas) -------
+#: SF-independent clip count (src22 bounded-fixture rule) and the
+#: deterministic PCM sample formula both sides compute: sample k of clip i is
+#: ((i*31 + k*17) % 4096) - 2048 — int16-safe, window-aligned clip lengths.
+_M12_MAX_DOC = 200
+
+
+@register(
+    "m12_wav_pcm_stats",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id FROM documents WHERE doc_id < {_M12_MAX_DOC}
+    ),
+    par AS (
+      SELECT doc_id, 256 + (doc_id % 7) * 64 AS n,
+             8000 + (doc_id % 3) * 4000 AS sr
+      FROM docs
+    ),
+    ks AS (
+      SELECT doc_id, n, sr,
+             unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS k
+      FROM par
+    ),
+    smp AS (
+      SELECT doc_id, n, sr, k,
+             ((doc_id * 31 + k * 17) % 4096) - 2048 AS v,
+             k // 64 AS w
+      FROM ks
+    ),
+    wins AS (
+      SELECT doc_id, w, CAST(sum(v * v) AS BIGINT) AS we
+      FROM smp GROUP BY doc_id, w
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(max(sr) AS INT)      AS sample_rate,
+             CAST(max(n) AS BIGINT)    AS n_samples,
+             CAST(sum(v * v) AS BIGINT) AS total_energy,
+             CAST(max(abs(v)) AS BIGINT) AS peak_abs
+      FROM smp GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc_id, t.sample_rate, t.n_samples, t.total_energy,
+           t.peak_abs,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(w.we) AS BIGINT) AS max_window_energy
+    FROM tot t JOIN wins w USING (doc_id)
+    GROUP BY t.doc_id, t.sample_rate, t.n_samples, t.total_energy, t.peak_abs
+    ORDER BY doc_id
+    """,
+)
+def m12_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode for the audio kind (round-9 verdict #5, the
+    WAV sibling of m11's PNG): the fixture is genuine RIFF/WAVE files
+    (stdlib encoder, PCM-16, a deliberate odd-sized JUNK chunk between
+    ``fmt `` and ``data`` so the reader must honor the spec's
+    word-alignment pad byte), the ``binaryFile`` scan feeds
+    ``mapInPandas``, and the Arrow batch kernel runs a real chunk walk +
+    sample decode (``operators/wav.py``) before computing per-clip energy
+    statistics — while the DuckDB oracle recomputes the SAME statistics
+    from the sample FORMULA, never seeing a RIFF byte.  A wrong chunk
+    offset, missed pad byte, or endianness slip fails the value hash
+    instead of hiding behind a self-consistent codec pair.
+
+    All outputs are exact integer arithmetic (sum of squares, peak
+    amplitude, per-64-sample-window energies; clip lengths are multiples
+    of the window so no ragged tail).  Reference parity: the reference
+    treats media as opaque bytes + metadata (SURVEY §2 m-family); this is
+    the decode leg a training-data pipeline adds on top.
+
+    Scale: one clip per file under ``binaryFile`` (packed into splits by
+    ``spark.sql.files.maxPartitionBytes``); the decode runs where the
+    bytes are, per Arrow batch; payload bytes never shuffle — the result
+    is one 7-column row per clip."""
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from worker_etl_spark.operators.wav import decode_wav, encode_wav
+
+    doc_ids = [
+        r.doc_id
+        for r in read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _M12_MAX_DOC)
+        .select("doc_id")
+        .collect()
+    ]
+    tmp = fixture_dir("m12")
+    for i in doc_ids:
+        n = 256 + (i % 7) * 64
+        sr = 8000 + (i % 3) * 4000
+        samples = [((i * 31 + k * 17) % 4096) - 2048 for k in range(n)]
+        with open(os.path.join(tmp, f"clip_{i:05d}.wav"), "wb") as fh:
+            fh.write(
+                encode_wav(samples, sample_rate=sr,
+                           junk_chunk=b"j" * (1 + i % 4))
+            )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "n_samples": [],
+                   "total_energy": [], "peak_abs": [], "n_windows": [],
+                   "max_window_energy": []}
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                doc_id = int(os.path.basename(path)[5:10])
+                rate, channels, bits, samples = decode_wav(bytes(blob))
+                assert channels == 1 and bits == 16
+                v = np.asarray(samples, dtype=np.int64)
+                sq = v * v
+                wins = sq.reshape(-1, 64).sum(axis=1)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(v))
+                out["total_energy"].append(int(sq.sum()))
+                out["peak_abs"].append(int(np.abs(v).max()))
+                out["n_windows"].append(len(wins))
+                out["max_window_energy"].append(int(wins.max()))
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .load(tmp)
+        .select("path", "content")
+        .mapInPandas(
+            stats,
+            schema=(
+                "doc_id long, sample_rate int, n_samples long, "
+                "total_energy long, peak_abs long, n_windows long, "
+                "max_window_energy long"
+            ),
+        )
+        .orderBy("doc_id")
+    )
