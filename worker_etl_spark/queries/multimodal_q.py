@@ -923,3 +923,128 @@ def m12_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- m13: real baseline JPEG pixel statistics (stdlib+numpy decode) --------------
+#: SF-independent image count (src22 bounded-fixture rule).  Fixtures are
+#: REAL baseline JFIF files from the full lossy encoder (FDCT + Annex K
+#: quantization + Annex K Huffman coding), built from constant 8x8 blocks
+#: whose even (level-128) offsets survive the DC quantum of 16 EXACTLY
+#: (operators/jpeg.py module docstring) — so the DuckDB oracle can recompute
+#: pixel statistics from the block FORMULA despite JPEG being lossy.  The
+#: block level both sides compute: 128 + 2*(((i*7 + by*5 + bx*3) % 120) - 60).
+_M13_MAX_DOC = 160
+
+
+@register(
+    "m13_jpeg_pixel_stats",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id FROM documents WHERE doc_id < {_M13_MAX_DOC}
+    ),
+    dims AS (
+      SELECT doc_id, 2 + doc_id % 5 AS nbx, 2 + doc_id % 3 AS nby FROM docs
+    ),
+    rng AS (SELECT unnest(generate_series(0, 6)) AS v),
+    blk AS (
+      SELECT d.doc_id, d.nbx, d.nby, x.v AS bx, y.v AS by,
+             128 + 2 * (((d.doc_id * 7 + y.v * 5 + x.v * 3) % 120) - 60) AS lvl
+      FROM dims d
+      JOIN rng x ON x.v < d.nbx
+      JOIN rng y ON y.v < d.nby
+    )
+    SELECT doc_id::BIGINT             AS doc_id,
+           (8 * nbx)::INT             AS width,
+           (8 * nby)::INT             AS height,
+           (64 * SUM(lvl))::BIGINT    AS px_sum,
+           MIN(lvl)::INT              AS px_min,
+           MAX(lvl)::INT              AS px_max,
+           (64 * SUM(lvl * (bx + 1) * (by + 1)))::BIGINT AS block_weighted_sum
+    FROM blk
+    GROUP BY doc_id, nbx, nby
+    ORDER BY doc_id
+    """,
+)
+def m13_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode for the m-family (round-8 verdict #5's
+    "ambitious" option): fixtures are genuine JFIF files produced by the
+    full lossy encode path (FDCT, Annex K luminance quantization, canonical
+    Huffman entropy coding with byte stuffing), and the Arrow batch kernel
+    runs the general baseline decoder (``operators/jpeg.py``: marker parse,
+    table read from the stream, bit-serial Huffman decode, dequantize,
+    un-zigzag, IDCT) before computing exact-integer statistics.  The DuckDB
+    oracle recomputes the SAME statistics from the constant-block formula —
+    possible despite JPEG's lossiness because even (level-128) offsets
+    survive the 16-step DC quantum exactly.  ``block_weighted_sum`` weights
+    each pixel by its block coordinates, so a decoder that scrambled MCU
+    order, mis-advanced the DC predictor, or mis-framed the entropy stream
+    fails the hash even when the unweighted totals collide.
+
+    Scale: one fixture file per image under ``binaryFile`` (partition
+    packing by ``spark.sql.files.maxPartitionBytes``); the decode runs
+    where the bytes are, per Arrow batch — swap the stdlib loop for a
+    native codec and the plan is the production image pipeline.  Payloads
+    never shuffle; one output row per image.  The entropy-coded AC path is
+    pinned separately by hand-derived spec vectors (tests/test_jpeg.py)."""
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from worker_etl_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    doc_ids = [
+        r.doc_id
+        for r in read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _M13_MAX_DOC)
+        .select("doc_id")
+        .collect()
+    ]
+    tmp = fixture_dir("m13")
+    for i in doc_ids:
+        nbx, nby = 2 + i % 5, 2 + i % 3
+        w, h = 8 * nbx, 8 * nby
+        rows = [
+            [
+                128 + 2 * (((i * 7 + (y // 8) * 5 + (x // 8) * 3) % 120) - 60)
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        with open(os.path.join(tmp, f"img_{i:05d}.jpg"), "wb") as fh:
+            fh.write(encode_jpeg_gray(rows, w, h))
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "px_sum": [],
+                   "px_min": [], "px_max": [], "block_weighted_sum": []}
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                doc_id = int(os.path.basename(path)[4:9])
+                w, h, px = decode_jpeg_gray(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(np.int64)
+                ys, xs = np.mgrid[0:h, 0:w]
+                weight = (xs // 8 + 1) * (ys // 8 + 1)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(arr.sum()))
+                out["px_min"].append(int(arr.min()))
+                out["px_max"].append(int(arr.max()))
+                out["block_weighted_sum"].append(int((arr * weight).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .load(tmp)
+        .select("path", "content")
+        .mapInPandas(
+            stats,
+            schema=(
+                "doc_id long, width int, height int, px_sum long, "
+                "px_min int, px_max int, block_weighted_sum long"
+            ),
+        )
+        .orderBy("doc_id")
+    )
