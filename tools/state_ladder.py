@@ -1,11 +1,27 @@
-"""State-growth ladder for the stateful streaming surface (verdict r7 #7).
+"""State-growth ladder for the stateful streaming surface (verdict r7 #7,
+extended to the watermark-evicted operators per verdict r8 #4).
 
 The scale-smoke ladders measure TIME vs data for the batch families; the one
 axis they do not cover is streaming STATE vs key cardinality.  This tool
-runs the custom stateful CUSUM operator (``cusum_stateful``,
-``applyInPandasWithState`` — the evt08 closed form's online twin) over
-synthetic event streams at 1k / 10k / 100k distinct keys (10x / 100x rungs)
-and records, from the engine's own progress metrics
+runs three stateful operators over synthetic event streams at 1k / 10k /
+100k distinct keys (10x / 100x rungs):
+
+- ``cusum_stateful`` (``applyInPandasWithState`` — the evt08 closed form's
+  online twin), evicted by PROCESSING-TIME timeout;
+- ``windowed_event_counts`` (evt01's operator: watermarked tumbling
+  aggregation), evicted by the EVENT-TIME watermark passing the window end;
+- ``dedup_events`` (evt05's operator: ``dropDuplicatesWithinWatermark``),
+  evicted by the watermark passing each key's last-seen event time + delay.
+
+For the watermark pair, eviction is driven the way a real stream drives it:
+after the main corpus is ingested, two sentinel files with far-future
+timestamps are dropped into the source directory one micro-batch apart —
+the first advances the watermark, the second triggers the batch in which
+the engine applies it and reclaims every main-corpus state row.  The rung
+then asserts state drains to EXACTLY the sentinels' own footprint (2 rows),
+and that the append-mode sink received one finalized row per main key.
+
+All three record, from the engine's own progress metrics
 (``lastProgress["stateOperators"]``):
 
 - ``numRowsTotal`` after full ingest — must equal the key count exactly
@@ -39,7 +55,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from worker_etl_spark.session import get_spark  # noqa: E402
-from worker_etl_spark.streaming.event_time import cusum_stateful  # noqa: E402
+from worker_etl_spark.streaming.event_time import (  # noqa: E402
+    cusum_stateful,
+    dedup_events,
+    windowed_event_counts,
+)
 
 KEY_LADDER = (1_000, 10_000, 100_000)
 EVENTS_PER_KEY = 5
@@ -153,15 +173,195 @@ def run_rung(spark, n_keys: int) -> dict:
         spark.catalog.dropTempView(qname)
 
 
+#: Event-time origin for the watermark rungs — HOUR-ALIGNED so the whole
+#: 3000 s main corpus falls inside one tumbling window (a non-aligned origin
+#: straddles two windows and the state-rows==keys claim reads 1.2x keys).
+T0 = 1_699_999_200
+assert T0 % 3600 == 0
+#: Far-future sentinel offsets (seconds past T0).  Two sentinels, one
+#: micro-batch apart: the first advances the watermark past every main-corpus
+#: horizon, the second runs the batch in which the engine applies it (and a
+#: watermark derived from the second in turn reclaims the first sentinel's
+#: row).  End state is exactly the second sentinel's 1-row footprint.
+SENTINEL_OFFSETS = (36_000, 72_000)
+
+
+def _build_wm_events(spark, path: str, n_keys: int, op: str) -> int:
+    """Main corpus for the watermark rungs: EVENTS_PER_KEY rows per key, all
+    event times inside ONE tumbling hour [T0, T0+3000s) so the windowed
+    aggregation holds exactly ``n_keys`` open (window, event_type) groups and
+    the dedup holds exactly ``n_keys`` live keys."""
+    n = n_keys * EVENTS_PER_KEY
+    df = (
+        spark.range(n)
+        .select(
+            # dedup keys on event_id: each key redelivered EVENTS_PER_KEY
+            # times (the at-least-once pattern evt05 suppresses)
+            (F.col("id") % n_keys).alias("event_id"),
+            F.concat(F.lit("t"), (F.col("id") % n_keys)).alias("event_type"),
+            F.timestamp_seconds(
+                F.lit(T0) + (F.col("id") % 3000)
+            ).alias("ts"),
+            ((F.col("id") * 37 % 200) / 100.0).alias("value"),
+        )
+    )
+    df.repartition(N_FILES).write.mode("overwrite").parquet(path)
+    return n
+
+
+def _append_sentinel(spark, path: str, offset_s: int, n_keys: int) -> None:
+    """Drop one far-future row into the monitored source dir as a NEW file
+    (FileStreamSource picks it up next micro-batch)."""
+    (
+        spark.range(1)
+        .select(
+            F.lit(n_keys + offset_s).alias("event_id"),
+            F.lit(f"sentinel_{offset_s}").alias("event_type"),
+            F.timestamp_seconds(F.lit(T0 + offset_s)).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def run_watermark_rung(spark, n_keys: int, op: str) -> dict:
+    """One rung for a watermark-evicted operator.
+
+    op="window": ``windowed_event_counts`` (evt01) — state rows are open
+    (window, event_type) groups; eviction = watermark passes window end,
+    finalized rows land in the append sink.
+    op="dedup": ``dedup_events`` (evt05, ``dropDuplicatesWithinWatermark``)
+    — state rows are live keys; eviction = watermark passes key's event
+    time + delay; first occurrences were already emitted on sight.
+    """
+    src = tempfile.mkdtemp(prefix=f"state_ladder_{op}_src_{n_keys}_")
+    ckpt = tempfile.mkdtemp(prefix=f"state_ladder_{op}_ckpt_{n_keys}_")
+    qname = f"state_ladder_{op}_{n_keys}"
+    try:
+        n_main = _build_wm_events(spark, src, n_keys, op)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        if op == "window":
+            out = windowed_event_counts(
+                stream, window="1 hour", watermark="30 minutes"
+            )
+        else:
+            out = dedup_events(stream, keys=["event_id"], watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        rung: dict = {"keys": n_keys, "input_rows": n_main, "operator": op}
+        try:
+            # Phase 1 — ingest the main corpus, read loaded-store metrics.
+            deadline = time.time() + 600
+            seen = 0
+            while time.time() < deadline:
+                seen = sum(p["numInputRows"] for p in q.recentProgress if p)
+                if seen >= n_main:
+                    break
+                time.sleep(1)
+            if seen < n_main:
+                return {**rung, "error": f"ingest stalled at {seen}/{n_main}"}
+            # settle one trigger so lastProgress reflects the final main batch
+            time.sleep(2)
+            sop = _state_op(q.lastProgress)
+            rung["state_rows_after_ingest"] = sop.get("numRowsTotal")
+            disk = (sop.get("customMetrics") or {}).get(
+                "stateOnCurrentVersionSizeBytes"
+            )
+            rung["state_memory_bytes"] = sop.get("memoryUsedBytes")
+            rung["state_disk_bytes"] = disk
+            if disk and n_keys:
+                rung["disk_bytes_per_key"] = round(disk / n_keys, 1)
+            # Phase 2 — advance event time: two sentinels, one batch apart.
+            for off in SENTINEL_OFFSETS:
+                _append_sentinel(spark, src, off, n_keys)
+                time.sleep(3)
+            # Poll until every main-corpus row is reclaimed.  The steady
+            # state is exactly the LAST sentinel's own 1-row footprint (the
+            # first sentinel is itself reclaimed by the watermark the second
+            # one establishes).
+            deadline = time.time() + 600
+            drained = None
+            while time.time() < deadline:
+                sop = _state_op(q.lastProgress)
+                total = sop.get("numRowsTotal")
+                if total is not None and total <= 1:
+                    drained = total
+                    break
+                time.sleep(2)
+            if drained is None:
+                rung["error"] = "state did not drain to sentinel footprint"
+            else:
+                rung["state_rows_after_watermark"] = drained
+                if op == "window":
+                    # finalized MAIN windows only (exclude sentinel windows)
+                    rung["flushed_main"] = (
+                        spark.sql(
+                            f"SELECT count(*) AS c FROM {qname} "
+                            f"WHERE win_start < timestamp_seconds({T0 + 7200})"
+                        ).collect()[0].c
+                    )
+                else:
+                    # distinct main keys emitted exactly once
+                    rung["flushed_main"] = (
+                        spark.sql(
+                            f"SELECT count(*) AS c FROM {qname} "
+                            f"WHERE event_id < {n_keys}"
+                        ).collect()[0].c
+                    )
+        finally:
+            q.stop()
+        return rung
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(qname)
+
+
+def _summarize_op(rungs: dict) -> dict:
+    claims: dict = {}
+    rs = [rungs[str(k)] for k in KEY_LADDER]
+    claims["state_rows_equal_keys"] = all(
+        r.get("state_rows_after_ingest") == r["keys"] for r in rs
+    )
+    bpk = [r.get("disk_bytes_per_key") for r in rs]
+    if all(isinstance(b, (int, float)) and b > 0 for b in bpk):
+        claims["bytes_per_key"] = bpk
+        claims["bytes_per_key_flat_within_2x"] = max(bpk) / min(bpk) <= 2.0
+    claims["evicted_to_sentinel_footprint"] = all(
+        r.get("state_rows_after_watermark", -1) <= 1 for r in rs
+    )
+    claims["every_key_flushed_once"] = all(
+        r.get("flushed_main") == r["keys"] for r in rs
+    )
+    return claims
+
+
 def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "STATE_LADDER.json"
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("state_ladder")
     spark.sparkContext.setLogLevel("ERROR")
     rungs = {}
-    for k in KEY_LADDER:
-        t0 = time.time()
-        rungs[str(k)] = {**run_rung(spark, k), "wall_sec": round(time.time() - t0, 1)}
-        print(f"rung {k}: {rungs[str(k)]}", file=sys.stderr)
+    if only in (None, "cusum"):
+        for k in KEY_LADDER:
+            t0 = time.time()
+            rungs[str(k)] = {
+                **run_rung(spark, k), "wall_sec": round(time.time() - t0, 1)
+            }
+            print(f"rung cusum/{k}: {rungs[str(k)]}", file=sys.stderr)
     result: dict = {
         "metric": "stateful_streaming_state_ladder",
         "operator": "cusum_stateful (applyInPandasWithState, evt08 online twin)",
@@ -169,25 +369,44 @@ def main() -> None:
         "rungs": rungs,
         "claims": {},
     }
-    lo, mid, hi = (rungs[str(k)] for k in KEY_LADDER)
-    ok_rows = all(
-        r.get("state_rows_after_ingest") == r["keys"] for r in (lo, mid, hi)
-    )
-    result["claims"]["state_rows_equal_keys"] = ok_rows
-    bpk = [r.get("disk_bytes_per_key") for r in (lo, mid, hi)]
-    if all(isinstance(b, (int, float)) and b > 0 for b in bpk):
-        result["claims"]["bytes_per_key"] = bpk
-        # flat within 2x across 100x keys = O(1) per key (small-rung values
-        # carry fixed store overhead amortized over fewer keys)
-        result["claims"]["bytes_per_key_flat_within_2x"] = (
-            max(bpk) / min(bpk) <= 2.0
+    if rungs:
+        lo, mid, hi = (rungs[str(k)] for k in KEY_LADDER)
+        ok_rows = all(
+            r.get("state_rows_after_ingest") == r["keys"] for r in (lo, mid, hi)
         )
-    result["claims"]["evicted_to_zero"] = all(
-        r.get("state_rows_after_timeout") == 0 for r in (lo, mid, hi)
-    )
-    result["claims"]["every_key_flushed_once"] = all(
-        r.get("flushed_summaries") == r["keys"] for r in (lo, mid, hi)
-    )
+        result["claims"]["state_rows_equal_keys"] = ok_rows
+        bpk = [r.get("disk_bytes_per_key") for r in (lo, mid, hi)]
+        if all(isinstance(b, (int, float)) and b > 0 for b in bpk):
+            result["claims"]["bytes_per_key"] = bpk
+            # flat within 2x across 100x keys = O(1) per key (small-rung
+            # values carry fixed store overhead amortized over fewer keys)
+            result["claims"]["bytes_per_key_flat_within_2x"] = (
+                max(bpk) / min(bpk) <= 2.0
+            )
+        result["claims"]["evicted_to_zero"] = all(
+            r.get("state_rows_after_timeout") == 0 for r in (lo, mid, hi)
+        )
+        result["claims"]["every_key_flushed_once"] = all(
+            r.get("flushed_summaries") == r["keys"] for r in (lo, mid, hi)
+        )
+    # verdict r8 #4: the watermark-evicted pair, same rung/claim shape
+    for op, label in (
+        ("window", "windowed_event_counts (evt01, watermarked tumbling agg)"),
+        ("dedup", "dedup_events (evt05, dropDuplicatesWithinWatermark)"),
+    ):
+        if only not in (None, op):
+            continue
+        op_rungs = {}
+        for k in KEY_LADDER:
+            t0 = time.time()
+            op_rungs[str(k)] = {
+                **run_watermark_rung(spark, k, op),
+                "wall_sec": round(time.time() - t0, 1),
+            }
+            print(f"rung {op}/{k}: {op_rungs[str(k)]}", file=sys.stderr)
+        result[f"{op}_operator"] = label
+        result[f"{op}_rungs"] = op_rungs
+        result[f"{op}_claims"] = _summarize_op(op_rungs)
     print(json.dumps(result))
     with open(out_json, "w") as fh:
         json.dump(result, fh, indent=2)
