@@ -2553,3 +2553,142 @@ def w19_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- w20: positional deletion vectors (merge-on-read by file/row position) --------
+@register(
+    "w20_positional_delete",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_totalprice < 50000)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def w20_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL deletion vectors — the third row-level delete shape beside
+    w08 (equality: key log + anti join on the key) and w19 (copy-on-write:
+    rewrite intersecting files).  Iceberg position deletes / Delta deletion
+    vectors record (data_file, row_position) pairs: the delete PREDICATE is
+    evaluated exactly once, at delete time, against any columns at all —
+    here a non-key predicate (priority + price band) that an equality
+    delete log could not express without carrying the full predicate to
+    every future read.  The serving read anti-joins the scan against the
+    broadcast vector on Spark's parquet scan-native coordinates
+    (``_metadata.file_path``, ``_metadata.row_index``) — generated by the
+    scanner per batch, never stored in the data files.
+
+    Scale: the DV is ~|deleted rows| (two scalars per row, grouped by
+    file), always broadcast-sized for the bad-batch / GDPR deletes MoR
+    exists for; the base table never shuffles and keeps pushdown/pruning;
+    files with no deleted positions anti-join against nothing.  Delete-time
+    cost is one predicate scan.  Compaction folds DVs in exactly like w08's
+    key log (w03/w13).  The oracle states the post-delete table directly
+    with the negated predicate."""
+    o = read_table(spark, sf_dir, "orders")
+    tmp = fixture_dir("w20")
+    base_loc = os.path.join(tmp, "orders_base")
+    dv_loc = os.path.join(tmp, "orders_dv")
+    o.repartition(8).write.mode("overwrite").parquet(base_loc)
+
+    base = spark.read.parquet(base_loc)
+    coords = base.select(
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    # delete-time: evaluate the predicate ONCE, persist only positions
+    coords.filter(
+        (F.col("o_orderpriority") == "3-MEDIUM") & (F.col("o_totalprice") < 50000)
+    ).select("_dv_file", "_dv_pos").write.mode("overwrite").parquet(dv_loc)
+
+    # read-time: scan + scanner-native coordinates, anti-join broadcast DV
+    dv = spark.read.parquet(dv_loc)
+    served = (
+        base.withColumns(
+            {
+                "_dv_file": F.col("_metadata.file_path"),
+                "_dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        .join(F.broadcast(dv), on=["_dv_file", "_dv_pos"], how="left_anti")
+    )
+    return (
+        served.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- w21: schema evolution across file generations (mergeSchema read) --------------
+@register(
+    "w21_schema_evolution",
+    oracle="""
+    WITH unified AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal, NULL::BIGINT AS s_name_len
+      FROM supplier WHERE s_suppkey % 2 = 0
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, s_acctbal, length(s_name)::BIGINT
+      FROM supplier WHERE s_suppkey % 2 = 1
+    )
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT)        AS n_suppliers,
+           round(sum(s_acctbal), 2)        AS total_acctbal,
+           CAST(count(s_name_len) AS BIGINT) AS n_with_new_col,
+           CAST(coalesce(sum(s_name_len), 0) AS BIGINT) AS name_len_sum
+    FROM unified GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def w21_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanner-level SCHEMA EVOLUTION: generation 1 of a table was written
+    before a column existed; generation 2 adds it.  No rewrite of old files,
+    no view maintenance — the lakehouse contract is that the READER unifies:
+    ``mergeSchema`` reconciles parquet footers by column NAME across files,
+    old rows surface NULL for the added column, and downstream aggregation
+    distinguishes "absent at write time" (NULL) from any written value.
+    This is the add-column end of evolution; w12 covers the partition-layout
+    end, and the two compose (new columns typically arrive with new partition
+    generations).
+
+    Scale: schema reconciliation reads FOOTERS only (one per file, driver
+    side, same cost class as w10's manifest pruning) — data pages are
+    untouched until the scan, which keeps pushdown and pruning on the union
+    of columns.  On a 100 TB table the footer sweep is what you pay, which
+    is why production tables ALSO pin the merged schema in a catalog entry
+    (w14's inferred members) once evolution settles; ``mergeSchema`` is the
+    read path while generations are still being written.  The oracle
+    replays the unification as a UNION ALL with an explicit NULL leg."""
+    s = read_table(spark, sf_dir, "supplier")
+    tmp = fixture_dir("w21")
+    gen1 = s.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    gen2 = s.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.length("s_name").cast("long").alias("s_name_len"),
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(tmp, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(tmp, "gen=2"))
+    unified = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp)
+    )
+    return (
+        unified.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.count("s_name_len").alias("n_with_new_col"),
+            F.coalesce(F.sum("s_name_len"), F.lit(0)).cast("long").alias("name_len_sum"),
+        )
+        .orderBy("s_nationkey")
+    )
