@@ -2692,3 +2692,98 @@ def w21_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# --- srm04: Python streaming data source (Spark 4 simpleStreamReader) --------------
+@register(
+    "srm04_python_stream_source",
+    oracle="""
+    SELECT n_regionkey::BIGINT AS n_regionkey,
+           count(*)::BIGINT    AS n_msgs,
+           min(n_nationkey)::BIGINT AS min_key,
+           max(n_nationkey)::BIGINT AS max_key,
+           count(DISTINCT n_nationkey % 5)::BIGINT AS n_files
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def srm04_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The queue feed as a FIRST-CLASS Spark 4 Python streaming source
+    (``sources/pyds_stream.py``, ``SimpleDataSourceStreamReader``): the
+    offset contract is a queue cursor — ``read(start)`` claims one pending
+    message file per micro-batch in arrival order and parks on an idle
+    queue, ``readBetweenOffsets`` replays committed ranges on recovery
+    (exactly-once restart is pinned in tests/test_pyds_stream.py), and
+    ``commit`` is the ack point.  This registers the same feed the file
+    -source worker (srm01-03, O3) consumes, as the custom-source shape —
+    what you reach for when the queue is a real broker (Pub/Sub-like lease
+    semantics, reference ``etl.py:1392-1407``) rather than a directory.
+
+    25 nation-derived messages across 5 queue files stream through 5
+    micro-batches into a memory sink (the ``_queue_file`` lineage column
+    proves per-file batch boundaries: 5 distinct files, keys % 5); the
+    returned frame is the per-region census of what arrived.  Scale note:
+    messages are control-plane POINTERS (driver-cursor read is the designed
+    posture, documented in the module); object payloads flow through scan
+    sources exactly as in srm01-03."""
+    import json
+    import time
+
+    from worker_etl_spark.sources.pyds_stream import register_pyqueue
+
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = fixture_dir("srm04")
+    queue = os.path.join(tmp, "queue")
+    os.makedirs(queue)
+    by_file: dict[int, list] = {}
+    for r in n:
+        by_file.setdefault(r.n_nationkey % 5, []).append(r)
+    for i, rows in sorted(by_file.items()):
+        with open(os.path.join(queue, f"msg_{i:03d}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps(
+                        {
+                            "object_name": f"nation_{r.n_nationkey}.csv",
+                            "n_nationkey": r.n_nationkey,
+                            "n_regionkey": r.n_regionkey,
+                        }
+                    )
+                    + "\n"
+                )
+    register_pyqueue(spark)
+    stream = (
+        spark.readStream.format("pyqueue")
+        .schema(
+            "object_name string, n_nationkey long, n_regionkey long, "
+            "_queue_file string, _queue_seq long"
+        )
+        .option("path", queue)
+        .load()
+    )
+    qname = "srm04_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {qname}").collect()[0].c >= len(n):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT n_regionkey,
+               CAST(count(*) AS BIGINT)     AS n_msgs,
+               min(n_nationkey)             AS min_key,
+               max(n_nationkey)             AS max_key,
+               CAST(count(DISTINCT _queue_file) AS BIGINT) AS n_files
+        FROM {qname} GROUP BY n_regionkey ORDER BY n_regionkey
+        """
+    )

@@ -1,0 +1,132 @@
+"""Spark 4 Python STREAMING data source: a message-queue reader as a
+first-class ``spark.readStream.format("pyqueue")`` source.
+
+The engine's queue worker (``streaming/worker.py``, reference consume loop
+``etl.py:1392-1407``) reads its message feed through Spark's built-in file
+stream source.  This module registers the same feed shape as a custom
+Python streaming source built on ``SimpleDataSourceStreamReader`` — the
+Spark 4 API whose offset contract is exactly a queue cursor:
+
+- ``initialOffset`` -> ``{"files_consumed": 0}``;
+- ``read(start)`` claims the next pending message file (one micro-batch per
+  file, filename order = arrival order), returns its rows plus the advanced
+  offset, and returns ``(no rows, same offset)`` when the queue is idle;
+- ``readBetweenOffsets(start, end)`` replays a committed range verbatim on
+  recovery — the EXACTLY-ONCE replay leg Spark drives after a restart, which
+  the built-in file source gets from its own checkpoint log;
+- ``commit(end)`` is the ack: everything before *end* is consumed and will
+  never be re-requested outside a replay.
+
+The driver-side read is deliberate: a queue cursor is driver-state by
+nature (one consumer claims messages; executors receive the claimed rows
+through the engine).  Spark documents ``SimpleDataSourceStreamReader`` for
+exactly this low-volume-control-plane case; bulk DATA still flows through
+scan sources (the worker routes object PAYLOADS to the CSV/Excel/parquet
+readers — messages are pointers, never payloads).
+
+Message format: JSON-lines files, one message object per line.  Fields are
+projected against the user schema (missing -> None), plus ``_queue_file``/
+``_queue_seq`` lineage columns when the schema requests them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+DEFAULT_SCHEMA = (
+    "object_name string, target_dataset_id string, "
+    "_queue_file string, _queue_seq long"
+)
+
+
+class QueueStreamDataSource(DataSource):
+    """``format("pyqueue")``: options ``path`` (queue dir, required) and
+    ``schema`` via the standard ``.schema(...)`` builder hook."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyqueue"
+
+    def schema(self) -> str:
+        return DEFAULT_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> "QueueStreamReader":
+        return QueueStreamReader(schema, self.options)
+
+
+class QueueStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options) -> None:  # noqa: ANN001
+        path = options.get("path")
+        if not path:
+            raise ValueError("pyqueue requires option 'path' (queue directory)")
+        self._path = path
+        self._fields = schema.fieldNames()
+
+    # -- offset bookkeeping ------------------------------------------------
+    def _pending(self) -> list[str]:
+        """Message files in arrival (filename) order — the queue's total
+        order.  Hidden files and non-.jsonl are ignored, matching the
+        worker's feed contract."""
+        try:
+            names = os.listdir(self._path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            n for n in names if n.endswith(".jsonl") and not n.startswith((".", "_"))
+        )
+
+    def _rows_of(self, name: str) -> list[tuple]:
+        out: list[tuple] = []
+        with open(os.path.join(self._path, name), encoding="utf-8") as fh:
+            for seq, line in enumerate(fh):
+                line = line.strip()
+                if not line:
+                    continue
+                msg = json.loads(line)
+                lineage = {"_queue_file": name, "_queue_seq": seq}
+                out.append(
+                    tuple(
+                        lineage[f] if f in lineage else msg.get(f)
+                        for f in self._fields
+                    )
+                )
+        return out
+
+    # -- SimpleDataSourceStreamReader contract ------------------------------
+    def initialOffset(self) -> dict:
+        return {"files_consumed": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        files = self._pending()
+        i = int(start.get("files_consumed", 0))
+        if i >= len(files):
+            return iter(()), start  # queue idle: empty batch, cursor holds
+        return iter(self._rows_of(files[i])), {"files_consumed": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        files = self._pending()
+        lo = int(start.get("files_consumed", 0))
+        hi = int(end.get("files_consumed", 0))
+        rows: list[tuple] = []
+        for name in files[lo:hi]:
+            rows.extend(self._rows_of(name))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        # ack point: a durable queue would delete/lease-expire messages
+        # before `end` here; the fixture queue keeps files so replay stays
+        # byte-identical (readBetweenOffsets above).
+        return
+
+
+def register_pyqueue(spark) -> None:  # noqa: ANN001
+    """Idempotent per-session registration (same pattern as xlsgrid/avroocf)."""
+    key = "_pyqueue_registered"
+    if not getattr(spark, key, False):
+        spark.dataSource.register(QueueStreamDataSource)
+        setattr(spark, key, True)
