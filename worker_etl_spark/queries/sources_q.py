@@ -2787,3 +2787,85 @@ def srm04_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {qname} GROUP BY n_regionkey ORDER BY n_regionkey
         """
     )
+
+
+# --- w22: Python streaming sink (Spark 4 DataSourceStreamWriter) -------------------
+@register(
+    "w22_python_stream_sink",
+    oracle="""
+    SELECT n_regionkey::BIGINT AS n_regionkey,
+           count(*)::BIGINT    AS n_rows,
+           sum(n_nationkey)::BIGINT AS key_sum
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def w22_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once SINK leg of the Spark 4 Python data-source API
+    (``sinks/pyds_sink.py``, ``DataSourceStreamWriter``) — complement of
+    srm04's reader leg, and together the full custom-connector story:
+    executor tasks write uniquely-named part files and report them as
+    commit messages; the driver lands each micro-batch's manifest via one
+    atomic rename, so a batch becomes visible ALL-OR-NOTHING; task retries
+    and batch replays orphan their parts instead of double-counting
+    (``read_committed`` serves only manifest-named files — the same ledger
+    discipline as Spark's own ``_spark_metadata`` file-sink log, and the
+    recovery/orphan/abort matrix is pinned in tests/test_pyds_sink.py).
+
+    The pipeline here runs reader AND writer: 25 nation messages stream
+    from the pyqueue source through the txnjsonl sink (5 micro-batches, 5
+    manifests), then the committed view is aggregated per region.  Scale:
+    parts land executor-side where the partitions are; the driver pays one
+    manifest write per batch — the built-in file-sink commit cost class."""
+    import json
+    import time
+
+    from worker_etl_spark.sinks.pyds_sink import read_committed, register_txnjsonl
+    from worker_etl_spark.sources.pyds_stream import register_pyqueue
+
+    n = read_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    tmp = fixture_dir("w22")
+    queue, sink = os.path.join(tmp, "queue"), os.path.join(tmp, "sink")
+    os.makedirs(queue)
+    by_file: dict[int, list] = {}
+    for r in n:
+        by_file.setdefault(r.n_nationkey % 5, []).append(r)
+    for i, rows in sorted(by_file.items()):
+        with open(os.path.join(queue, f"msg_{i:03d}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps(
+                        {"n_nationkey": r.n_nationkey, "n_regionkey": r.n_regionkey}
+                    )
+                    + "\n"
+                )
+    register_pyqueue(spark)
+    register_txnjsonl(spark)
+    schema = "n_nationkey long, n_regionkey long"
+    q = (
+        spark.readStream.format("pyqueue")
+        .schema(schema)
+        .option("path", queue)
+        .load()
+        .writeStream.format("txnjsonl")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if read_committed(spark, sink, schema).count() >= len(n):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return (
+        read_committed(spark, sink, schema)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
