@@ -122,60 +122,13 @@ def release_persists() -> int:
 # --- i01-i06, q01-q35), whose code has seen two years of shared-helper
 # --- evolution since their only driver row.
 _PRIORITY: list[str] = [
-    # round-8 head: new + materially-changed surfaces (rows required) ...
-    "m11_png_pixel_stats",  # NEW r8
-    "src23_avro_ingest",  # NEW r8
-    "src24_avro_typed_rollup",  # NEW r8
-    "q98_global_balance_anti",  # NEW r8
-    "q99_conversion_latency",  # NEW r8
-    "evt18_ohlc_conflation",  # NEW r8
-    "v06_centroid_distance_matrix",  # NEW r8
-    "w19_cow_delete",  # NEW r8
-    "d17_semantic_neardup",  # changed r8: exact-integer text leg
-    "i24_linear_interpolation",  # changed r8: explicit floor division
-    "w18_shallow_clone",  # changed r8: clone borrow registration + vacuum guard
-    "w09_snapshot_time_travel",  # changed r8: read_snapshot borrowed-manifest branch
-    # ... then the 21 names dropped from the r7 replica artifact (verdict #2:
-    # the stalest driver-confirmed rows; each re-verified green since)
-    "d06_embedding_neardup",  # replica-dropped r7; green r7
-    "src09_xls_datasource",  # replica-dropped r7; green r7
-    "w17_write_audit_publish",  # replica-dropped r7; green r7
-    "t29_bm25_retrieval",  # replica-dropped r7; green r7
-    "d16_incremental_dedup",  # replica-dropped r7; green r7
-    "t30_ngram_novelty",  # replica-dropped r7; green r7
-    "d04_simhash",  # replica-dropped r7; green r7
-    "q29_approx_stats",  # replica-dropped r7; green r2
-    "i08_column_profile",  # replica-dropped r7; green r3
-    "srm02_multi_object_batch",  # replica-dropped r7; green r3
-    "t05_tfidf_topterms",  # replica-dropped r7; green r3
-    "t10_contamination",  # replica-dropped r7; green r3
-    "w04_partitioned_bucketed_layout",  # replica-dropped r7; green r3
-    "q53_cogroup_asof",  # replica-dropped r7; green r4
-    "t14_substring_dup_share",  # replica-dropped r7; green r4
-    "d10_simhash_hamming",  # replica-dropped r7; green r6
-    "q79_triangle_count",  # replica-dropped r7; green r6
-    "t16_distinctive_terms",  # replica-dropped r7; green r6
-    "t17_countmin_audit",  # replica-dropped r7; green r6
-    "t18_bigram_perplexity",  # replica-dropped r7; green r6
-    "t28_collocations",  # replica-dropped r7; green r6
-    # stalest-green rotation (tools/rotate_priority.py order)
-    "q15_tumbling_windows",  # green r2
-    "q16_sliding_windows",  # green r2
-    "q17_json_props",  # green r2
-    "q18_argmax",  # green r2
-    "q19_asof_join",  # green r2
-    "q20_range_join",  # green r2
-    "q21_price_quantiles",  # green r2
-    "q22_salted_skew_join",  # green r2
-    "q23_cube_flags",  # green r2
-    "q24_price_stats",  # green r2
-    "q25_bucketed_join",  # green r2
-    "q26_grouping_sets",  # green r2
-    "q27_revenue_momentum",  # green r2
-    "q28_hash_sample",  # green r2
-    "q30_small_qty_revenue",  # green r2
-    "q31_moving_revenue",  # green r2
-    "q32_rank_family",  # green r2
+    "i25_llm_schema_strategy",  # never-checked
+    "m12_wav_pcm_stats",  # never-checked
+    "m13_jpeg_pixel_stats",  # never-checked
+    "srm04_python_stream_source",  # never-checked
+    "w20_positional_delete",  # never-checked
+    "w21_schema_evolution",  # never-checked
+    "w22_python_stream_sink",  # never-checked
     "q33_collected_arrays",  # green r2
     "q34_full_outer_reconcile",  # green r2
     "q35_unpivot_metrics",  # green r2
@@ -392,6 +345,56 @@ _PRIORITY: list[str] = [
     "src20_jdbc_roundtrip",  # green r7
     "src21_variant_ingest",  # green r7
     "src22_multichar_delim_csv",  # green r7
+    "d04_simhash",  # green r8
+    "d06_embedding_neardup",  # green r8
+    "d10_simhash_hamming",  # green r8
+    "d16_incremental_dedup",  # green r8
+    "d17_semantic_neardup",  # green r8
+    "evt18_ohlc_conflation",  # green r8
+    "i08_column_profile",  # green r8
+    "i24_linear_interpolation",  # green r8
+    "m11_png_pixel_stats",  # green r8
+    "q15_tumbling_windows",  # green r8
+    "q16_sliding_windows",  # green r8
+    "q17_json_props",  # green r8
+    "q18_argmax",  # green r8
+    "q19_asof_join",  # green r8
+    "q20_range_join",  # green r8
+    "q21_price_quantiles",  # green r8
+    "q22_salted_skew_join",  # green r8
+    "q23_cube_flags",  # green r8
+    "q24_price_stats",  # green r8
+    "q25_bucketed_join",  # green r8
+    "q26_grouping_sets",  # green r8
+    "q27_revenue_momentum",  # green r8
+    "q28_hash_sample",  # green r8
+    "q29_approx_stats",  # green r8
+    "q30_small_qty_revenue",  # green r8
+    "q31_moving_revenue",  # green r8
+    "q32_rank_family",  # green r8
+    "q53_cogroup_asof",  # green r8
+    "q79_triangle_count",  # green r8
+    "q98_global_balance_anti",  # green r8
+    "q99_conversion_latency",  # green r8
+    "src09_xls_datasource",  # green r8
+    "src23_avro_ingest",  # green r8
+    "src24_avro_typed_rollup",  # green r8
+    "srm02_multi_object_batch",  # green r8
+    "t05_tfidf_topterms",  # green r8
+    "t10_contamination",  # green r8
+    "t14_substring_dup_share",  # green r8
+    "t16_distinctive_terms",  # green r8
+    "t17_countmin_audit",  # green r8
+    "t18_bigram_perplexity",  # green r8
+    "t28_collocations",  # green r8
+    "t29_bm25_retrieval",  # green r8
+    "t30_ngram_novelty",  # green r8
+    "v06_centroid_distance_matrix",  # green r8
+    "w04_partitioned_bucketed_layout",  # green r8
+    "w09_snapshot_time_travel",  # green r8
+    "w17_write_audit_publish",  # green r8
+    "w18_shallow_clone",  # green r8
+    "w19_cow_delete",  # green r8
 ]
 
 
