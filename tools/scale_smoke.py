@@ -169,6 +169,19 @@ DEDUP_QUERIES = (
     "d16_incremental_dedup",
 )
 
+#: deep dedup ladder (round-8 verdict #6): one more measured decade for the
+#: two HIGHEST 10x-decade ratios (d10 3.76, d16 3.43 in round 8) — the band
+#: join and the incremental classifier.  Only these two run at 1000 copies
+#: (the full six-query set at 1000x would spend most of its wall on the
+#: already-low-ratio generators); same per-rung-subprocess protocol, same
+#: pass-dispersion rule.  Sub-linear here means the blocking claims hold
+#: across THREE measured decades, not two.
+DEDUP_DEEP_LADDER = (100, 1000)
+DEDUP_DEEP_QUERIES = (
+    "d10_simhash_hamming",
+    "d16_incremental_dedup",
+)
+
 #: similarity growth ladder (round-4 verdict #6): the broadcast-matrix ANN
 #: paths on embeddings-only corpora at these copy counts, WITH THE QUERY SET
 #: HELD CONSTANT — the production contract the docstrings state (a fixed
@@ -238,6 +251,7 @@ def main() -> None:
             "build_sec": build_s,
             "queries": timings,
             "dedup_growth": dedup_growth(),
+            "dedup_deep_growth": dedup_deep_growth(),
             "similarity_growth": similarity_growth(),
         }
         result["ladder_note"] = (
@@ -382,6 +396,31 @@ def dedup_rung(spark, copies: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def dedup_deep_rung(spark, copies: int) -> dict:
+    """One deep-ladder rung: documents-only corpus at *copies*, warming ONLY
+    the family frames d10/d16 consume (``_simhash_df`` and ``_shingles`` —
+    not ``_jaccard_pairs``, whose consumers aren't timed here)."""
+    from worker_etl_spark.queries import dedup_q
+
+    tmp = tempfile.mkdtemp(prefix=f"smoke_dedup_deep_{copies}_")
+    try:
+        t0 = time.time()
+        build(spark, tmp, copies, tables={"documents": ["doc_id"]})
+        build_s = round(time.time() - t0, 1)
+        t0 = time.time()
+        _warm_session(spark, os.path.join(tmp, "documents.parquet"))
+        dedup_q._shingles(spark, tmp).count()
+        dedup_q._simhash_df(spark, tmp).count()
+        warm_s = round(time.time() - t0, 1)
+        return {
+            "build_sec": build_s,
+            "untimed_family_warm_sec": warm_s,
+            **_time_queries(spark, DEDUP_DEEP_QUERIES, tmp),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def sim_rung(spark, copies: int) -> dict:
     """One similarity-ladder rung in the CURRENT session (query set pinned
     to the base corpus — see SIM_LADDER note)."""
@@ -515,6 +554,12 @@ def dedup_growth(spark=None) -> dict:
     return _growth_subproc("dedup", DEDUP_LADDER, DEDUP_QUERIES)
 
 
+def dedup_deep_growth() -> dict:
+    """Third measured decade (100 -> 1000 copies) for the two highest
+    previous-decade ratios, one fresh subprocess per rung (round-8 #6)."""
+    return _growth_subproc("dedup_deep", DEDUP_DEEP_LADDER, DEDUP_DEEP_QUERIES)
+
+
 def similarity_growth() -> dict:
     """ANN paths at each SIM_LADDER copy count, query set pinned to the
     base corpus, one fresh subprocess per rung."""
@@ -525,7 +570,12 @@ def similarity_growth() -> dict:
 
 def _rung_main(kind: str, copies: int, out_json: str) -> None:
     spark = get_spark(f"scale_smoke_{kind}_rung_{copies}")
-    rung = dedup_rung(spark, copies) if kind == "dedup" else sim_rung(spark, copies)
+    if kind == "dedup":
+        rung = dedup_rung(spark, copies)
+    elif kind == "dedup_deep":
+        rung = dedup_deep_rung(spark, copies)
+    else:
+        rung = sim_rung(spark, copies)
     with open(out_json, "w") as fh:
         json.dump(rung, fh)
 
