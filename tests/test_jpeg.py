@@ -196,3 +196,19 @@ def test_refusals_are_loud():
     dri = good[:i] + _seg(0xFFDD, struct.pack(">H", 4)) + good[i:]
     with pytest.raises(NotImplementedError):
         decode_jpeg_gray(dri)
+
+
+def test_fill_bytes_before_markers_are_consumed():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+    code; a conformant foreign encoder's padding must not break the parse
+    (round-9 review)."""
+    rows = [[128 + 2 * (x // 8) for x in range(16)] for y in range(8)]
+    good = encode_jpeg_gray(rows, 16, 8)
+    # inject fill bytes before the DQT and SOS markers
+    padded = good.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xda", b"\xff\xff\xff\xff\xda", 1
+    )
+    w, h, px = decode_jpeg_gray(padded)
+    assert (w, h) == (16, 8)
+    _, _, ref = decode_jpeg_gray(good)
+    assert px == ref

@@ -128,3 +128,29 @@ def test_pipeline_reader_to_sink_exactly_once(spark, tmp_path):
     # one manifest per micro-batch, each batch = one queue file
     manifests = sorted(os.listdir(os.path.join(sink, "_commits")))
     assert len(manifests) >= 3
+
+
+def test_commit_with_missing_message_refuses_partial_manifest(tmp_path):
+    """Round-9 review: a None entry in COMMIT means a succeeded task's
+    message vanished — writing a manifest without its part would be silent
+    row loss behind an advancing checkpoint.  Must raise, not filter."""
+    w = _writer(str(tmp_path))
+    m = w.write(_rows(("a", 1)))
+    with pytest.raises(RuntimeError, match="missing commit message"):
+        w.commit([m, None], batchId=0)
+    assert committed_parts(str(tmp_path)) == []  # nothing became visible
+
+
+def test_failed_write_does_not_leak_temp_file(tmp_path):
+    """Round-9 review: an iterator that raises mid-write must unlink its
+    mkstemp temp — abort() only knows reported part names."""
+    w = _writer(str(tmp_path))
+
+    def boom():
+        yield Row(k="a", n=1)
+        raise RuntimeError("upstream died")
+
+    with pytest.raises(RuntimeError, match="upstream died"):
+        w.write(boom())
+    data_dir = os.path.join(str(tmp_path), "data")
+    assert [f for f in os.listdir(data_dir) if f.endswith(".tmp")] == []

@@ -58,14 +58,14 @@ def test_cursor_advances_one_file_per_read(tmp_path):
         _write_file(queue, i, 2)
     r = _reader(queue)
     off = r.initialOffset()
-    assert off == {"files_consumed": 0}
+    assert off == {"last_file": ""}
     rows, off = r.read(off)
     rows = list(rows)
     assert [t[2] for t in rows] == ["m000.jsonl"] * 2
-    assert off == {"files_consumed": 1}
+    assert off == {"last_file": "m000.jsonl"}
     rows, off = r.read(off)
     assert {t[2] for t in rows} == {"m001.jsonl"}
-    assert off == {"files_consumed": 2}
+    assert off == {"last_file": "m001.jsonl"}
 
 
 def test_idle_queue_holds_cursor_and_returns_no_rows(tmp_path):
@@ -78,7 +78,7 @@ def test_idle_queue_holds_cursor_and_returns_no_rows(tmp_path):
     # late arrival resumes from the held cursor
     _write_file(queue, 1, 3)
     rows, off3 = r.read(off2)
-    assert len(list(rows)) == 3 and off3 == {"files_consumed": 2}
+    assert len(list(rows)) == 3 and off3 == {"last_file": "m001.jsonl"}
 
 
 def test_read_between_offsets_replays_committed_range(tmp_path):
@@ -86,15 +86,33 @@ def test_read_between_offsets_replays_committed_range(tmp_path):
     for i in range(4):
         _write_file(queue, i, 2)
     r = _reader(queue)
-    replay = list(r.readBetweenOffsets({"files_consumed": 1}, {"files_consumed": 3}))
+    lo, hi = {"last_file": "m000.jsonl"}, {"last_file": "m002.jsonl"}
+    replay = list(r.readBetweenOffsets(lo, hi))
     assert [t[2] for t in replay] == ["m001.jsonl"] * 2 + ["m002.jsonl"] * 2
     # a fresh reader instance replays identically (recovery happens in a
     # new executor/driver process)
-    assert replay == list(
-        _reader(queue).readBetweenOffsets(
-            {"files_consumed": 1}, {"files_consumed": 3}
-        )
-    )
+    assert replay == list(_reader(queue).readBetweenOffsets(lo, hi))
+
+
+def test_name_cursor_is_stable_under_ack_deletion_and_late_names(tmp_path):
+    """Round-9 review: a positional cursor shifts when the ack deletes
+    consumed files or a late file lands with an earlier-sorting name —
+    duplicating or skipping messages.  The NAME cursor must do neither."""
+    queue = str(tmp_path)
+    for i in range(3):
+        _write_file(queue, i, 1)
+    r = _reader(queue)
+    _, off = r.read(r.initialOffset())
+    _, off = r.read(off)  # consumed m000, m001
+    # the ack deletes the consumed prefix — cursor must not shift
+    os.unlink(os.path.join(queue, "m000.jsonl"))
+    rows, off = r.read(off)
+    assert [t[2] for t in list(rows)] == ["m002.jsonl"]
+    # a producer violating monotonic naming lands BELOW the cursor: never
+    # delivered (documented contract), and crucially never DUPLICATES m002
+    _write_file(queue, 1, 1)  # re-create m001 below cursor m002
+    rows, off2 = r.read(off)
+    assert list(rows) == [] and off2 == off
 
 
 def test_missing_path_option_is_loud():

@@ -186,7 +186,7 @@ assert T0 % 3600 == 0
 SENTINEL_OFFSETS = (36_000, 72_000)
 
 
-def _build_wm_events(spark, path: str, n_keys: int, op: str) -> int:
+def _build_wm_events(spark, path: str, n_keys: int) -> int:
     """Main corpus for the watermark rungs: EVENTS_PER_KEY rows per key, all
     event times inside ONE tumbling hour [T0, T0+3000s) so the windowed
     aggregation holds exactly ``n_keys`` open (window, event_type) groups and
@@ -240,7 +240,7 @@ def run_watermark_rung(spark, n_keys: int, op: str) -> dict:
     ckpt = tempfile.mkdtemp(prefix=f"state_ladder_{op}_ckpt_{n_keys}_")
     qname = f"state_ladder_{op}_{n_keys}"
     try:
-        n_main = _build_wm_events(spark, src, n_keys, op)
+        n_main = _build_wm_events(spark, src, n_keys)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -352,6 +352,13 @@ def _summarize_op(rungs: dict) -> dict:
 def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "STATE_LADDER.json"
     only = sys.argv[2] if len(sys.argv) > 2 else None
+    # A partial run ("only" set) MERGES into an existing artifact instead of
+    # clobbering the other operators' measured rungs with empty sections
+    # (round-9 review): load the prior file as the base when present.
+    base: dict = {}
+    if only and os.path.exists(out_json):
+        with open(out_json, encoding="utf-8") as fh:
+            base = json.load(fh)
     spark = get_spark("state_ladder")
     spark.sparkContext.setLogLevel("ERROR")
     rungs = {}
@@ -407,6 +414,13 @@ def main() -> None:
         result[f"{op}_operator"] = label
         result[f"{op}_rungs"] = op_rungs
         result[f"{op}_claims"] = _summarize_op(op_rungs)
+    if base:
+        merged = dict(base)
+        for k, v in result.items():
+            if k in ("rungs", "claims") and not v and base.get(k):
+                continue  # operator skipped this run: keep its prior rungs
+            merged[k] = v
+        result = merged
     print(json.dumps(result))
     with open(out_json, "w") as fh:
         json.dump(result, fh, indent=2)

@@ -305,6 +305,10 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # optional fill bytes (T.81 B.1.1.2): any number of extra 0xFF may
+        # pad before a marker code — conformant encoders may emit them
+        while data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

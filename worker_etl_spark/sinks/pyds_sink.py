@@ -87,24 +87,47 @@ class TxnJsonlStreamWriter(DataSourceStreamWriter):
         # leaves a half-written file under a name a later manifest could
         # reference
         fd, tmp = tempfile.mkstemp(dir=data_dir, suffix=".tmp")
-        with os.fdopen(fd, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(
-                    json.dumps({f: row[f] for f in self._fields}, default=str)
-                    + "\n"
-                )
-                n += 1
-        os.replace(tmp, os.path.join(data_dir, part))
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    fh.write(
+                        json.dumps({f: row[f] for f in self._fields}, default=str)
+                        + "\n"
+                    )
+                    n += 1
+            os.replace(tmp, os.path.join(data_dir, part))
+        except BaseException:
+            # a task whose upstream iterator raises must not leak its temp
+            # file: abort() only knows REPORTED part names, and vacuum
+            # reasons about unmanifested parts — an orphaned mkstemp name
+            # would sit in data/ forever (round-9 review)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+            raise
         return PartCommit(part=part, n_rows=n)
 
     # -- driver side ----------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:  # noqa: ANN001, N803
+        if any(m is None for m in messages):
+            # a None commit message in COMMIT is a protocol violation: the
+            # engine claims every task succeeded, yet a task's message is
+            # missing — writing a manifest without that task's part would
+            # be silent row loss behind an advancing checkpoint.  Fail the
+            # batch so the engine retries it.  (None is legitimate in
+            # abort(), where failed tasks never reported.)
+            raise RuntimeError(
+                f"txnjsonl commit for batch {batchId} received "
+                f"{sum(m is None for m in messages)} missing commit "
+                "message(s); refusing a partial manifest"
+            )
         commits = os.path.join(self._path, "_commits")
         os.makedirs(commits, exist_ok=True)
         manifest = {
             "batch_id": batchId,
             "parts": [
-                {"part": m.part, "n_rows": m.n_rows} for m in messages if m
+                {"part": m.part, "n_rows": m.n_rows} for m in messages
             ],
         }
         fd, tmp = tempfile.mkstemp(dir=commits, suffix=".tmp")

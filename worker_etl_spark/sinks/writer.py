@@ -403,6 +403,25 @@ def shallow_clone(
                 fh.write(f"{ver}\t{dst_loc}\n")
             os.replace(tmp, reg)
             written_regs.append(reg)
+        # Re-verify every borrowed version still exists now that the
+        # registrations are visible (round-9 review): a vacuum that ran
+        # BETWEEN reading the manifest and registering saw no registration
+        # and may have deleted the version — publishing would create a
+        # clone of already-deleted files.  With this check, either the
+        # registration landed before vacuum's scan (protected), or the
+        # deletion is visible here and the clone aborts into the cleanup
+        # path below.  (vacuum additionally re-checks registrations
+        # immediately before each rmtree, shrinking the residual race to
+        # that re-check->rmtree instant.)
+        for owner_loc, ver in owners:
+            if not (
+                os.path.isdir(os.path.join(owner_loc, f"_v{ver}"))
+                or os.path.exists(os.path.join(owner_loc, f"_v{ver}.manifest"))
+            ):
+                raise ValueError(
+                    f"source version _v{ver} at {owner_loc} was vacuumed "
+                    "while the clone was being registered; retry the clone"
+                )
         # publish LAST: manifest, then the _LATEST commit point
         with open(
             os.path.join(dst_loc, "_v1.manifest"), "w", encoding="utf-8"
@@ -464,19 +483,30 @@ def vacuum_snapshots(
             continue
         reg = os.path.join(location, d)
         ver = dst_loc = None
+        gone = False
         # one re-read on failure, then FAIL SAFE: an unreadable or torn
         # registration protects EVERY version this run (round-9 ADVICE fix
         # — the old behavior, "keep it, protect nothing", let vacuum delete
         # the very version the unreadable record was guarding).  Writes are
         # tmp+os.replace atomic, so this path means external corruption.
+        # ENOENT is NOT corruption (round-9 review): a failed clone's
+        # cleanup (or a concurrent vacuum's stale-GC) legitimately unlinks
+        # registrations between our listdir and open — a vanished file
+        # protects nothing and must not no-op the whole run.
         for _attempt in range(2):
             try:
                 with open(reg, encoding="utf-8") as fh:
                     ver_s, _, dst_loc = fh.read().strip().partition("\t")
                 ver = int(ver_s)
                 break
+            except FileNotFoundError:
+                ver = dst_loc = None
+                gone = True
+                break
             except (OSError, ValueError):
                 ver = dst_loc = None
+        if gone:
+            continue  # concurrently unlinked: nothing left to protect
         if ver is None:
             return []  # protect the whole table; registration left in place
         # the borrow is live while the clone's manifest version exists — a
@@ -513,9 +543,32 @@ def vacuum_snapshots(
                     if m and int(m.group(1)) not in survivors:
                         survivors.add(int(m.group(1)))
                         changed = True
+    def _borrowed_now(v: int) -> bool:
+        """Last-instant re-check before deleting _v<v> (round-9 review): a
+        clone that registered AFTER the scan above must still win.  Either
+        its registration landed before this re-check (seen here, version
+        spared) or the clone's own post-register existence check sees the
+        deletion and aborts — the race narrows to this re-check->rmtree
+        instant instead of spanning the whole vacuum run."""
+        for d in os.listdir(location):
+            if not d.startswith("_clone."):
+                continue
+            try:
+                with open(os.path.join(location, d), encoding="utf-8") as fh:
+                    ver_s, _, _dst = fh.read().strip().partition("\t")
+                if int(ver_s) == v:
+                    return True
+            except FileNotFoundError:
+                continue
+            except (OSError, ValueError):
+                return True  # torn: fail safe, spare the version
+        return False
+
     removed = []
     for v in versions:
         if v not in survivors:
+            if _borrowed_now(v):
+                continue
             vdir = os.path.join(location, f"_v{v}")
             if os.path.isdir(vdir):
                 shutil.rmtree(vdir)

@@ -7,7 +7,7 @@ stream source.  This module registers the same feed shape as a custom
 Python streaming source built on ``SimpleDataSourceStreamReader`` — the
 Spark 4 API whose offset contract is exactly a queue cursor:
 
-- ``initialOffset`` -> ``{"files_consumed": 0}``;
+- ``initialOffset`` -> ``{"last_file": ""}``;
 - ``read(start)`` claims the next pending message file (one micro-batch per
   file, filename order = arrival order), returns its rows plus the advanced
   offset, and returns ``(no rows, same offset)`` when the queue is idle;
@@ -16,6 +16,17 @@ Spark 4 API whose offset contract is exactly a queue cursor:
   the built-in file source gets from its own checkpoint log;
 - ``commit(end)`` is the ack: everything before *end* is consumed and will
   never be re-requested outside a replay.
+
+The cursor is the LAST CONSUMED FILENAME, never a positional index into the
+directory listing (round-9 review): an index shifts when the ack deletes
+consumed files or when a late file lands with an earlier-sorting name —
+silently duplicating or skipping messages.  A name cursor is stable under
+both.  The queue contract this implies: message filenames must be
+MONOTONICALLY increasing (broker sequence numbers / zero-padded counters —
+what every real queue provides); a producer that violates it by landing a
+name BELOW the cursor is never delivered, and the reader cannot detect it
+(the same contract Spark's own file source has for its processed-files log
+compaction horizon).
 
 The driver-side read is deliberate: a queue cursor is driver-state by
 nature (one consumer claims messages; executors receive the claimed rows
@@ -99,28 +110,30 @@ class QueueStreamReader(SimpleDataSourceStreamReader):
 
     # -- SimpleDataSourceStreamReader contract ------------------------------
     def initialOffset(self) -> dict:
-        return {"files_consumed": 0}
+        return {"last_file": ""}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        files = self._pending()
-        i = int(start.get("files_consumed", 0))
-        if i >= len(files):
+        last = start.get("last_file", "")
+        nxt = next((n for n in self._pending() if n > last), None)
+        if nxt is None:
             return iter(()), start  # queue idle: empty batch, cursor holds
-        return iter(self._rows_of(files[i])), {"files_consumed": i + 1}
+        return iter(self._rows_of(nxt)), {"last_file": nxt}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        files = self._pending()
-        lo = int(start.get("files_consumed", 0))
-        hi = int(end.get("files_consumed", 0))
+        lo = start.get("last_file", "")
+        hi = end.get("last_file", "")
         rows: list[tuple] = []
-        for name in files[lo:hi]:
-            rows.extend(self._rows_of(name))
+        for name in self._pending():
+            if lo < name <= hi:
+                rows.extend(self._rows_of(name))
         return iter(rows)
 
     def commit(self, end: dict) -> None:
-        # ack point: a durable queue would delete/lease-expire messages
-        # before `end` here; the fixture queue keeps files so replay stays
-        # byte-identical (readBetweenOffsets above).
+        # ack point: a durable queue would delete/lease-expire messages at
+        # or before `end` here — safe with the NAME cursor (deletion never
+        # shifts it, and Spark only replays ranges AFTER the last committed
+        # offset, which the ack by definition keeps).  The fixture queue
+        # keeps files so tests can replay any range byte-identically.
         return
 
 
