@@ -330,6 +330,159 @@ def run_watermark_rung(spark, n_keys: int, op: str) -> dict:
         spark.catalog.dropTempView(qname)
 
 
+def run_join_rung(spark, n_keys: int) -> dict:
+    """Stream-stream JOIN state (the fourth stateful operator class beside
+    aggregation, dedup, and the custom processor): ``interval_join`` buffers
+    BOTH sides until the opposite watermark proves no more matches.  Left
+    corpus: 1 row per key; right: EVENTS_PER_KEY rows per key 1-5 minutes
+    after the left row (upper bound 10 minutes, so every right row matches
+    and is emitted immediately — inner-join output never waits for the
+    watermark).  Expected state after ingest is EXACTLY the buffered input:
+    (1 + EVENTS_PER_KEY) * keys rows.  Sentinels land in BOTH sources;
+    state drains to the last sentinel pair's 2-row footprint."""
+    from worker_etl_spark.streaming.event_time import interval_join
+
+    lsrc = tempfile.mkdtemp(prefix=f"state_ladder_join_l_{n_keys}_")
+    rsrc = tempfile.mkdtemp(prefix=f"state_ladder_join_r_{n_keys}_")
+    ckpt = tempfile.mkdtemp(prefix=f"state_ladder_join_ckpt_{n_keys}_")
+    qname = f"state_ladder_join_{n_keys}"
+    try:
+        # Event-time spread must stay well inside the watermark: files land
+        # in arbitrary batch order, so a spread near the watermark lets the
+        # opposite side's watermark evict buffered rows MID-INGEST and
+        # matches are (correctly, per semantics) lost — observed at a
+        # 2000 s spread / 30 min watermark: 472k/500k matches.  600 s
+        # spread + 300 s right offsets = 900 s max disorder << 1800 s.
+        left = spark.range(n_keys).select(
+            F.col("id").alias("user_id"),
+            F.timestamp_seconds(F.lit(T0) + (F.col("id") % 600)).alias("l_ts"),
+        )
+        left.repartition(N_FILES).write.mode("overwrite").parquet(lsrc)
+        n_right = n_keys * EVENTS_PER_KEY
+        right = spark.range(n_right).select(
+            (F.col("id") % n_keys).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(T0)
+                + (F.col("id") % n_keys % 600)  # the matching left row's offset
+                + (F.col("id") / n_keys + 1).cast("long") * 60
+            ).alias("r_ts"),
+            ((F.col("id") * 37 % 200) / 100.0).alias("value"),
+        )
+        right.repartition(N_FILES).write.mode("overwrite").parquet(rsrc)
+        n_main = n_keys + n_right
+
+        lschema = spark.read.parquet(lsrc).schema
+        rschema = spark.read.parquet(rsrc).schema
+        lstream = (
+            spark.readStream.schema(lschema).option("maxFilesPerTrigger", 1).parquet(lsrc)
+        )
+        rstream = (
+            spark.readStream.schema(rschema).option("maxFilesPerTrigger", 1).parquet(rsrc)
+        )
+        joined = interval_join(
+            lstream, rstream, key_col="user_id",
+            left_ts="l_ts", right_ts="r_ts",
+            upper="10 minutes", watermark="30 minutes",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        rung: dict = {"keys": n_keys, "input_rows": n_main, "operator": "join"}
+        try:
+            deadline = time.time() + 600
+            seen = 0
+            while time.time() < deadline:
+                seen = sum(p["numInputRows"] for p in q.recentProgress if p)
+                if seen >= n_main:
+                    break
+                time.sleep(1)
+            if seen < n_main:
+                return {**rung, "error": f"ingest stalled at {seen}/{n_main}"}
+            time.sleep(2)
+            sop = _state_op(q.lastProgress)
+            rung["state_rows_after_ingest"] = sop.get("numRowsTotal")
+            disk = (sop.get("customMetrics") or {}).get(
+                "stateOnCurrentVersionSizeBytes"
+            )
+            rung["state_memory_bytes"] = sop.get("memoryUsedBytes")
+            rung["state_disk_bytes"] = disk
+            if disk and n_main:
+                rung["disk_bytes_per_buffered_row"] = round(disk / n_main, 1)
+            # sentinels into BOTH sources: each side's watermark must advance
+            for off in SENTINEL_OFFSETS:
+                skey = n_keys + off
+                (
+                    spark.range(1)
+                    .select(
+                        F.lit(skey).alias("user_id"),
+                        F.timestamp_seconds(F.lit(T0 + off)).alias("l_ts"),
+                    )
+                    .coalesce(1).write.mode("append").parquet(lsrc)
+                )
+                (
+                    spark.range(1)
+                    .select(
+                        F.lit(skey).alias("user_id"),
+                        F.timestamp_seconds(F.lit(T0 + off + 60)).alias("r_ts"),
+                        F.lit(0.0).alias("value"),
+                    )
+                    .coalesce(1).write.mode("append").parquet(rsrc)
+                )
+                time.sleep(3)
+            deadline = time.time() + 600
+            drained = None
+            while time.time() < deadline:
+                sop = _state_op(q.lastProgress)
+                total = sop.get("numRowsTotal")
+                if total is not None and total <= 2:
+                    drained = total
+                    break
+                time.sleep(2)
+            if drained is None:
+                rung["error"] = "join state did not drain to sentinel footprint"
+            else:
+                rung["state_rows_after_watermark"] = drained
+                rung["flushed_main"] = (
+                    spark.sql(
+                        f"SELECT count(*) AS c FROM {qname} "
+                        f"WHERE user_id < {n_keys}"
+                    ).collect()[0].c
+                )
+        finally:
+            q.stop()
+        return rung
+    finally:
+        shutil.rmtree(lsrc, ignore_errors=True)
+        shutil.rmtree(rsrc, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(qname)
+
+
+def _summarize_join(rungs: dict) -> dict:
+    claims: dict = {}
+    rs = [rungs[str(k)] for k in KEY_LADDER]
+    claims["state_rows_equal_buffered_input"] = all(
+        r.get("state_rows_after_ingest") == r["keys"] * (1 + EVENTS_PER_KEY)
+        for r in rs
+    )
+    bpr = [r.get("disk_bytes_per_buffered_row") for r in rs]
+    if all(isinstance(b, (int, float)) and b > 0 for b in bpr):
+        claims["bytes_per_buffered_row"] = bpr
+        claims["bytes_per_row_flat_within_2x"] = max(bpr) / min(bpr) <= 2.0
+    claims["evicted_to_sentinel_footprint"] = all(
+        r.get("state_rows_after_watermark", -1) <= 2 for r in rs
+    )
+    claims["every_match_emitted_once"] = all(
+        r.get("flushed_main") == r["keys"] * EVENTS_PER_KEY for r in rs
+    )
+    return claims
+
+
 def _summarize_op(rungs: dict) -> dict:
     claims: dict = {}
     rs = [rungs[str(k)] for k in KEY_LADDER]
@@ -414,6 +567,20 @@ def main() -> None:
         result[f"{op}_operator"] = label
         result[f"{op}_rungs"] = op_rungs
         result[f"{op}_claims"] = _summarize_op(op_rungs)
+    if only in (None, "join"):
+        join_rungs = {}
+        for k in KEY_LADDER:
+            t0 = time.time()
+            join_rungs[str(k)] = {
+                **run_join_rung(spark, k),
+                "wall_sec": round(time.time() - t0, 1),
+            }
+            print(f"rung join/{k}: {join_rungs[str(k)]}", file=sys.stderr)
+        result["join_operator"] = (
+            "interval_join (evt03, stream-stream symmetric hash join)"
+        )
+        result["join_rungs"] = join_rungs
+        result["join_claims"] = _summarize_join(join_rungs)
     if base:
         merged = dict(base)
         for k, v in result.items():
