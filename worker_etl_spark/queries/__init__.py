@@ -129,6 +129,7 @@ _PRIORITY: list[str] = [
     "w20_positional_delete",  # never-checked
     "w21_schema_evolution",  # never-checked
     "w22_python_stream_sink",  # never-checked
+    "m14_image_resize",  # never-checked
     "q33_collected_arrays",  # green r2
     "q34_full_outer_reconcile",  # green r2
     "q35_unpivot_metrics",  # green r2

@@ -1048,3 +1048,141 @@ def m13_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- m14: image resize (exact box-average downscale over real PNG decode) --------
+#: SF-independent image count; fixtures reuse m11's RGB pixel polynomial.
+_M14_MAX_DOC = 150
+_M14_SQL_PX = _M11_SQL_PX  # channel formulas shared with m11's fixture family
+
+
+@register(
+    "m14_image_resize",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id FROM documents WHERE doc_id < {_M14_MAX_DOC}
+    ),
+    dims AS (
+      SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM docs
+    ),
+    rng AS (SELECT unnest(generate_series(0, 32)) AS v),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             ({_M14_SQL_PX[0]}) AS r, ({_M14_SQL_PX[1]}) AS g,
+             ({_M14_SQL_PX[2]}) AS b,
+             (x.v * 8) // d.w AS bx, (y.v * 8) // d.h AS by
+      FROM dims d
+      JOIN rng x ON x.v < d.w
+      JOIN rng y ON y.v < d.h
+    ),
+    blocks AS (
+      SELECT doc_id, by, bx,
+             SUM(r) // COUNT(*) AS r8,
+             SUM(g) // COUNT(*) AS g8,
+             SUM(b) // COUNT(*) AS b8
+      FROM px GROUP BY doc_id, by, bx
+    )
+    SELECT doc_id::BIGINT AS doc_id,
+           8::INT AS out_w, 8::INT AS out_h,
+           SUM(r8 + g8 + b8)::BIGINT AS resized_total,
+           SUM((by * 8 + bx + 1) * (r8 * 1 + g8 * 2 + b8 * 3))::BIGINT
+             AS weighted_checksum
+    FROM blocks GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def m14_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE — the one multimodal verb the family lacked (decode m11/
+    m13, feature-extract m02, frame-sample m03): a REAL box-average
+    downscale to an 8x8 thumbnail over real PNG decode, exact-integer
+    throughout (per-block channel sums via bincount, floor-divided by block
+    pixel counts — no float resampling, so the DuckDB oracle recomputes the
+    identical thumbnail from the pixel FORMULA).  The position- and
+    channel-weighted checksum pins block ORDER and channel order: a resize
+    that transposed blocks or swapped RGB would collide on totals but not
+    on the checksum.
+
+    Box-average (area) resampling is the correct kernel for downscale (it
+    is what production thumbnailers use for shrink); bilinear/Lanczos
+    variants change only the Arrow-batch kernel, not the plan.  Scale: same
+    posture as m11/m13 — binaryFile scan, decode+resize WHERE THE BYTES
+    ARE inside mapInPandas, payloads never shuffle, one row per image out;
+    a native codec swaps into the same slot."""
+    import os
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from worker_etl_spark.operators.png import decode_png, encode_png
+
+    doc_ids = [
+        r.doc_id
+        for r in read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _M14_MAX_DOC)
+        .select("doc_id")
+        .collect()
+    ]
+    tmp = fixture_dir("m14")
+    for i in doc_ids:
+        w, h = 16 + i % 17, 16 + i % 13
+        rows = [
+            [
+                v
+                for x in range(w)
+                for v in (
+                    (i * 37 + x * 11 + y * 7) % 256,
+                    (i * 59 + x * 13 + y * 5) % 256,
+                    (i * 83 + x * 3 + y * 17) % 256,
+                )
+            ]
+            for y in range(h)
+        ]
+        with open(os.path.join(tmp, f"img_{i:05d}.png"), "wb") as fh:
+            fh.write(encode_png(rows, w, h, channels=3))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "out_w": [], "out_h": [],
+                   "resized_total": [], "weighted_checksum": []}
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                doc_id = int(os.path.basename(path)[4:9])
+                w, h, ch, px = decode_png(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+                ys, xs = np.mgrid[0:h, 0:w]
+                block = (ys * 8 // h) * 8 + (xs * 8 // w)
+                flat = block.ravel()
+                cnt = np.bincount(flat, minlength=64)
+                # the 8x8x3 thumbnail itself: exact floor(block_sum / count)
+                thumb = np.stack(
+                    [
+                        np.bincount(flat, weights=arr[:, :, c].ravel(),
+                                    minlength=64).astype(np.int64) // cnt
+                        for c in range(3)
+                    ],
+                    axis=1,
+                )  # shape (64, 3)
+                pos_w = np.arange(64, dtype=np.int64) + 1
+                chan_w = np.array([1, 2, 3], dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(8)
+                out["out_h"].append(8)
+                out["resized_total"].append(int(thumb.sum()))
+                out["weighted_checksum"].append(
+                    int((pos_w[:, None] * thumb * chan_w[None, :]).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .load(tmp)
+        .select("path", "content")
+        .mapInPandas(
+            resize,
+            schema=(
+                "doc_id long, out_w int, out_h int, "
+                "resized_total long, weighted_checksum long"
+            ),
+        )
+        .orderBy("doc_id")
+    )
