@@ -223,3 +223,53 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     assert len(rows) == 12
     assert all(r["count"] == 1 for r in rows)
     assert {r._queue_file for r in rows} == {f"m{i:03d}.jsonl" for i in range(4)}
+
+
+# --- property: cursor correctness over arbitrary histories ---------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_names = st.lists(
+    st.integers(0, 999).map(lambda i: f"m{i:03d}.jsonl"),
+    min_size=1, max_size=12, unique=True,
+)
+
+
+@given(names=_names, n_deletions=st.integers(0, 3))
+@settings(max_examples=60, deadline=None)
+def test_cursor_walk_delivers_each_file_exactly_once(names, n_deletions):
+    """Walking read() to quiescence delivers every file exactly once in
+    name order, regardless of arrival order — and deleting already-consumed
+    files mid-walk never duplicates or skips the remainder (the round-9
+    positional-cursor defect, generalized)."""
+    import shutil
+    import tempfile
+
+    queue = tempfile.mkdtemp(prefix="pyq_prop_")
+    try:
+        for n in names:
+            with open(os.path.join(queue, n), "w") as fh:
+                fh.write(json.dumps({"object_name": n, "n": 1}) + "\n")
+        r = _reader(queue)
+        off = r.initialOffset()
+        seen = []
+        deletions = n_deletions
+        while True:
+            rows, off2 = r.read(off)
+            rows = list(rows)
+            if not rows:
+                assert off2 == off
+                break
+            assert len(rows) == 1
+            seen.append(rows[0][2])
+            # delete an already-consumed file mid-walk
+            if deletions and len(seen) >= 2:
+                victim = seen[-2]
+                try:
+                    os.unlink(os.path.join(queue, victim))
+                except FileNotFoundError:
+                    pass
+                deletions -= 1
+            off = off2
+        assert seen == sorted(names)
+    finally:
+        shutil.rmtree(queue, ignore_errors=True)
