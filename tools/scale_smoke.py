@@ -554,6 +554,44 @@ def dedup_growth(spark=None) -> dict:
     return _growth_subproc("dedup", DEDUP_LADDER, DEDUP_QUERIES)
 
 
+def dedup_pinned_rung(spark, copies: int) -> dict:
+    """d16 with the BATCH PINNED to the base corpus (the sim-ladder query-set
+    discipline applied to incremental dedup): replica copies i>0 contribute
+    CORPUS rows only — their batch-stride rows (doc_id % 10 == 7) are
+    filtered at build time, so the daily batch stays base-sized while the
+    standing corpus scales.  This is the PRODUCTION shape (real daily
+    batches are ~constant); the default deep ladder's grows-with-corpus
+    batch is the deliberately harsher contract.  Expected: time ratio far
+    below the data ratio — candidate volume is O(batch x DF-cap) by the
+    rare-shingle blocking, and the corpus side only pays the (untimed,
+    memoized) shingle build plus the hash-index probe."""
+    tmp = tempfile.mkdtemp(prefix=f"smoke_dedup_pinned_{copies}_")
+    try:
+        t0 = time.time()
+        docs = _replicate(
+            read_table(spark, BASE_SF, "documents"), ["doc_id"], copies,
+            mutate_text=True,
+        )
+        docs = docs.filter(
+            (F.col("doc_id") < OFFSET) | (F.col("doc_id") % 10 != 7)
+        )
+        docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        build_s = round(time.time() - t0, 1)
+        from worker_etl_spark.queries import dedup_q
+
+        t0 = time.time()
+        _warm_session(spark, os.path.join(tmp, "documents.parquet"))
+        dedup_q._shingles(spark, tmp).count()
+        warm_s = round(time.time() - t0, 1)
+        return {
+            "build_sec": build_s,
+            "untimed_family_warm_sec": warm_s,
+            **_time_queries(spark, ("d16_incremental_dedup",), tmp),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def dedup_deep_growth() -> dict:
     """Third measured decade (100 -> 1000 copies) for the two highest
     previous-decade ratios, one fresh subprocess per rung (round-8 #6)."""
@@ -574,6 +612,8 @@ def _rung_main(kind: str, copies: int, out_json: str) -> None:
         rung = dedup_rung(spark, copies)
     elif kind == "dedup_deep":
         rung = dedup_deep_rung(spark, copies)
+    elif kind == "dedup_pinned":
+        rung = dedup_pinned_rung(spark, copies)
     else:
         rung = sim_rung(spark, copies)
     with open(out_json, "w") as fh:
