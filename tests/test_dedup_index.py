@@ -1,0 +1,261 @@
+"""Maintained dedup index (operators/dedup_index.py) — the round-10 fix for
+the d16 pinned-batch finding (D16_PINNED_LADDER.json: 12.92× per 10× corpus
+from re-hashing the corpus per run).
+
+Pins the two contracts the ladder's flatness claim rests on:
+1. INCREMENTAL == FULL: ingesting the corpus in chunks via update_index
+   yields the same logical index as one-shot ingestion (after folding the
+   additive segments), including the flip-to-common decrement path.
+2. Classification against the index is row-identical to the stateless d16
+   semantics — including the batch-df correction where the batch's own
+   shingle counts push a corpus-rare shingle over DF_CAP.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from worker_etl_spark.operators.dedup_index import (
+    DF_CAP,
+    classify_batch,
+    compact_index,
+    simhash_near_batch,
+    update_index,
+)
+from worker_etl_spark.queries import release_persists
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_chars long, text string")
+
+
+def _folded(spark, index_dir):
+    """Logical index content: folded df/card, live postings, distinct exact."""
+    from worker_etl_spark.operators.dedup_index import _read
+
+    exact = {r.hh for r in _read(spark, index_dir, "exact", "hh string").distinct().collect()}
+    df = {
+        (r.h, r.n)
+        for r in _read(spark, index_dir, "df", "h long, n long")
+        .groupBy("h")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    rare = {h for h, n in df if n <= DF_CAP}
+    postings = {
+        (r.h, r.doc_id)
+        for r in _read(spark, index_dir, "postings", "h long, doc_id long").collect()
+        if r.h in rare
+    }
+    card = {
+        (r.doc_id, r.delta)
+        for r in _read(spark, index_dir, "card", "doc_id long, delta long")
+        .groupBy("doc_id")
+        .agg(F.sum("delta").alias("delta"))
+        .filter(F.col("delta") != 0)
+        .collect()
+    }
+    simhash = {
+        (r.doc_id, r.simhash)
+        for r in _read(spark, index_dir, "simhash", "doc_id long, simhash long").collect()
+    }
+    return {"exact": exact, "df": df, "postings": postings, "card": card, "simhash": simhash}
+
+
+@pytest.fixture()
+def tmpdirs():
+    dirs = [tempfile.mkdtemp(prefix="dedup_idx_test_") for _ in range(3)]
+    yield dirs
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _corpus_and_batch(spark):
+    """Real table slice: the d16 split at sf0.001."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "n_chars", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    return corpus, batch
+
+
+def test_incremental_equals_full_build(spark, tmpdirs):
+    full_dir, inc_dir, _ = tmpdirs
+    corpus, _ = _corpus_and_batch(spark)
+    update_index(spark, corpus, full_dir)
+    # Three uneven chunks, ingested in sequence (the production daily shape).
+    update_index(spark, corpus.filter(F.col("doc_id") % 3 == 0), inc_dir)
+    update_index(spark, corpus.filter(F.col("doc_id") % 3 == 1), inc_dir)
+    update_index(spark, corpus.filter(F.col("doc_id") % 3 == 2), inc_dir)
+    assert _folded(spark, full_dir) == _folded(spark, inc_dir)
+
+
+def test_classification_matches_stateless_semantics(spark, tmpdirs):
+    """classify_batch over the chunk-built index == the d16 oracle program
+    computed statelessly (the pre-round-10 formulation, inlined)."""
+    _, inc_dir, _ = tmpdirs
+    corpus, batch = _corpus_and_batch(spark)
+    update_index(spark, corpus.filter(F.col("doc_id") % 2 == 0), inc_dir)
+    update_index(spark, corpus.filter(F.col("doc_id") % 2 == 1), inc_dir)
+    got = {
+        (r.doc_id, r.status)
+        for r in classify_batch(spark, batch, inc_dir).collect()
+    }
+    release_persists()
+
+    # Stateless re-derivation (the previous d16 body, kept as the spec).
+    from worker_etl_spark.functions.text import norm_text
+    from worker_etl_spark.operators.dedup_index import _doc_shingles
+
+    docs = corpus.select("doc_id", "text").withColumn("is_new", F.lit(False)).unionByName(
+        batch.select("doc_id", "text").withColumn("is_new", F.lit(True))
+    )
+    split = docs.select(
+        "doc_id", "is_new", norm_text(F.col("text")).alias("norm")
+    )
+    corp_hashes = split.filter(~F.col("is_new")).select(F.md5("norm").alias("hh"))
+    exact = {
+        r.doc_id
+        for r in split.filter("is_new")
+        .select("doc_id", F.md5("norm").alias("hh"))
+        .join(corp_hashes, "hh", "left_semi")
+        .collect()
+    }
+    sh = _doc_shingles(docs.select("doc_id", "text")).withColumn(
+        "is_new", F.col("doc_id") % 10 == 7
+    )
+    rare = sh.groupBy("h").count().filter(F.col("count") <= DF_CAP).select("h")
+    rs = sh.join(rare, "h")
+    card = {r.doc_id: r.n for r in rs.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    inter = (
+        rs.filter("is_new")
+        .alias("a")
+        .join(rs.filter(~F.col("is_new")).alias("b"), "h")
+        .groupBy(F.col("a.doc_id").alias("na_id"), F.col("b.doc_id").alias("nb_id"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    near = {
+        r.na_id
+        for r in inter
+        if 2 * r.c >= card[r.na_id] + card[r.nb_id] - r.c
+    }
+    expected = {
+        (r.doc_id, "exact_dup" if r.doc_id in exact else "near_dup" if r.doc_id in near else "unique")
+        for r in batch.select("doc_id").collect()
+    }
+    assert got == expected
+
+
+def test_batch_df_correction_flips_rare_to_common(spark, tmpdirs):
+    """Synthetic trigger for the classification-time correction: the corpus
+    holds a shingle at exactly DF_CAP docs (rare), and the batch adds more
+    occurrences, pushing global df over the cap — the oracle then excludes
+    it from rarity, so the index path must too (both the batch rs filter
+    AND the per-candidate corpus-card decrement)."""
+    _, _, idx = tmpdirs
+    # DF_CAP corpus docs sharing a 5-gram "abcde" (plus unique filler so the
+    # docs aren't exact dups); shingle df == DF_CAP → rare in corpus.
+    corpus_rows = [
+        (i, 20, f"abcde unique{i:02d} filler{i:02d}") for i in range(DF_CAP)
+    ]
+    update_index(spark, _docs_df(spark, corpus_rows), idx)
+    # Batch doc shares ONLY that shingle with corpus docs; batch brings df to
+    # DF_CAP+1 → common under global df → no near-dup via it.
+    batch = _docs_df(spark, [(107, 20, "abcde zzzzz qqqqq wwwww")])
+    got = {(r.doc_id, r.status) for r in classify_batch(spark, batch, idx).collect()}
+    release_persists()
+    assert got == {(107, "unique")}
+
+    # Control: with one fewer corpus occurrence the shingle stays rare and
+    # the SAME batch doc classifies by the Jaccard test (shared rare shingle
+    # exists, but overlap 1 of ~30 shingles < 0.5 → still unique) — so
+    # instead make the batch doc ~identical to a corpus doc minus one char
+    # to cross the 0.5 threshold.
+    idx2 = tempfile.mkdtemp(prefix="dedup_idx_test_")
+    try:
+        update_index(spark, _docs_df(spark, corpus_rows[: DF_CAP - 1]), idx2)
+        near_batch = _docs_df(spark, [(117, 20, "abcde unique00 filler00x")])
+        got2 = {
+            (r.doc_id, r.status)
+            for r in classify_batch(spark, near_batch, idx2).collect()
+        }
+        release_persists()
+        assert got2 == {(117, "near_dup")}
+    finally:
+        shutil.rmtree(idx2, ignore_errors=True)
+
+
+def test_flip_to_common_decrements_card_across_batches(spark, tmpdirs):
+    """Ingest-time flip path: batch 1 leaves a shingle rare, batch 2 pushes
+    it over DF_CAP — the card deltas must net out so a later classification
+    judges corpus cardinality under CURRENT df."""
+    _, _, idx = tmpdirs
+    half = DF_CAP // 2 + 1
+    rows1 = [(i, 20, f"abcde unique{i:02d} filler{i:02d}") for i in range(half)]
+    rows2 = [
+        (100 + i, 20, f"abcde other{i:02d} more{i:02d}") for i in range(half)
+    ]
+    update_index(spark, _docs_df(spark, rows1), idx)
+    update_index(spark, _docs_df(spark, rows2), idx)  # df(abcde-gram) > CAP
+    state = _folded(spark, idx)
+    # The shared shingle is common → its postings are dead; every doc's card
+    # must equal its count of STILL-rare shingles.
+    from worker_etl_spark.operators.dedup_index import _doc_shingles
+
+    live_rare_h = {h for h, n in state["df"] if n <= DF_CAP}
+    sh = _doc_shingles(_docs_df(spark, rows1 + rows2)).collect()
+    expected_card = {}
+    for r in sh:
+        if r.h in live_rare_h:
+            expected_card[r.doc_id] = expected_card.get(r.doc_id, 0) + 1
+    assert dict(state["card"]) == expected_card
+
+
+def test_compact_preserves_logical_content_and_classification(spark, tmpdirs):
+    full_dir, inc_dir, _ = tmpdirs
+    corpus, batch = _corpus_and_batch(spark)
+    update_index(spark, corpus.filter(F.col("doc_id") % 2 == 0), inc_dir)
+    update_index(spark, corpus.filter(F.col("doc_id") % 2 == 1), inc_dir)
+    before = _folded(spark, inc_dir)
+    pre = {
+        (r.doc_id, r.status) for r in classify_batch(spark, batch, inc_dir).collect()
+    }
+    release_persists()
+    compact_index(spark, inc_dir)
+    after = _folded(spark, inc_dir)
+    assert before == after
+    post = {
+        (r.doc_id, r.status) for r in classify_batch(spark, batch, inc_dir).collect()
+    }
+    release_persists()
+    assert pre == post
+
+
+def test_simhash_near_batch_matches_bruteforce(spark, tmpdirs):
+    _, _, idx = tmpdirs
+    corpus, batch = _corpus_and_batch(spark)
+    update_index(spark, corpus.select("doc_id", "text"), idx)
+    got = {
+        (r.doc_id, r.n_near, r.min_hamming)
+        for r in simhash_near_batch(spark, batch.select("doc_id", "text"), idx).collect()
+    }
+    release_persists()
+    from worker_etl_spark.operators.dedup_index import _doc_simhash
+
+    csim = _doc_simhash(corpus.select("doc_id", "text")).collect()
+    bsim = _doc_simhash(batch.select("doc_id", "text")).collect()
+    expected = {}
+    for b in bsim:
+        hams = [bin(b.simhash ^ c.simhash).count("1") for c in csim]
+        close = [h for h in hams if h <= 3]
+        if close:
+            expected[b.doc_id] = (len(close), min(close))
+    assert got == {(k, n, m) for k, (n, m) in expected.items()}

@@ -122,6 +122,9 @@ def release_persists() -> int:
 # --- i01-i06, q01-q35), whose code has seen two years of shared-helper
 # --- evolution since their only driver row.
 _PRIORITY: list[str] = [
+    # --- round-10: new registrations + materially-changed first ---
+    "d18_incremental_simhash",  # never-checked (round-10 registration)
+    "d16_incremental_dedup",  # MATERIALLY CHANGED round 10 (maintained index)
     "i25_llm_schema_strategy",  # never-checked
     "m12_wav_pcm_stats",  # never-checked
     "m13_jpeg_pixel_stats",  # never-checked
