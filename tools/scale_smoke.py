@@ -180,6 +180,11 @@ DEDUP_DEEP_LADDER = (100, 1000)
 DEDUP_DEEP_QUERIES = (
     "d10_simhash_hamming",
     "d16_incremental_dedup",
+    # round 10: the only ladder family without a third decade (10->100 was
+    # 2.27 in round 9) — SNM's |docs|·(w−1) constant fan-out claim should
+    # hold a decade further; it is self-contained (range-partitioned rank,
+    # no shared family frames), so the existing warm suffices
+    "d14_sorted_neighborhood",
 )
 
 #: similarity growth ladder (round-4 verdict #6): the broadcast-matrix ANN
@@ -252,6 +257,7 @@ def main() -> None:
             "queries": timings,
             "dedup_growth": dedup_growth(),
             "dedup_deep_growth": dedup_deep_growth(),
+            "dedup_pinned_growth": dedup_pinned_growth(),
             "similarity_growth": similarity_growth(),
         }
         result["ladder_note"] = (
@@ -554,18 +560,38 @@ def dedup_growth(spark=None) -> dict:
     return _growth_subproc("dedup", DEDUP_LADDER, DEDUP_QUERIES)
 
 
+#: the pinned-batch ladder's timed set: both maintained-index classifiers.
+DEDUP_PINNED_QUERIES = ("d16_incremental_dedup", "d18_incremental_simhash")
+DEDUP_PINNED_LADDER = (100, 1000)
+#: chunks the untimed incremental index build ingests the corpus in — the
+#: production shape is one update per day; 10 chunks is enough to exercise
+#: the append/flip paths at ladder scale without 1000 Spark-job rounds of
+#: fixed overhead (incremental==full equivalence is pinned by
+#: tests/test_dedup_index.py, so chunk count cannot change results).
+DEDUP_PINNED_CHUNKS = 10
+
+
 def dedup_pinned_rung(spark, copies: int) -> dict:
-    """d16 with the BATCH PINNED to the base corpus (the sim-ladder query-set
-    discipline applied to incremental dedup): replica copies i>0 contribute
-    CORPUS rows only — their batch-stride rows (doc_id % 10 == 7) are
-    filtered at build time, so the daily batch stays base-sized while the
-    standing corpus scales.  This is the PRODUCTION shape (real daily
-    batches are ~constant); the default deep ladder's grows-with-corpus
-    batch is the deliberately harsher contract.  Expected: time ratio far
-    below the data ratio — candidate volume is O(batch x DF-cap) by the
-    rare-shingle blocking, and the corpus side only pays the (untimed,
-    memoized) shingle build plus the hash-index probe."""
+    """d16/d18 with the BATCH PINNED to the base corpus (the sim-ladder
+    query-set discipline applied to incremental dedup): replica copies i>0
+    contribute CORPUS rows only — their batch-stride rows (doc_id % 10 == 7)
+    are filtered at build time, so the daily batch stays base-sized while
+    the standing corpus scales.  This is the PRODUCTION shape (real daily
+    batches are ~constant).
+
+    Round-10 protocol change (the round-9 finding's fix): the corpus index
+    is built INCREMENTALLY and UNTIMED — ``update_index`` over
+    DEDUP_PINNED_CHUNKS doc_id-range chunks, exactly the maintenance write a
+    production ingest runs per batch — then registered so the timed queries
+    classify against it.  The timed number is therefore CLASSIFICATION
+    ALONE, which is what runs daily; index maintenance cost is recorded
+    separately (it is O(new batch), paid once per ingest, not per query).
+    Round-9's measured 12.92x per 10x corpus (D16_PINNED_LADDER.json) was
+    exactly the old formulation's re-derivation of this index per run."""
+    from worker_etl_spark.operators.dedup_index import register_index, update_index
+
     tmp = tempfile.mkdtemp(prefix=f"smoke_dedup_pinned_{copies}_")
+    index_dir = tempfile.mkdtemp(prefix=f"smoke_dedup_index_{copies}_")
     try:
         t0 = time.time()
         docs = _replicate(
@@ -577,19 +603,50 @@ def dedup_pinned_rung(spark, copies: int) -> dict:
         )
         docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
         build_s = round(time.time() - t0, 1)
-        from worker_etl_spark.queries import dedup_q
-
         t0 = time.time()
         _warm_session(spark, os.path.join(tmp, "documents.parquet"))
-        dedup_q._shingles(spark, tmp).count()
         warm_s = round(time.time() - t0, 1)
+        # Untimed incremental index maintenance: chunked by replica range
+        # (chunk 0 = the base corpus, later chunks = "days" of ingest).
+        t0 = time.time()
+        corpus = spark.read.parquet(os.path.join(tmp, "documents.parquet")).filter(
+            F.col("doc_id") % 10 != 7
+        )
+        span = max(1, (copies + DEDUP_PINNED_CHUNKS - 1) // DEDUP_PINNED_CHUNKS)
+        for chunk in range(DEDUP_PINNED_CHUNKS):
+            lo, hi = chunk * span, (chunk + 1) * span
+            part = corpus.filter(
+                (F.col("doc_id") >= lo * OFFSET) & (F.col("doc_id") < hi * OFFSET)
+            )
+            update_index(spark, part.select("doc_id", "text"), index_dir)
+            if hi >= copies:
+                break
+        register_index(tmp, index_dir)
+        index_build_s = round(time.time() - t0, 1)
         return {
             "build_sec": build_s,
             "untimed_family_warm_sec": warm_s,
-            **_time_queries(spark, ("d16_incremental_dedup",), tmp),
+            "untimed_incremental_index_build_sec": index_build_s,
+            "index_chunks": DEDUP_PINNED_CHUNKS,
+            **_time_queries(spark, DEDUP_PINNED_QUERIES, tmp),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def dedup_pinned_growth() -> dict:
+    """Pinned-batch ladder over the maintained-index classifiers, one fresh
+    subprocess per rung — the round-10 answer to the round-9 d16 finding."""
+    return _growth_subproc(
+        "dedup_pinned",
+        DEDUP_PINNED_LADDER,
+        DEDUP_PINNED_QUERIES,
+        extra={
+            "batch": "pinned to base corpus (replicas contribute corpus rows only)",
+            "index": "maintained incrementally (untimed); timed = classification alone",
+        },
+    )
 
 
 def dedup_deep_growth() -> dict:
@@ -623,5 +680,23 @@ def _rung_main(kind: str, copies: int, out_json: str) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--rung":
         _rung_main(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pinned":
+        # Standalone pinned-batch maintained-index ladder (the round-10
+        # answer to D16_PINNED_LADDER.json's 12.92x finding).
+        res = {
+            "metric": "dedup_maintained_index_pinned_batch_ladder",
+            "what": (
+                "d16/d18 with the daily batch PINNED to the base corpus; the "
+                "corpus index is maintained incrementally (untimed, "
+                f"{DEDUP_PINNED_CHUNKS} ingest chunks via "
+                "dedup_index.update_index) and the timed number is "
+                "classification alone — the job that runs daily"
+            ),
+            **dedup_pinned_growth(),
+        }
+        print(json.dumps(res))
+        if len(sys.argv) > 2:
+            with open(sys.argv[2], "w") as fh:
+                json.dump(res, fh, indent=2)
     else:
         main()

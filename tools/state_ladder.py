@@ -529,6 +529,12 @@ def main() -> None:
         "rungs": rungs,
         "claims": {},
     }
+    if only not in (None, "cusum"):
+        # cusum skipped this run: drop its (empty) sections entirely rather
+        # than emitting {} — an empty rungs/claims block in a fresh artifact
+        # reads as "measured, found nothing" (round-9 ADVICE).
+        for k in ("operator", "events_per_key", "rungs", "claims"):
+            result.pop(k, None)
     if rungs:
         lo, mid, hi = (rungs[str(k)] for k in KEY_LADDER)
         ok_rows = all(

@@ -391,6 +391,12 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                     continue
                 k += rs >> 4
                 s = rs & 0x0F
+                if s == 0:
+                    # T.81 allows size 0 only for EOB (0x00) and ZRL (0xF0),
+                    # both handled above; anything else is a corrupt scan.
+                    # Guard explicitly — _extend(v, 0) would otherwise die
+                    # on a misleading "negative shift count".
+                    raise ValueError(f"invalid AC symbol 0x{rs:02X} (size 0)")
                 if k > 63:
                     raise ValueError("AC run overflows block")
                 zz[k] = _extend(br.read_bits(s), s)

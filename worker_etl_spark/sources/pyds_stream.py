@@ -28,6 +28,16 @@ name BELOW the cursor is never delivered, and the reader cannot detect it
 (the same contract Spark's own file source has for its processed-files log
 compaction horizon).
 
+Second queue contract (round-9 ADVICE): message files must be IMMUTABLE
+once visible — landed atomically via write-then-rename, never written in
+place.  ``readBetweenOffsets`` re-reads files from DISK on recovery replay,
+so a file claimed mid-write by ``read()`` and replayed after the producer
+finished would deliver DIFFERENT contents for the same committed offset
+range, silently breaking the exactly-once guarantee.  This matches Spark's
+built-in file source, which assumes immutable, atomically-landed files for
+the same reason; a producer that appends in place violates the contract
+undetectably.
+
 The driver-side read is deliberate: a queue cursor is driver-state by
 nature (one consumer claims messages; executors receive the claimed rows
 through the engine).  Spark documents ``SimpleDataSourceStreamReader`` for
