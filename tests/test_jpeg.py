@@ -212,3 +212,162 @@ def test_fill_bytes_before_markers_are_consumed():
     assert (w, h) == (16, 8)
     _, _, ref = decode_jpeg_gray(good)
     assert px == ref
+
+
+# --- color (YCbCr 4:2:0) path -------------------------------------------------
+
+
+def _constant_mcu_planes(vals: dict, nmx: int, nmy: int):
+    """(y, cb, cr) planes with constant 16x16 MCUs from vals[(mx,my)]."""
+    h, w = nmy * 16, nmx * 16
+    y = np.zeros((h, w))
+    cb = np.zeros((h // 2, w // 2))
+    cr = np.zeros((h // 2, w // 2))
+    for (mx, my), (yv, cbv, crv) in vals.items():
+        y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = yv
+        cb[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = cbv
+        cr[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = crv
+    return y, cb, cr
+
+
+def test_color_constant_mcus_roundtrip_exactly():
+    """Even (Y-128) offsets and multiple-of-17 (C-128) offsets survive the
+    Annex K DC quanta exactly — every pixel of every MCU must equal the
+    closed-form BT.601 inverse of the encoded YCbCr triple (m15's oracle
+    contract)."""
+    from worker_etl_spark.operators.jpeg import decode_jpeg_color, encode_jpeg_ycbcr420
+
+    vals = {}
+    for my in range(2):
+        for mx in range(3):
+            vals[(mx, my)] = (
+                128 + 2 * (((7 * mx + 5 * my) % 50) - 25),
+                128 + 17 * (((mx + my) % 5) - 2),
+                128 + 17 * (((2 * mx + my) % 5) - 2),
+            )
+    data = encode_jpeg_ycbcr420(*_constant_mcu_planes(vals, 3, 2))
+    w, h, rgb = decode_jpeg_color(data)
+    assert (w, h) == (48, 32)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    for (mx, my), (yv, cbv, crv) in vals.items():
+        exp = (
+            int(np.rint(yv + 1.402 * (crv - 128))),
+            int(np.rint(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128))),
+            int(np.rint(yv + 1.772 * (cbv - 128))),
+        )
+        block = arr[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16]
+        assert block.min(axis=(0, 1)).tolist() == list(exp)
+        assert block.max(axis=(0, 1)).tolist() == list(exp)
+
+
+def test_color_smooth_image_decodes_close():
+    """General RGB encode->decode: smooth gradients survive 4:2:0 chroma
+    subsampling + Annex K quantization with small mean error (lossy, so a
+    bounded-error check, not equality)."""
+    from worker_etl_spark.operators.jpeg import decode_jpeg_color, encode_jpeg_rgb
+
+    xs, ys = np.meshgrid(np.arange(48), np.arange(32))
+    img = np.stack(
+        [(xs * 3) % 200 + 20, (ys * 4) % 180 + 30, ((xs + ys) * 2) % 160 + 40],
+        axis=2,
+    )
+    w, h, rgb = decode_jpeg_color(encode_jpeg_rgb(img.tolist(), 48, 32))
+    assert (w, h) == (48, 32)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(32, 48, 3).astype(int)
+    assert np.abs(arr - img).mean() < 5.0
+
+
+def test_color_non_mcu_multiple_dims_crop():
+    """SOF carries true dims; the decoder crops the padded MCU grid back."""
+    from worker_etl_spark.operators.jpeg import decode_jpeg_color, encode_jpeg_rgb
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(40, 200, size=(19, 21, 3))
+    w, h, rgb = decode_jpeg_color(encode_jpeg_rgb(img.tolist(), 21, 19))
+    assert (w, h) == (21, 19)
+    assert len(rgb) == 21 * 19 * 3
+
+
+def test_gray_file_through_color_entry():
+    from worker_etl_spark.operators.jpeg import decode_jpeg_color
+
+    rows = [[(x * 7 + y * 5) % 256 for x in range(24)] for y in range(16)]
+    w, h, rgb = decode_jpeg_color(encode_jpeg_gray(rows, 24, 16))
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(16, 24, 3)
+    assert (arr[..., 0] == arr[..., 1]).all()
+    assert (arr[..., 1] == arr[..., 2]).all()
+    gw, gh, gpx = decode_jpeg_gray(encode_jpeg_gray(rows, 24, 16))
+    assert arr[..., 0].tobytes() == gpx
+
+
+def test_gray_entry_still_refuses_color():
+    from worker_etl_spark.operators.jpeg import encode_jpeg_ycbcr420
+
+    y = np.full((16, 16), 130.0)
+    c = np.full((8, 8), 128.0)
+    data = encode_jpeg_ycbcr420(y, c, c)
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        decode_jpeg_gray(data)
+
+
+def test_color_encoder_rejects_bad_planes():
+    from worker_etl_spark.operators.jpeg import encode_jpeg_ycbcr420
+
+    with pytest.raises(ValueError, match="16-multiple"):
+        encode_jpeg_ycbcr420(np.zeros((8, 8)), np.zeros((4, 4)), np.zeros((4, 4)))
+    with pytest.raises(ValueError, match="chroma planes"):
+        encode_jpeg_ycbcr420(np.zeros((16, 16)), np.zeros((16, 16)), np.zeros((8, 8)))
+
+
+def test_color_444_decodes():
+    """A hand-assembled 4:4:4 frame (all sampling 0x11) exercises the
+    one-block-per-component MCU path the 4:2:0 encoder never emits."""
+    from worker_etl_spark.operators.jpeg import (
+        AC_CHROM_BITS,
+        AC_CHROM_VALS,
+        DC_CHROM_BITS,
+        DC_CHROM_VALS,
+        QTABLE_CHROM,
+        decode_jpeg_color,
+        _BitWriter,
+        _encode_block,
+    )
+
+    ql = np.array(QTABLE_LUM, dtype=np.float64).reshape(8, 8)
+    qc = np.array(QTABLE_CHROM, dtype=np.float64).reshape(8, 8)
+    dc_l = _build_huffman_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _build_huffman_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _build_huffman_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_c = _build_huffman_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+    yv, cbv, crv = 132, 128 + 34, 128 - 17
+    bw = _BitWriter()
+    _encode_block(bw, np.full((8, 8), float(yv)), ql, dc_l, ac_l, 0)
+    _encode_block(bw, np.full((8, 8), float(cbv)), qc, dc_c, ac_c, 0)
+    _encode_block(bw, np.full((8, 8), float(crv)), qc, dc_c, ac_c, 0)
+    scan = bw.flush()
+    data = (
+        b"\xff\xd8"
+        + _seg(0xFFDB, bytes([0x00]) + bytes(QTABLE_LUM[ZIGZAG[k]] for k in range(64)))
+        + _seg(0xFFDB, bytes([0x01]) + bytes(QTABLE_CHROM[ZIGZAG[k]] for k in range(64)))
+        + _seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+        + _seg(0xFFC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+        + _seg(0xFFC4, bytes([0x01]) + bytes(DC_CHROM_BITS) + bytes(DC_CHROM_VALS))
+        + _seg(0xFFC4, bytes([0x11]) + bytes(AC_CHROM_BITS) + bytes(AC_CHROM_VALS))
+        + _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    w, h, rgb = decode_jpeg_color(data)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(8, 8, 3)
+    exp = (
+        int(np.rint(yv + 1.402 * (crv - 128))),
+        int(np.rint(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128))),
+        int(np.rint(yv + 1.772 * (cbv - 128))),
+    )
+    assert arr.min(axis=(0, 1)).tolist() == list(exp)
+    assert arr.max(axis=(0, 1)).tolist() == list(exp)
