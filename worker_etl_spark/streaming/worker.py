@@ -36,8 +36,16 @@ from pyspark.sql import DataFrame, SparkSession
 from worker_etl_spark.config import EngineConfig
 from worker_etl_spark.operators.cleaning import ROW_ID, clean_table
 from worker_etl_spark.operators.detection import detect_tables, extract_table
-from worker_etl_spark.operators.inference import align_to_schema, infer_schema
-from worker_etl_spark.sinks.writer import sink_table_name, write_table
+from worker_etl_spark.operators.inference import (
+    align_to_schema,
+    determine_schema,
+    infer_schema,
+)
+from worker_etl_spark.sinks.writer import (
+    sink_table_name,
+    write_catalog_table,
+    write_table,
+)
 from worker_etl_spark.sources.excel import read_excel_grids
 from worker_etl_spark.sources.files import read_csv_grid, require_exists, widen_grid
 from worker_etl_spark.sources.tables import ALL_TABLES  # noqa: F401  (re-export convenience)
@@ -57,6 +65,48 @@ def parse_message(raw: str) -> tuple[str, str] | None:
     return obj, ds
 
 
+def _resolve_schema(
+    spark: SparkSession,
+    cleaned: DataFrame,
+    dataset_id: str,
+    table: str,
+    cfg: EngineConfig,
+    llm_infer,
+    catalog_sink: bool,
+) -> list[dict] | None:
+    """I1 per-table schema resolution, exactly the reference's per-message
+    chain (etl.py:934-948): catalog lookup first under ``existing_or_*``
+    (reachable only in catalog-sink mode, where earlier ingests registered
+    the table — I2), then the LLM client if the strategy names it, then the
+    heuristic if it names ``pandas``.  None → the caller skips the table
+    (the reference default's LLM-failure behavior)."""
+    if not catalog_sink and cfg.schema_strategy == "existing_or_pandas":
+        # path-sink mode has no catalog to consult; the chain degenerates to
+        # the heuristic — skip the lookup round-trip.
+        return infer_schema(cleaned)
+    return determine_schema(
+        spark,
+        cleaned,
+        f"{dataset_id}.{table}",
+        strategy=cfg.schema_strategy,
+        llm_infer=llm_infer,
+        llm_sample_size=cfg.llm_sample_size,
+    )
+
+
+def _write(
+    typed: DataFrame,
+    warehouse_root: str,
+    dataset_id: str,
+    table: str,
+    disposition: str,
+    catalog_sink: bool,
+) -> str:
+    if catalog_sink:
+        return write_catalog_table(typed, dataset_id, table, disposition)
+    return write_table(typed, warehouse_root, dataset_id, table, disposition)
+
+
 def process_object(
     spark: SparkSession,
     object_name: str,
@@ -64,6 +114,8 @@ def process_object(
     source_root: str,
     warehouse_root: str,
     cfg: EngineConfig | None = None,
+    llm_infer=None,
+    catalog_sink: bool = False,
 ) -> list[str]:
     """O1 per-object pipeline; returns locations written.
 
@@ -74,7 +126,14 @@ def process_object(
     already typed, so cleaning skips header promotion and inference maps the
     existing types.  Per-table failures skip that table but keep the object
     going (``etl.py:1298-1300, 1318-1320``); zero tables written raises.
-    """
+
+    Schema resolution runs the I1 strategy chain per table
+    (``cfg.schema_strategy``; reference etl.py:934-948): with
+    ``catalog_sink=True`` the sink registers tables in the session catalog,
+    so a LATER message for the same table resolves its schema from the
+    catalog (I2) instead of re-inferring — sink-table schema wins, exactly
+    the reference's per-message loop.  ``llm_infer`` is the pluggable I3
+    client (OFF by default for determinism)."""
     cfg = cfg or EngineConfig()
     if not _DATASET_RE.match(dataset_id):
         raise ValueError(f"invalid dataset id: {dataset_id!r}")
@@ -86,24 +145,35 @@ def process_object(
         require_exists(path)  # S1 gate → ACK-skip, same as the grid branches
         df = spark.read.parquet(path)
         cleaned = clean_table(df)
-        typed = align_to_schema(cleaned, infer_schema(cleaned))
+        table = sink_table_name(base)
+        schema = _resolve_schema(
+            spark, cleaned, dataset_id, table, cfg, llm_infer, catalog_sink
+        )
+        if schema is None:
+            raise RuntimeError(
+                f"no schema resolved for {object_name!r} "
+                f"(strategy {cfg.schema_strategy!r})"
+            )
+        typed = align_to_schema(cleaned, schema)
         return [
-            write_table(typed, warehouse_root, dataset_id,
-                        sink_table_name(base), cfg.write_disposition)
+            _write(typed, warehouse_root, dataset_id, table,
+                   cfg.write_disposition, catalog_sink)
         ]
 
     if ext in (".xlsx", ".xls"):
         require_exists(path)  # S1 gate → ACK-skip, matching the CSV branch
         grid = widen_grid(read_excel_grids(spark, path))
         return _ingest_grid(grid, object_name, base, dataset_id,
-                            warehouse_root, cfg, sheet_aware=True)
+                            warehouse_root, cfg, sheet_aware=True,
+                            llm_infer=llm_infer, catalog_sink=catalog_sink)
 
     if ext != ".csv":
         raise ValueError(f"unsupported object type: {object_name!r}")
 
     grid = read_csv_grid(spark, path)
     return _ingest_grid(grid, object_name, base, dataset_id,
-                        warehouse_root, cfg, sheet_aware=False)
+                        warehouse_root, cfg, sheet_aware=False,
+                        llm_infer=llm_infer, catalog_sink=catalog_sink)
 
 
 def _ingest_grid(
@@ -114,6 +184,8 @@ def _ingest_grid(
     warehouse_root: str,
     cfg: EngineConfig,
     sheet_aware: bool,
+    llm_infer=None,
+    catalog_sink: bool = False,
 ) -> list[str]:
     """Detect → per-table clean/infer/coerce/write over an untyped grid.
 
@@ -144,15 +216,25 @@ def _ingest_grid(
                 cleaned = clean_table(block).drop(ROW_ID)
                 if not cleaned.columns or cleaned.isEmpty():
                     continue
-                typed = align_to_schema(cleaned, infer_schema(cleaned))
                 table = sink_table_name(
                     base, bbox["sheet"], bbox["table_id"],
                     multi_sheet=multi_sheet,
                     multi_table=tables_per_sheet[bbox["sheet"]] > 1,
                 )
+                spark = cleaned.sparkSession
+                schema = _resolve_schema(
+                    spark, cleaned, dataset_id, table, cfg, llm_infer,
+                    catalog_sink,
+                )
+                if schema is None:
+                    # reference default (existing_or_gemini): LLM failure
+                    # skips the table, no heuristic fallback (etl.py:948)
+                    errors.append(f"{bbox.get('table_id')}: no schema resolved")
+                    continue
+                typed = align_to_schema(cleaned, schema)
                 written.append(
-                    write_table(typed, warehouse_root, dataset_id, table,
-                                cfg.write_disposition)
+                    _write(typed, warehouse_root, dataset_id, table,
+                           cfg.write_disposition, catalog_sink)
                 )
             except Exception as exc:  # noqa: BLE001 — per-table isolation (O1)
                 errors.append(f"{bbox.get('table_id')}: {exc}")
@@ -172,12 +254,17 @@ def start_worker(
     checkpoint_dir: str,
     dead_letter_dir: str,
     available_now: bool = True,
+    cfg: EngineConfig | None = None,
+    llm_infer=None,
+    catalog_sink: bool = False,
 ):
     """Start the streaming worker; returns the StreamingQuery.
 
     ``available_now=True`` drains the current queue and stops (deterministic
     for tests/backfills); ``False`` runs continuously, picking up new message
-    files as they land.
+    files as they land.  ``cfg``/``llm_infer``/``catalog_sink`` flow through
+    to ``process_object`` so the worker can run the reference's
+    ``existing_or_gemini`` schema chain per message (srm05).
     """
     os.makedirs(dead_letter_dir, exist_ok=True)
 
@@ -190,7 +277,9 @@ def start_worker(
                 continue
             obj, ds = parsed
             try:
-                process_object(spark, obj, ds, source_root, warehouse_root)
+                process_object(spark, obj, ds, source_root, warehouse_root,
+                               cfg=cfg, llm_infer=llm_infer,
+                               catalog_sink=catalog_sink)
             except FileNotFoundError:
                 _dead_letter(dead_letter_dir, raw, "object not found")  # ACK-skip
             except Exception as exc:  # noqa: BLE001
