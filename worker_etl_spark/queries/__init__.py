@@ -126,6 +126,7 @@ _PRIORITY: list[str] = [
     "d18_incremental_simhash",  # never-checked (round-10 registration)
     "m15_jpeg_color_stats",  # never-checked (round-10 registration)
     "srm05_stream_llm_schema",  # never-checked (round-10 registration)
+    "evt19_streaming_dedup_registry",  # never-checked (round-10 registration)
     "d16_incremental_dedup",  # MATERIALLY CHANGED round 10 (maintained index)
     "i25_llm_schema_strategy",  # never-checked
     "m12_wav_pcm_stats",  # never-checked

@@ -1281,3 +1281,107 @@ def evt18_ohlc_conflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- evt19: streaming maintenance of the exact-dedup registry ----------------------
+from worker_etl_spark.functions.text import sql_hex_int, sql_norm_text
+
+
+@register(
+    "evt19_streaming_dedup_registry",
+    oracle=f"""
+    WITH h AS (
+      SELECT {sql_hex_int(sql_norm_text('text'), 15)} AS fp,
+             doc_id
+      FROM documents
+    ),
+    g AS (
+      SELECT fp, min(doc_id) AS canonical, count(*) AS n FROM h GROUP BY fp
+    )
+    SELECT CAST(fp % 8 AS BIGINT)        AS bucket,
+           CAST(count(*) AS BIGINT)      AS n_groups,
+           CAST(sum(canonical) AS BIGINT) AS sum_canonical,
+           CAST(sum(n) AS BIGINT)        AS n_docs,
+           CAST(max(n) AS BIGINT)        AS max_group
+    FROM g GROUP BY bucket ORDER BY bucket
+    """,
+)
+def evt19_streaming_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the exact-dedup registry — the ingest-time
+    face of the round-10 maintained-index posture (``operators/
+    dedup_index.py``): the document feed arrives as a multi-file backlog,
+    each micro-batch appends its per-fingerprint contribution
+    ``(fp, min doc_id, count)`` as an LSM segment of the registry, and the
+    final registry state — canonical (minimum) doc_id and occurrence count
+    per content fingerprint — must equal the batch GROUP BY oracle.
+
+    Exactly-once: appends are NOT idempotent under micro-batch replay, so
+    each batch commits through the marker ledger (the ``streaming/sink.py``
+    contract — replayed batch ids skip).  Order-independence: min/count are
+    commutative monoids, so the folded registry is identical under ANY
+    micro-batch partitioning or arrival order — the property that lets 1000
+    executors ingest shards concurrently at 100 TB.  Read-time fold is one
+    keyed aggregate over the segments; ``dedup_index.compact_index`` is the
+    same offline fold applied in place.
+
+    Scale: per-batch work is one map-side-combining aggregate of the batch
+    (never re-reading the registry); registry growth is O(distinct
+    fingerprints); the fold shuffles registry segments once on fp.  No
+    reference counterpart (the reference reloads blindly, SURVEY.md §2 S6)."""
+    import os
+
+    from worker_etl_spark.functions.text import hex_int, norm_text
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = fixture_dir("evt19")
+    feed = os.path.join(tmp, "feed")
+    registry = os.path.join(tmp, "registry")
+    ledger = os.path.join(tmp, "ledger")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(ledger)
+    d.repartition(8).write.mode("overwrite").parquet(feed)
+
+    def append_segment(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed, already committed — exactly-once skip
+        seg = (
+            batch_df.select(
+                hex_int(norm_text(F.col("text")), 15).alias("fp"), "doc_id"
+            )
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("canonical"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        seg.write.mode("append").parquet(registry)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("")
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(feed)
+        .writeStream.foreachBatch(append_segment)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    folded = (
+        spark.read.parquet(registry)
+        .groupBy("fp")
+        .agg(F.min("canonical").alias("canonical"), F.sum("n").alias("n"))
+    )
+    return (
+        folded.groupBy((F.col("fp") % 8).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("canonical").cast("long").alias("sum_canonical"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.max("n").cast("long").alias("max_group"),
+        )
+        .orderBy("bucket")
+    )
