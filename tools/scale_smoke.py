@@ -257,7 +257,10 @@ def main() -> None:
             "queries": timings,
             "dedup_growth": dedup_growth(),
             "dedup_deep_growth": dedup_deep_growth(),
-            "dedup_pinned_growth": dedup_pinned_growth(),
+            # pinned-batch maintained-index ladder runs standalone
+            # (`--pinned DEDUP_INDEX_LADDER.json`) — it is a separate ~50 min
+            # protocol with its own artifact; not duplicated here.
+            "dedup_pinned_artifact": "DEDUP_INDEX_LADDER.json",
             "similarity_growth": similarity_growth(),
         }
         result["ladder_note"] = (
