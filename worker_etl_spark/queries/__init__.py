@@ -122,62 +122,11 @@ def release_persists() -> int:
 # --- i01-i06, q01-q35), whose code has seen two years of shared-helper
 # --- evolution since their only driver row.
 _PRIORITY: list[str] = [
-    # --- round-10: new registrations + materially-changed first ---
-    "d18_incremental_simhash",  # never-checked (round-10 registration)
-    "m15_jpeg_color_stats",  # never-checked (round-10 registration)
-    "srm05_stream_llm_schema",  # never-checked (round-10 registration)
-    "evt19_streaming_dedup_registry",  # never-checked (round-10 registration)
-    "d16_incremental_dedup",  # MATERIALLY CHANGED round 10 (maintained index)
-    "i25_llm_schema_strategy",  # never-checked
-    "m12_wav_pcm_stats",  # never-checked
-    "m13_jpeg_pixel_stats",  # never-checked
-    "srm04_python_stream_source",  # never-checked
-    "w20_positional_delete",  # never-checked
-    "w21_schema_evolution",  # never-checked
-    "w22_python_stream_sink",  # never-checked
-    "m14_image_resize",  # never-checked
-    "q33_collected_arrays",  # green r2
-    "q34_full_outer_reconcile",  # green r2
-    "q35_unpivot_metrics",  # green r2
-    "d07_dup_clusters",  # green r3
-    "d08_edit_distance_neardup",  # green r3
-    "d09_minhash_estimate",  # green r3
-    "d11_dedup_survivors",  # green r3
-    "evt01_watermarked_windows",  # green r3
-    "evt02_session_windows",  # green r3
-    "evt03_interval_join",  # green r3
-    "evt04_interval_join_outer",  # green r3
-    "g01_grid_ingest_e2e",  # green r3
-    "g03_grid_fallback_whole_sheet",  # green r3
-    "g04_detection_config_knobs",  # green r3
-    "m03_frame_samples",  # green r3
-    "m04_media_dedup",  # green r3
-    "m05_magic_byte_quarantine",  # green r3
-    "m06_frame_neardup",  # green r3
-    "p01_curation_pipeline",  # green r3
-    "p02_source_quota_sample",  # green r3
-    "p03_leakage_safe_split",  # green r3
-    "p04_sequence_packing",  # green r3
-    "p05_mixture_reweight",  # green r3
-    "q36_exists_urgent_customers",  # green r3
-    "q37_conditional_aggregates",  # green r3
-    "q38_date_functions",  # green r3
-    "q39_string_functions",  # green r3
-    "s04_ann_recall",  # green r3
-    "src03_excel_native_ingest",  # green r3
-    "src04_jsonl_ingest",  # green r3
-    "src05_xls_ingest",  # green r3
-    "src06_orc_ingest",  # green r3
-    "srm03_excel_object",  # green r3
-    "t01_token_stats",  # green r3
-    "t06_pii_redaction",  # green r3
-    "t07_bigram_stats",  # green r3
-    "t08_bpe_token_stats",  # green r3
-    "t09_cdc_chunking",  # green r3
-    "t11_repetition_filters",  # green r3
-    "t12_vocab_coverage",  # green r3
-    "v01_embedding_centroids",  # green r3
-    "v02_array_functions",  # green r3
+    "d18_incremental_simhash",  # never-checked
+    "evt19_streaming_dedup_registry",  # never-checked
+    "m15_jpeg_color_stats",  # never-checked
+    "srm05_stream_llm_schema",  # never-checked
+    "d16_incremental_dedup",  # MATERIALLY CHANGED round 10 (maintained-index rework)
     "w01_partitioned_sink",  # green r3
     "w02_upsert_sink",  # green r3
     "w03_compaction_sink",  # green r3
@@ -355,7 +304,6 @@ _PRIORITY: list[str] = [
     "d04_simhash",  # green r8
     "d06_embedding_neardup",  # green r8
     "d10_simhash_hamming",  # green r8
-    "d16_incremental_dedup",  # green r8
     "d17_semantic_neardup",  # green r8
     "evt18_ohlc_conflation",  # green r8
     "i08_column_profile",  # green r8
@@ -402,6 +350,56 @@ _PRIORITY: list[str] = [
     "w17_write_audit_publish",  # green r8
     "w18_shallow_clone",  # green r8
     "w19_cow_delete",  # green r8
+    "d07_dup_clusters",  # green r9
+    "d08_edit_distance_neardup",  # green r9
+    "d09_minhash_estimate",  # green r9
+    "d11_dedup_survivors",  # green r9
+    "evt01_watermarked_windows",  # green r9
+    "evt02_session_windows",  # green r9
+    "evt03_interval_join",  # green r9
+    "evt04_interval_join_outer",  # green r9
+    "g01_grid_ingest_e2e",  # green r9
+    "g03_grid_fallback_whole_sheet",  # green r9
+    "g04_detection_config_knobs",  # green r9
+    "i25_llm_schema_strategy",  # green r9
+    "m03_frame_samples",  # green r9
+    "m04_media_dedup",  # green r9
+    "m05_magic_byte_quarantine",  # green r9
+    "m06_frame_neardup",  # green r9
+    "m12_wav_pcm_stats",  # green r9
+    "m13_jpeg_pixel_stats",  # green r9
+    "m14_image_resize",  # green r9
+    "p01_curation_pipeline",  # green r9
+    "p02_source_quota_sample",  # green r9
+    "p03_leakage_safe_split",  # green r9
+    "p04_sequence_packing",  # green r9
+    "p05_mixture_reweight",  # green r9
+    "q33_collected_arrays",  # green r9
+    "q34_full_outer_reconcile",  # green r9
+    "q35_unpivot_metrics",  # green r9
+    "q36_exists_urgent_customers",  # green r9
+    "q37_conditional_aggregates",  # green r9
+    "q38_date_functions",  # green r9
+    "q39_string_functions",  # green r9
+    "s04_ann_recall",  # green r9
+    "src03_excel_native_ingest",  # green r9
+    "src04_jsonl_ingest",  # green r9
+    "src05_xls_ingest",  # green r9
+    "src06_orc_ingest",  # green r9
+    "srm03_excel_object",  # green r9
+    "srm04_python_stream_source",  # green r9
+    "t01_token_stats",  # green r9
+    "t06_pii_redaction",  # green r9
+    "t07_bigram_stats",  # green r9
+    "t08_bpe_token_stats",  # green r9
+    "t09_cdc_chunking",  # green r9
+    "t11_repetition_filters",  # green r9
+    "t12_vocab_coverage",  # green r9
+    "v01_embedding_centroids",  # green r9
+    "v02_array_functions",  # green r9
+    "w20_positional_delete",  # green r9
+    "w21_schema_evolution",  # green r9
+    "w22_python_stream_sink",  # green r9
 ]
 
 
