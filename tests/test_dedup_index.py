@@ -25,6 +25,7 @@ from worker_etl_spark.operators.dedup_index import (
     compact_index,
     simhash_near_batch,
     update_index,
+    vacuum_index,
 )
 from worker_etl_spark.queries import release_persists
 
@@ -237,6 +238,83 @@ def test_compact_preserves_logical_content_and_classification(spark, tmpdirs):
     }
     release_persists()
     assert pre == post
+
+
+def test_classify_during_compact_is_safe(spark, tmpdirs):
+    """Round-10 verdict #6 / ADVICE: a classifier whose plan was built
+    against the OLD segment list must survive a compaction (and produce the
+    same rows), because compaction only swaps the MANIFEST — superseded
+    segment dirs stay on disk until vacuum.  After vacuum with grace 0 the
+    old segments are gone but a FRESH plan (new manifest) still classifies
+    identically."""
+    _, inc_dir, _ = tmpdirs
+    corpus, batch = _corpus_and_batch(spark)
+    update_index(spark, corpus.filter(F.col("doc_id") % 2 == 0), inc_dir)
+    update_index(spark, corpus.filter(F.col("doc_id") % 2 == 1), inc_dir)
+    # Build BOTH plans against the pre-compaction manifest; materialize one
+    # now as the reference, hold the other across the compaction.
+    reference = {
+        (r.doc_id, r.status) for r in classify_batch(spark, batch, inc_dir).collect()
+    }
+    held_plan = classify_batch(spark, batch, inc_dir)  # old segment list
+    compact_index(spark, inc_dir)  # manifest swapped; old segs still on disk
+    in_flight = {(r.doc_id, r.status) for r in held_plan.collect()}
+    release_persists()
+    assert in_flight == reference
+    # Vacuum reclaims the superseded segments; a fresh plan still matches.
+    assert vacuum_index(inc_dir, grace_sec=0.0) > 0
+    post = {
+        (r.doc_id, r.status) for r in classify_batch(spark, batch, inc_dir).collect()
+    }
+    release_persists()
+    assert post == reference
+
+
+def test_crashed_writer_debris_is_invisible_and_vacuumed(spark, tmpdirs):
+    """A writer that crashes mid-publish leaves only unreferenced dirs
+    (dot-staging or an unmanifested segment) — reads are unaffected (no
+    silent-empty window), and vacuum reclaims the debris.  A MANIFEST that
+    names a missing segment fails loudly instead of reading as empty."""
+    import os
+
+    from worker_etl_spark.operators.dedup_index import _read
+
+    _, _, idx = tmpdirs
+    rows = [(i, 20, f"abcde unique{i:02d} filler{i:02d}") for i in range(3)]
+    update_index(spark, _docs_df(spark, rows), idx)
+    before = _folded(spark, idx)
+    exact_dir = os.path.join(idx, "exact")
+    # Simulated crash debris: a staging dir and an orphan (unmanifested) seg.
+    os.makedirs(os.path.join(exact_dir, ".tmp-seg-crashed"))
+    os.makedirs(os.path.join(exact_dir, "seg-orphan-never-committed"))
+    assert _folded(spark, idx) == before  # debris invisible to readers
+    assert vacuum_index(idx, grace_sec=0.0) >= 2
+    assert not os.path.exists(os.path.join(exact_dir, ".tmp-seg-crashed"))
+    assert not os.path.exists(os.path.join(exact_dir, "seg-orphan-never-committed"))
+    assert _folded(spark, idx) == before
+    # Corruption (manifest names a missing segment) is loud, never empty.
+    manifest = os.path.join(exact_dir, "MANIFEST")
+    with open(manifest, encoding="utf-8") as fh:
+        good = fh.read()
+    with open(manifest, "w", encoding="utf-8") as fh:
+        fh.write(good + "seg-that-does-not-exist\n")
+    with pytest.raises(RuntimeError, match="corruption"):
+        _read(spark, idx, "exact", "hh string").count()
+    with open(manifest, "w", encoding="utf-8") as fh:
+        fh.write(good)
+
+
+def test_simhash_near_batch_rejects_wider_radius(spark, tmpdirs):
+    """ADVICE round-10: the persisted (B-3)-subset band plan is exact by
+    pigeonhole for hamming <= 3 only — a wider radius must fail loudly, not
+    silently under-recall."""
+    _, _, idx = tmpdirs
+    rows = [(i, 20, f"abcde unique{i:02d} filler{i:02d}") for i in range(3)]
+    update_index(spark, _docs_df(spark, rows), idx)
+    with pytest.raises(ValueError, match="hamming"):
+        simhash_near_batch(
+            spark, _docs_df(spark, [(9, 10, "abcde zzzzz")]), idx, max_hamming=4
+        )
 
 
 def test_simhash_near_batch_matches_bruteforce(spark, tmpdirs):

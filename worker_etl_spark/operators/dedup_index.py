@@ -10,8 +10,9 @@ table, appended per ingest batch, and the daily job only (a) appends the
 new batch's contribution and (b) probes the index — O(batch) joins plus
 cheap columnar scans of the index, never O(corpus) recompute.
 
-Layout (parquet dirs under ``index_dir``) — **append-only** (LSM-style:
-every maintenance write is an append; ``compact_index`` folds segments):
+Storage (one ``segstore`` table per name under ``index_dir`` — append-only
+LSM segments named by an atomically-swapped MANIFEST, crash-safe and
+concurrent-reader-safe by construction; see ``operators/segstore.py``):
 
 - ``exact/``    (hh string)            md5(norm_text) of every corpus doc.
                 Consumers only LEFT-SEMI join it, so duplicate rows are
@@ -28,14 +29,26 @@ every maintenance write is an append; ``compact_index`` folds segments):
                 are appended rare, −1 per posting when a shingle flips
                 common.  True cardinality = sum(delta) per doc.
 - ``simhash/``  (doc_id long, simhash long)  60-bit fingerprints (the d04
-                formula).  A doc's fingerprint is corpus-independent, so
-                this table is PURE append — the trivially incremental case.
+                formula) at the DOC grain.  Corpus-independent, pure append.
+- ``fp/``       (simhash long, n long)  ADDITIVE per-fingerprint doc counts
+                (the Manku WWW'07 fingerprint store's occupancy); true
+                count = sum(n) per simhash.
+- ``band/``     (kid int, val long, simhash long)  the PRECOMPUTED band
+                keys of every DISTINCT corpus fingerprint under the fixed
+                ``_BAND_SUBSETS`` plan — appended only for fingerprints new
+                to the index, so rows are unique per (kid, simhash).  This
+                is what lets ``simhash_near_batch`` probe without
+                re-aggregating or re-exploding the corpus per run
+                (round-10's measured 2.66×-per-10× d18 slope was exactly
+                that per-classify ``groupBy(simhash)`` + ×-keys explode).
 
 Why append-only: per-batch maintenance touches O(batch) rows plus
-broadcast-filtered scans of ``df``/``postings`` (columnar, two narrow
-columns); there is no staging rewrite of corpus-sized state on the ingest
-path.  ``compact_index`` is the offline maintenance write (the w03
-compaction story) that folds df/card segments and drops dead postings.
+broadcast-filtered scans of the narrow index tables; there is no staging
+rewrite of corpus-sized state on the ingest path.  ``compact_index`` is the
+offline maintenance write (the w03 compaction story) that folds additive
+segments and drops dead postings; superseded segments stay on disk for
+in-flight readers until ``vacuum_index``.  Writers (ingest, compaction)
+serialize through ``segstore.writer_lock``; readers never lock.
 
 Semantics contract (pinned by ``tests/test_dedup_index.py``): classifying a
 batch against the maintained index is row-for-row identical to the
@@ -53,6 +66,7 @@ from __future__ import annotations
 
 import atexit
 import hashlib
+import itertools
 import os
 import shutil
 import tempfile
@@ -61,6 +75,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from worker_etl_spark.functions.text import hex_int, norm_text, tokens
+from worker_etl_spark.operators import segstore
 from worker_etl_spark.sources.tables import spread
 
 #: char-gram width for shingles and the d05/d16 document-frequency cap —
@@ -72,7 +87,39 @@ DF_CAP = 10
 #: 60-bit simhash (15 hex digits of md5) — see dedup_q.py's d04 notes.
 SIM_BITS = 60
 
-_TABLES = ("exact", "df", "postings", "card", "simhash")
+#: Fixed band plan for the MAINTAINED fingerprint index: 6 bands of 10 bits,
+#: one key per 3-band subset (C(6,3) = 20 keys of 30 bits).  By pigeonhole a
+#: pair within hamming ≤ 3 differs in at most 3 bands, so at least one
+#: 3-band subset is untouched and the blocked join is EXACT for the
+#: threshold.  The plan is fixed at the widest split (unlike d10's
+#: in-session corpus-adaptive ``_ham_band_plan``) because the band table is
+#: PERSISTED — a plan that widened with corpus growth would force an index
+#: migration — and 30-bit keys keep random bucket collisions ~linear out to
+#: ~4×10^9 distinct fingerprints, the 60-bit fingerprint's own documented
+#: ceiling.  Storage trade: 20 narrow rows per distinct fingerprint.
+HAM_MAX = 3
+_N_BANDS = 6
+_BAND_BITS = SIM_BITS // _N_BANDS
+_BAND_MASK = (1 << _BAND_BITS) - 1
+_BAND_SUBSETS: list[tuple[int, ...]] = list(
+    itertools.combinations(range(_N_BANDS), _N_BANDS - HAM_MAX)
+)
+#: per-key mask over the ORIGINAL fingerprint bits a key covers — two
+#: fingerprints agree on key kid iff (a ^ b) & _KEY_MASKS[kid] == 0.
+_KEY_MASKS: list[int] = [
+    sum(_BAND_MASK << (b * _BAND_BITS) for b in sub) for sub in _BAND_SUBSETS
+]
+
+_TABLES = ("exact", "df", "postings", "card", "simhash", "fp", "band")
+_SCHEMAS = {
+    "exact": "hh string",
+    "df": "h long, n long",
+    "postings": "h long, doc_id long",
+    "card": "doc_id long, delta long",
+    "simhash": "doc_id long, simhash long",
+    "fp": "simhash long, n long",
+    "band": "kid int, val long, simhash long",
+}
 
 
 def _path(index_dir: str, table: str) -> str:
@@ -80,15 +127,34 @@ def _path(index_dir: str, table: str) -> str:
 
 
 def _read(spark: SparkSession, index_dir: str, table: str, schema: str) -> DataFrame:
-    """Read an index table; absent → empty frame with the right schema."""
-    p = _path(index_dir, table)
-    if os.path.isdir(p):
-        return spark.read.parquet(p)
-    return spark.createDataFrame([], schema)
+    """Read an index table's live segments; never-created → empty frame."""
+    return segstore.read(spark, _path(index_dir, table), schema)
 
 
 def _append(df: DataFrame, index_dir: str, table: str) -> None:
-    df.write.mode("append").parquet(_path(index_dir, table))
+    segstore.append(df, _path(index_dir, table))
+
+
+def _band_keys(fp_col: str = "simhash") -> F.Column:
+    """Array of (kid, val) structs for a fingerprint column under the fixed
+    maintained-index band plan."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(kid).cast("int").alias("kid"),
+                F.expr(
+                    " + ".join(
+                        f"((({fp_col} >> {b * _BAND_BITS}) & {_BAND_MASK})"
+                        f" << {pos * _BAND_BITS})"
+                        for pos, b in enumerate(sub)
+                    )
+                )
+                .cast("long")
+                .alias("val"),
+            )
+            for kid, sub in enumerate(_BAND_SUBSETS)
+        ]
+    )
 
 
 def _doc_norm(docs: DataFrame) -> DataFrame:
@@ -148,109 +214,165 @@ def update_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
 
     ``docs`` needs columns (doc_id, text); doc_ids must be new to the
     corpus (the ingest contract — a doc is ingested once).  Work is
-    O(batch) shingling + appends, plus two broadcast-key-filtered columnar
-    scans (df lookup for the batch's shingles; postings lookup for shingles
-    this batch flips common).  Nothing corpus-sized is rewritten.
-    """
-    os.makedirs(index_dir, exist_ok=True)
-    batch = docs.select("doc_id", "text").persist()
-    try:
-        # 1. exact-hash set: append md5(norm) for every batch doc.
-        _append(
-            _doc_norm(batch).select(F.md5("norm").alias("hh")), index_dir, "exact"
-        )
-        # 2. simhash fingerprints: pure append.
-        _append(_doc_simhash(batch), index_dir, "simhash")
+    O(batch) shingling + appends, plus broadcast-key-filtered columnar
+    scans of the narrow index tables (df lookup for the batch's shingles;
+    postings lookup for shingles this batch flips common; fp lookup for
+    which batch fingerprints are new).  Nothing corpus-sized is rewritten.
 
-        # 3. shingle df / postings / card maintenance.
-        sb = _doc_shingles(batch).persist()
-        dfb = sb.groupBy("h").agg(F.count(F.lit(1)).alias("n_new")).persist()
-        df_idx = _read(spark, index_dir, "df", "h long, n long")
-        before = (
-            df_idx.join(dfb.select("h"), "h", "left_semi")
-            .groupBy("h")
-            .agg(F.sum("n").alias("n_before"))
-        )
-        tot = (
-            dfb.join(before, "h", "left")
-            .select(
-                "h",
-                "n_new",
-                F.coalesce("n_before", F.lit(0)).alias("n_before"),
-                (F.coalesce("n_before", F.lit(0)) + F.col("n_new")).alias("n_after"),
+    Holds the store's writer lock for the whole multi-table write so
+    concurrent ingests/compactions serialize; lock-free readers see each
+    table atomically (an in-flight batch may be visible in some tables and
+    not yet others — equivalent to classifying before that batch for the
+    missing rows, the same as-of semantics any prefix of ingests has).
+    """
+    with segstore.writer_lock(index_dir):
+        batch = docs.select("doc_id", "text").persist()
+        try:
+            # 1. exact-hash set: append md5(norm) for every batch doc.
+            _append(
+                _doc_norm(batch).select(F.md5("norm").alias("hh")), index_dir, "exact"
             )
-            .persist()
-        )
-        flipped = tot.filter(
-            (F.col("n_before") > 0)
-            & (F.col("n_before") <= DF_CAP)
-            & (F.col("n_after") > DF_CAP)
-        ).select("h")
-        # 3a. card decrements for docs holding postings of now-common
-        #     shingles — MUST read postings before this batch's appends.
-        postings = _read(spark, index_dir, "postings", "h long, doc_id long")
-        dec = (
-            postings.join(flipped, "h", "left_semi")
-            .groupBy("doc_id")
-            .agg((-F.count(F.lit(1))).alias("delta"))
-        )
-        _append(dec, index_dir, "card")
-        # 3b. postings + card increments for shingles rare AFTER this batch.
-        rare_after = tot.filter(F.col("n_after") <= DF_CAP).select("h")
-        new_postings = sb.join(rare_after, "h").select("h", "doc_id")
-        _append(new_postings, index_dir, "postings")
-        _append(
-            new_postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("delta")),
-            index_dir,
-            "card",
-        )
-        # 3c. df segment: the batch's additive contribution.
-        _append(dfb.select("h", F.col("n_new").alias("n")), index_dir, "df")
-        tot.unpersist()
-        dfb.unpersist()
-        sb.unpersist()
-    finally:
-        batch.unpersist()
+            # 2. simhash fingerprints: doc-grain pure append, plus the
+            #    fingerprint-grain additive counts and band keys for
+            #    fingerprints NEW to the index (what simhash_near_batch
+            #    probes instead of re-aggregating the corpus per run).
+            bsim = _doc_simhash(batch).persist()
+            _append(bsim, index_dir, "simhash")
+            fpb = bsim.groupBy("simhash").agg(F.count(F.lit(1)).alias("n")).persist()
+            known = (
+                _read(spark, index_dir, "fp", _SCHEMAS["fp"])
+                .join(F.broadcast(fpb.select("simhash")), "simhash", "left_semi")
+                .select("simhash")
+                .distinct()
+            )
+            new_fps = fpb.select("simhash").join(known, "simhash", "left_anti")
+            _append(
+                new_fps.select(F.explode(_band_keys()).alias("k"), "simhash").select(
+                    "k.kid", "k.val", "simhash"
+                ),
+                index_dir,
+                "band",
+            )
+            _append(fpb, index_dir, "fp")
+            fpb.unpersist()
+            bsim.unpersist()
+
+            # 3. shingle df / postings / card maintenance.
+            sb = _doc_shingles(batch).persist()
+            dfb = sb.groupBy("h").agg(F.count(F.lit(1)).alias("n_new")).persist()
+            df_idx = _read(spark, index_dir, "df", _SCHEMAS["df"])
+            before = (
+                df_idx.join(dfb.select("h"), "h", "left_semi")
+                .groupBy("h")
+                .agg(F.sum("n").alias("n_before"))
+            )
+            tot = (
+                dfb.join(before, "h", "left")
+                .select(
+                    "h",
+                    "n_new",
+                    F.coalesce("n_before", F.lit(0)).alias("n_before"),
+                    (F.coalesce("n_before", F.lit(0)) + F.col("n_new")).alias(
+                        "n_after"
+                    ),
+                )
+                .persist()
+            )
+            flipped = tot.filter(
+                (F.col("n_before") > 0)
+                & (F.col("n_before") <= DF_CAP)
+                & (F.col("n_after") > DF_CAP)
+            ).select("h")
+            # 3a. card decrements for docs holding postings of now-common
+            #     shingles — MUST read postings before this batch's appends.
+            postings = _read(spark, index_dir, "postings", _SCHEMAS["postings"])
+            dec = (
+                postings.join(flipped, "h", "left_semi")
+                .groupBy("doc_id")
+                .agg((-F.count(F.lit(1))).alias("delta"))
+            )
+            _append(dec, index_dir, "card")
+            # 3b. postings + card increments for shingles rare AFTER this batch.
+            rare_after = tot.filter(F.col("n_after") <= DF_CAP).select("h")
+            new_postings = sb.join(rare_after, "h").select("h", "doc_id")
+            _append(new_postings, index_dir, "postings")
+            _append(
+                new_postings.groupBy("doc_id").agg(
+                    F.count(F.lit(1)).alias("delta")
+                ),
+                index_dir,
+                "card",
+            )
+            # 3c. df segment: the batch's additive contribution.
+            _append(dfb.select("h", F.col("n_new").alias("n")), index_dir, "df")
+            tot.unpersist()
+            dfb.unpersist()
+            sb.unpersist()
+        finally:
+            batch.unpersist()
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> None:
-    """Offline maintenance: fold df/card segments, drop dead postings and
-    duplicate exact hashes.  Staging-rename per table (the upsert_table
-    crash-safety pattern, sinks/writer.py:120) so a failed compaction never
-    leaves a half-written index."""
-    folded = {
-        "exact": _read(spark, index_dir, "exact", "hh string").distinct(),
-        "df": _read(spark, index_dir, "df", "h long, n long")
-        .groupBy("h")
-        .agg(F.sum("n").alias("n")),
-        "card": _read(spark, index_dir, "card", "doc_id long, delta long")
-        .groupBy("doc_id")
-        .agg(F.sum("delta").alias("delta"))
-        .filter(F.col("delta") != 0),
-        "simhash": _read(spark, index_dir, "simhash", "doc_id long, simhash long"),
+    """Offline maintenance: fold additive segments (df/card/fp), drop dead
+    postings and duplicate exact hashes, re-derive the band table from the
+    folded fingerprint set.  Each table's fold publishes as a NEW segment
+    and the MANIFEST swap is atomic (``segstore.replace``), so a crash
+    leaves only an unreferenced segment dir and a concurrent reader holding
+    the old manifest keeps reading the superseded — logically identical —
+    segments until ``vacuum_index`` reclaims them.  Any old/new mix across
+    tables is also consistent: folding preserves each table's logical
+    content.  Serializes with ingests via the writer lock."""
+    with segstore.writer_lock(index_dir):
+        fp_now = (
+            _read(spark, index_dir, "fp", _SCHEMAS["fp"])
+            .groupBy("simhash")
+            .agg(F.sum("n").alias("n"))
+        )
+        folded = {
+            "exact": _read(spark, index_dir, "exact", _SCHEMAS["exact"]).distinct(),
+            "df": _read(spark, index_dir, "df", _SCHEMAS["df"])
+            .groupBy("h")
+            .agg(F.sum("n").alias("n")),
+            "card": _read(spark, index_dir, "card", _SCHEMAS["card"])
+            .groupBy("doc_id")
+            .agg(F.sum("delta").alias("delta"))
+            .filter(F.col("delta") != 0),
+            "simhash": _read(spark, index_dir, "simhash", _SCHEMAS["simhash"]),
+            "fp": fp_now,
+            # re-derived from the folded fingerprint set: guarantees the
+            # one-row-per-(kid, fingerprint) invariant by construction.
+            "band": fp_now.select(
+                F.explode(_band_keys()).alias("k"), "simhash"
+            ).select("k.kid", "k.val", "simhash"),
+        }
+        df_now = folded["df"]
+        rare_now = df_now.filter(F.col("n") <= DF_CAP).select("h")
+        folded["postings"] = _read(
+            spark, index_dir, "postings", _SCHEMAS["postings"]
+        ).join(rare_now, "h", "left_semi")
+        for table, frame in folded.items():
+            if segstore.segments(_path(index_dir, table)):
+                segstore.replace(frame, _path(index_dir, table))
+
+
+def vacuum_index(index_dir: str, grace_sec: float = 0.0) -> int:
+    """Reclaim segments superseded by compaction (and crashed writers'
+    debris) older than *grace_sec* — run after the longest reader plan
+    lifetime has elapsed.  Returns reclaimed dir count."""
+    with segstore.writer_lock(index_dir):
+        return sum(
+            segstore.vacuum(_path(index_dir, t), grace_sec) for t in _TABLES
+        )
+
+
+def index_row_counts(spark: SparkSession, index_dir: str) -> dict[str, int]:
+    """Physical row count per table (live segments) — the ladder artifact
+    uses before/after-compaction counts to report dead rows reclaimed."""
+    return {
+        t: _read(spark, index_dir, t, _SCHEMAS[t]).count()
+        for t in _TABLES
+        if segstore.segments(_path(index_dir, t))
     }
-    df_now = folded["df"]
-    rare_now = df_now.filter(F.col("n") <= DF_CAP).select("h")
-    folded["postings"] = _read(
-        spark, index_dir, "postings", "h long, doc_id long"
-    ).join(rare_now, "h", "left_semi")
-    # Two phases: write EVERY staging dir while the live tables are intact
-    # (the folded plans read across tables — postings' liveness filter scans
-    # df — so no live dir may be swapped until all reads are done), then
-    # swap.  Each swap is still the crash-safe rename pair.
-    staged: list[str] = []
-    for table, frame in folded.items():
-        live = _path(index_dir, table)
-        if not os.path.isdir(live):
-            continue
-        frame.write.mode("overwrite").parquet(live + ".__staging__")
-        staged.append(live)
-    for live in staged:
-        old = live + ".__old__"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(live, old)
-        os.rename(live + ".__staging__", live)
-        shutil.rmtree(old, ignore_errors=True)
 
 
 def classify_batch(
@@ -277,13 +399,13 @@ def classify_batch(
         bnorm = b.select("doc_id", "n_chars", norm_text(F.col("text")).alias("norm"))
         exact_hits = (
             bnorm.select("doc_id", F.md5("norm").alias("hh"))
-            .join(_read(spark, index_dir, "exact", "hh string"), "hh", "left_semi")
+            .join(_read(spark, index_dir, "exact", _SCHEMAS["exact"]), "hh", "left_semi")
             .select("doc_id")
         )
 
         sb = bounded_persist(_doc_shingles(b), "batch shingles (O(batch))")
         dfb = sb.groupBy("h").agg(F.count(F.lit(1)).alias("n_new"))
-        df_idx = _read(spark, index_dir, "df", "h long, n long")
+        df_idx = _read(spark, index_dir, "df", _SCHEMAS["df"])
         before = (
             df_idx.join(dfb.select("h"), "h", "left_semi")
             .groupBy("h")
@@ -308,7 +430,7 @@ def classify_batch(
             & (F.col("n_before") <= DF_CAP)
             & (F.col("n_after") > DF_CAP)
         ).select("h")
-        postings = _read(spark, index_dir, "postings", "h long, doc_id long")
+        postings = _read(spark, index_dir, "postings", _SCHEMAS["postings"])
         inter = (
             rsb.alias("a")
             .join(postings.alias("p"), "h")
@@ -318,7 +440,7 @@ def classify_batch(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         card = (
-            _read(spark, index_dir, "card", "doc_id long, delta long")
+            _read(spark, index_dir, "card", _SCHEMAS["card"])
             .groupBy("doc_id")
             .agg(F.sum("delta").alias("card"))
         )
@@ -360,86 +482,127 @@ def classify_batch(
         pass
 
 
-def simhash_near_batch(
-    spark: SparkSession,
-    batch: DataFrame,
-    index_dir: str,
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Batch docs' near-duplicate matches against the maintained simhash
-    index: (doc_id, n_near, min_hamming) for batch docs with ≥1 corpus
-    fingerprint within ``max_hamming`` — the d10 band-blocked program with
-    one side pinned to the batch.
+def _band_candidates(
+    spark: SparkSession, batch: DataFrame, index_dir: str, max_hamming: int
+):
+    """Shared candidate pipeline for ``simhash_near_batch`` and the ladder's
+    instrumentation: returns (bsim, fp_pairs) where fp_pairs is one row per
+    DISTINCT (batch fingerprint, corpus fingerprint) band-agreeing pair with
+    its hamming distance — the pre-threshold candidate stream.
 
-    Scale shape: both sides collapse to DISTINCT fingerprints before the
-    band join (the Manku fingerprint-store move); the join is key-equi on
-    (kid, val) with the batch side small; matches aggregate at the
-    FINGERPRINT grain (n_near sums per-fingerprint corpus doc counts) and
-    only then expand to batch doc_ids — output-sized, never doc-pair-sized.
-    """
+    ``max_hamming`` must equal HAM_MAX: the persisted (B−3)-subset band plan
+    is exact-by-pigeonhole for hamming ≤ 3 only; a larger radius would
+    silently under-recall, so it fails loudly instead (a wider radius needs
+    a C(B, B−h)-subset plan — a different, bigger index)."""
     from worker_etl_spark.queries import bounded_persist
-    from worker_etl_spark.queries.dedup_q import _ham_band_plan
 
-    idx = _read(spark, index_dir, "simhash", "doc_id long, simhash long")
-    idx_fp = bounded_persist(
-        idx.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_docs")),
-        "distinct corpus fingerprints (≤ |docs|)",
-    )
-    n_fp = idx_fp.count()
+    if max_hamming != HAM_MAX:
+        raise ValueError(
+            f"maintained band plan is exact for hamming <= {HAM_MAX} only "
+            f"(got max_hamming={max_hamming}); widening the radius requires "
+            "rebuilding the band table under a C(B, B-h)-subset plan"
+        )
     bsim = bounded_persist(_doc_simhash(batch), "batch fingerprints (O(batch))")
-    bfp = bsim.select("simhash").distinct()
-
-    n_bands, band_bits, subsets = _ham_band_plan(max(n_fp, 1))
-    band_mask = (1 << band_bits) - 1
-    key_masks = [sum(band_mask << (b * band_bits) for b in sub) for sub in subsets]
-    keys = F.array(
-        *[
-            F.struct(
-                F.lit(kid).alias("kid"),
-                F.expr(
-                    " + ".join(
-                        f"(((simhash >> {b * band_bits}) & {band_mask})"
-                        f" << {pos * band_bits})"
-                        for pos, b in enumerate(sub)
-                    )
-                )
-                .cast("long")
-                .alias("val"),
-            )
-            for kid, sub in enumerate(subsets)
-        ]
+    bkeys = (
+        bsim.select("simhash")
+        .distinct()
+        .select(F.col("simhash").alias("fp_b"), F.explode(_band_keys()).alias("k"))
+        .select("fp_b", "k.kid", "k.val")
     )
-    a = (
-        bfp.select("simhash", F.explode(keys).alias("k"))
-        .select(F.col("simhash").alias("fp_b"), "k.kid", "k.val")
-    )
-    bnd = (
-        idx_fp.select("simhash", F.explode(keys).alias("k"))
-        .select(F.col("simhash").alias("fp_c"), "k.kid", "k.val")
+    band = _read(spark, index_dir, "band", _SCHEMAS["band"]).select(
+        "kid", "val", F.col("simhash").alias("fp_c")
     )
     first_kid = (
         "CASE "
         + " ".join(
             f"WHEN ((fp_b ^ fp_c) & {m}) = 0 THEN {k}"
-            for k, m in enumerate(key_masks)
+            for k, m in enumerate(_KEY_MASKS)
         )
         + " END"
     )
-    fp_hits = (
-        a.join(bnd, ["kid", "val"])
-        .filter(F.expr(f"bit_count(fp_b ^ fp_c) <= {max_hamming}"))
+    fp_pairs = (
+        band.join(F.broadcast(bkeys), ["kid", "val"])
         .filter(F.expr(f"kid = ({first_kid})"))
-        .join(idx_fp.select(F.col("simhash").alias("fp_c"), "n_docs"), "fp_c")
+        .select(
+            "fp_b", "fp_c", F.expr("bit_count(fp_b ^ fp_c)").alias("hamming")
+        )
+    )
+    return bsim, fp_pairs
+
+
+def simhash_near_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    max_hamming: int = HAM_MAX,
+) -> DataFrame:
+    """Batch docs' near-duplicate matches against the maintained simhash
+    index: (doc_id, n_near, min_hamming) for batch docs with ≥1 corpus
+    fingerprint within ``max_hamming`` (= HAM_MAX, enforced — the persisted
+    band plan's pigeonhole guarantee).
+
+    Scale shape (the round-11 flattening of d18's measured 2.66×-per-10×
+    slope): the index side is ENTIRELY precomputed at ingest — the ``band``
+    table already holds one (kid, val) row per band key per distinct corpus
+    fingerprint and the ``fp`` table its doc counts — so a classification
+    run aggregates and explodes NOTHING corpus-sized.  The batch's ~20
+    band-key rows per distinct fingerprint broadcast into a map-side hash
+    join against one narrow 3-column scan of ``band`` (no corpus shuffle,
+    no corpus count() action); matches aggregate at the FINGERPRINT grain
+    (n_near sums per-fingerprint corpus doc counts from ``fp``, again
+    broadcast-semi-filtered) and only then expand to batch doc_ids —
+    output-sized, never doc-pair-sized.
+    """
+    bsim, fp_pairs = _band_candidates(spark, batch, index_dir, max_hamming)
+    n_docs = (
+        _read(spark, index_dir, "fp", _SCHEMAS["fp"])
+        .groupBy("simhash")
+        .agg(F.sum("n").alias("n_docs"))
+        .select(F.col("simhash").alias("fp_c"), "n_docs")
+    )
+    fp_hits = (
+        fp_pairs.filter(F.col("hamming") <= max_hamming)
+        .join(n_docs, "fp_c")
         .groupBy("fp_b")
         .agg(
             F.sum("n_docs").alias("n_near"),
-            F.min(F.expr("bit_count(fp_b ^ fp_c)")).cast("long").alias("min_hamming"),
+            F.min("hamming").cast("long").alias("min_hamming"),
         )
     )
     return (
         bsim.join(fp_hits, bsim["simhash"] == fp_hits["fp_b"])
         .select("doc_id", "n_near", "min_hamming")
     )
+
+
+def simhash_probe_stats(
+    spark: SparkSession, batch: DataFrame, index_dir: str
+) -> dict[str, int]:
+    """Measured candidate-volume instrumentation for the ladder artifact
+    (round-10 verdict #1: "volume-bound" must be a recorded number, not an
+    argument): distinct fingerprints on each side, band-agreeing candidate
+    pairs entering the hamming check, and pairs surviving it."""
+    from worker_etl_spark.queries import release_persists
+
+    _bsim, fp_pairs = _band_candidates(spark, batch, index_dir, HAM_MAX)
+    agg = fp_pairs.agg(
+        F.count(F.lit(1)).alias("cand"),
+        F.sum((F.col("hamming") <= HAM_MAX).cast("long")).alias("surv"),
+    ).collect()[0]
+    n_corpus_fp = (
+        _read(spark, index_dir, "fp", _SCHEMAS["fp"])
+        .select("simhash")
+        .distinct()
+        .count()
+    )
+    n_batch_fp = _bsim.select("simhash").distinct().count()
+    release_persists()
+    return {
+        "corpus_distinct_fps": n_corpus_fp,
+        "batch_distinct_fps": n_batch_fp,
+        "band_candidate_fp_pairs": int(agg["cand"] or 0),
+        "hamming_survivor_fp_pairs": int(agg["surv"] or 0),
+    }
 
 
 # --- fingerprint-cached index for the registered queries ---------------------
