@@ -1316,8 +1316,14 @@ def evt19_streaming_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFram
     per content fingerprint — must equal the batch GROUP BY oracle.
 
     Exactly-once: appends are NOT idempotent under micro-batch replay, so
-    each batch commits through the marker ledger (the ``streaming/sink.py``
-    contract — replayed batch ids skip).  Order-independence: min/count are
+    each batch publishes its segment by ATOMIC RENAME — written to a staging
+    dir outside the registry, renamed to ``batch-<id>`` in one filesystem
+    operation, and the published dir's existence IS the commit marker.  A
+    crash before the rename leaves only invisible staging (replay overwrites
+    it and publishes once); a crash after it makes the replay a no-op — there
+    is no window where the data landed but the marker didn't (the round-10
+    marker-after-append ledger had exactly that double-append window).
+    Order-independence: min/count are
     commutative monoids, so the folded registry is identical under ANY
     micro-batch partitioning or arrival order — the property that lets 1000
     executors ingest shards concurrently at 100 TB.  Read-time fold is one
@@ -1336,15 +1342,16 @@ def evt19_streaming_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFram
     tmp = fixture_dir("evt19")
     feed = os.path.join(tmp, "feed")
     registry = os.path.join(tmp, "registry")
-    ledger = os.path.join(tmp, "ledger")
+    staging_root = os.path.join(tmp, "staging")
     ckpt = os.path.join(tmp, "ckpt")
-    os.makedirs(ledger)
+    os.makedirs(registry)
+    os.makedirs(staging_root)
     d.repartition(8).write.mode("overwrite").parquet(feed)
 
     def append_segment(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(ledger, f"{batch_id}.done")
-        if os.path.exists(marker):
-            return  # replayed, already committed — exactly-once skip
+        final = os.path.join(registry, f"batch-{batch_id}")
+        if os.path.exists(final):
+            return  # replayed, already published — exactly-once skip
         seg = (
             batch_df.select(
                 hex_int(norm_text(F.col("text")), 15).alias("fp"), "doc_id"
@@ -1355,9 +1362,13 @@ def evt19_streaming_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFram
                 F.count(F.lit(1)).alias("n"),
             )
         )
-        seg.write.mode("append").parquet(registry)
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write("")
+        # Stage outside the registry, publish with one atomic rename: the
+        # published dir doubles as the commit marker (no append-then-mark
+        # crash window; a replay after a crash overwrites the orphan
+        # staging dir and publishes exactly once).
+        staging = os.path.join(staging_root, f"batch-{batch_id}")
+        seg.write.mode("overwrite").parquet(staging)
+        os.rename(staging, final)
 
     q = (
         spark.readStream.schema(d.schema)
@@ -1371,7 +1382,7 @@ def evt19_streaming_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFram
     q.awaitTermination(300)
 
     folded = (
-        spark.read.parquet(registry)
+        spark.read.parquet(os.path.join(registry, "batch-*"))
         .groupBy("fp")
         .agg(F.min("canonical").alias("canonical"), F.sum("n").alias("n"))
     )
