@@ -689,6 +689,115 @@ def dedup_pinned_rung(spark, copies: int) -> dict:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+#: ANN pinned-batch ladder (round-10 verdict #5: extend the maintained-index
+#: posture to similarity): embeddings-only corpora with the query set,
+#: centroid set, AND daily batch all pinned to the base corpus (replica
+#: copies contribute candidate rows only); the IVF index is built
+#: incrementally (untimed, ANN_CHUNKS no-retrain appends), the pinned batch
+#: append is recorded as the daily ingest cost, and the timed number is
+#: SEARCH alone.  Candidate volume (postings in probed cells) is recorded
+#: per rung so search growth is attributable to measured numbers.
+ANN_PINNED_LADDER = (10, 100)
+ANN_PINNED_QUERIES = ("s09_incremental_ann",)
+ANN_CHUNKS = 10
+
+
+def ann_pinned_rung(spark, copies: int) -> dict:
+    from worker_etl_spark.operators.ann_index import (
+        append_ann_batch,
+        create_ann_index,
+        probed_candidate_count,
+        register_ann_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix=f"smoke_ann_pinned_{copies}_")
+    index_dir = tempfile.mkdtemp(prefix=f"smoke_ann_index_{copies}_")
+    try:
+        t0 = time.time()
+        emb = _replicate(
+            read_table(spark, BASE_SF, "embeddings"), ["vec_id"], copies,
+            mutate_text=False,
+        )
+        # Pin every collected/broadcast set AND the daily batch: replica
+        # rows landing on the query (%50) or centroid (%31) strides, or on
+        # the batch stride (%10 == 7), are dropped from copies i>0 — only
+        # candidates grow with the corpus.
+        emb = emb.filter(
+            (F.col("vec_id") < OFFSET)
+            | (
+                (F.col("vec_id") % 50 != 0)
+                & (F.col("vec_id") % 31 != 0)
+                & (F.col("vec_id") % 10 != 7)
+            )
+        )
+        emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+        build_s = round(time.time() - t0, 1)
+        _warm_session(spark, os.path.join(tmp, "embeddings.parquet"))
+        e = spark.read.parquet(os.path.join(tmp, "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        )
+        base = e.filter(F.col("vec_id") % 10 != 7)
+        batch = e.filter(F.col("vec_id") % 10 == 7)
+        queries = base.filter(F.col("vec_id") % 50 == 0)
+        # Untimed incremental index build: freeze base-trained centroids,
+        # then ANN_CHUNKS no-retrain appends by replica range.
+        t0 = time.time()
+        create_ann_index(
+            spark, base.filter(F.col("vec_id") % 31 == 0), index_dir
+        )
+        span = max(1, (copies + ANN_CHUNKS - 1) // ANN_CHUNKS)
+        for chunk in range(ANN_CHUNKS):
+            lo, hi = chunk * span, (chunk + 1) * span
+            append_ann_batch(
+                spark,
+                base.filter(
+                    (F.col("vec_id") >= lo * OFFSET)
+                    & (F.col("vec_id") < hi * OFFSET)
+                ),
+                index_dir,
+            )
+            if hi >= copies:
+                break
+        index_build_s = round(time.time() - t0, 1)
+        # The daily ingest op itself, recorded (O(batch × centroids)).
+        t0 = time.time()
+        append_ann_batch(spark, batch, index_dir)
+        append_batch_s = round(time.time() - t0, 2)
+        register_ann_index(tmp, index_dir)
+        rung = {
+            "build_sec": build_s,
+            "untimed_incremental_index_build_sec": index_build_s,
+            "index_chunks": ANN_CHUNKS,
+            "append_pinned_batch_sec": append_batch_s,
+            **_time_queries(spark, ANN_PINNED_QUERIES, tmp),
+        }
+        rung["probed_candidate_rows"] = probed_candidate_count(
+            spark, queries, index_dir
+        )
+        rung["total_postings_rows"] = spark.read.parquet(
+            os.path.join(index_dir, "postings")
+        ).count()
+        return rung
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def ann_pinned_growth() -> dict:
+    """Pinned-batch ladder over the maintained ANN search, one fresh
+    subprocess per rung."""
+    return _growth_subproc(
+        "ann_pinned",
+        ANN_PINNED_LADDER,
+        ANN_PINNED_QUERIES,
+        extra={
+            "batch": "pinned to base corpus (replicas contribute candidates only)",
+            "index": "centroids frozen once; postings appended incrementally "
+            "(untimed); timed = search alone",
+        },
+    )
+
+
 def dedup_pinned_growth() -> dict:
     """Pinned-batch ladder over the maintained-index classifiers, one fresh
     subprocess per rung — the round-10 answer to the round-9 d16 finding."""
@@ -725,6 +834,8 @@ def _rung_main(kind: str, copies: int, out_json: str) -> None:
         rung = dedup_deep_rung(spark, copies)
     elif kind == "dedup_pinned":
         rung = dedup_pinned_rung(spark, copies)
+    elif kind == "ann_pinned":
+        rung = ann_pinned_rung(spark, copies)
     else:
         rung = sim_rung(spark, copies)
     with open(out_json, "w") as fh:
@@ -747,6 +858,24 @@ if __name__ == "__main__":
                 "classification alone — the job that runs daily"
             ),
             **dedup_pinned_growth(),
+        }
+        print(json.dumps(res))
+        if len(sys.argv) > 2:
+            with open(sys.argv[2], "w") as fh:
+                json.dump(res, fh, indent=2)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ann":
+        # Standalone ANN maintained-index ladder (round-11: verdict #5).
+        res = {
+            "metric": "ann_maintained_index_pinned_batch_ladder",
+            "what": (
+                "s09 with query set, centroids, and the daily batch pinned "
+                "to the base corpus; the IVF index is built incrementally "
+                f"(untimed, {ANN_CHUNKS} no-retrain appends via "
+                "ann_index.append_ann_batch) and the timed number is search "
+                "alone; the pinned batch's own append is recorded as the "
+                "daily ingest cost"
+            ),
+            **ann_pinned_growth(),
         }
         print(json.dumps(res))
         if len(sys.argv) > 2:

@@ -610,10 +610,10 @@ _INDEX_ROOT: str | None = None
 _INDEX_CACHE: dict[str, str] = {}
 
 
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap staleness key for sf_dir's documents table: sorted
+def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cheap staleness key for an sf_dir table: sorted
     (name, size, mtime_ns) of its parquet files — O(|files|), no data read."""
-    root = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    root = os.path.join(os.path.realpath(sf_dir), f"{table}.parquet")
     entries = []
     if os.path.isdir(root):
         for dirpath, _dirs, files in os.walk(root):

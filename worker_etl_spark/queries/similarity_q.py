@@ -1556,3 +1556,92 @@ def v06_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# --- s09: incremental ANN (pinned batch appended to a maintained IVF index) --
+#: the d16/d18 ingest split, applied to vectors: % 10 == 7 is the daily batch.
+_ANN_BATCH_STRIDE = 10
+
+
+@register(
+    "s09_incremental_ann",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {sql_norm('embedding')} AS nrm FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, embedding, nrm FROM v
+          WHERE vec_id % {_IVF_STRIDE} = 0 AND vec_id % {_ANN_BATCH_STRIDE} != 7),
+    q AS (SELECT vec_id AS qid, embedding, nrm FROM v
+          WHERE vec_id % {_QUERY_STRIDE} = 0 AND vec_id % {_ANN_BATCH_STRIDE} != 7),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round({sql_dot('v.embedding', 'c.embedding')} / (v.nrm * c.nrm), 6) DESC,
+                        c.cid
+             ) AS rn
+      FROM v CROSS JOIN c
+    ),
+    cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+    probe AS (
+      SELECT q.qid, c.cid,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round({sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) DESC,
+                        c.cid
+             ) AS rn
+      FROM q CROSS JOIN c
+    ),
+    probes AS (SELECT qid, cid AS cell FROM probe WHERE rn <= {_IVF_PROBES}),
+    cand AS (
+      SELECT p.qid, ce.vec_id AS cand_id
+      FROM probes p JOIN cell ce ON ce.cell = p.cell
+      WHERE ce.vec_id <> p.qid
+    ),
+    scored AS (
+      SELECT cand.qid AS query_id, cand.cand_id,
+             round({sql_dot('q.embedding', 'v.embedding')} / (q.nrm * v.nrm), 6) AS cosine
+      FROM cand
+      JOIN q ON q.qid = cand.qid
+      JOIN v ON v.vec_id = cand.cand_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def s09_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN: the daily vector batch (vec_id % 10 == 7) is APPENDED
+    to a persisted IVF index — centroids frozen at index creation, batch
+    vectors assigned to their nearest existing cell and appended to the
+    cell-partitioned postings (``operators/ann_index.py``) — and the pinned
+    query workload then searches base + batch through the same probe-2,
+    exact-re-rank path as s03.  This is round-10 verdict #5: the maintained-
+    index posture (d16/d18's) extended to similarity, so ingest is O(batch ×
+    centroids) with no quantizer retrain and no corpus re-assignment.
+
+    Scale shape: the postings table is PARTITIONED BY CELL, so a search's
+    ``cell IN (probed)`` filter prunes the scan to the probed cells' files —
+    the partition layout IS the inverted index; appends only add files
+    inside cell dirs, preserving pruning forever.  Assignment/probe/re-rank
+    reuse s03's rounded-cosine + smallest-id recipe, so the maintained path
+    is value-hash-verified against the stateless SQL formulation (the oracle
+    assigns every corpus vector — base and batch alike — to the SAME frozen
+    base-trained centroids).  Re-rank reads exact stored float32 vectors:
+    incremental maintenance costs zero result quality vs s03's semantics.
+    No reference counterpart (SURVEY.md §2 driver-mandated extension)."""
+    from worker_etl_spark.operators.ann_index import ensure_ann_index, search_ann
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") % _ANN_BATCH_STRIDE != 7)
+    batch = e.filter(F.col("vec_id") % _ANN_BATCH_STRIDE == 7)
+    centroids = base.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+    index_dir = ensure_ann_index(spark, sf_dir, centroids, [base, batch])
+    q = base.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
+    return search_ann(spark, q, index_dir, probes=_IVF_PROBES, k=_TOP_K)
