@@ -1,0 +1,79 @@
+"""Pin the headline bench's noise band (round-10 verdict #3).
+
+Runs ``bench.py`` N times, each in a fresh subprocess (fresh JVM — the
+growth-ladder isolation lesson) under the idle-host gate bench.py now
+applies itself, and writes a per-query min/median/max band artifact.  With
+the band pinned, a future round's per-query mover is a regression only when
+it leaves the measured idle-host envelope — the same discipline
+D06_VARIANCE.json applies to the full-sweep movers.
+
+Usage: python tools/bench_noise.py [n_runs] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_NOISE_BAND.json"
+    runs = []
+    for i in range(n_runs):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            print(f"run {i} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+            return 1
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        runs.append(json.loads(line))
+        print(
+            f"run {i}: total {runs[-1]['value']} s, "
+            f"load_before {runs[-1]['load_avg_before'][0]}, "
+            f"waited {runs[-1].get('idle_wait_sec', 0)} s",
+            file=sys.stderr,
+        )
+    names = sorted(runs[0]["queries"])
+    band = {}
+    for n in names:
+        vals = [r["queries"][n] for r in runs if r["queries"][n] >= 0]
+        band[n] = {
+            "min": min(vals),
+            "median": round(statistics.median(vals), 3),
+            "max": max(vals),
+            "spread_x": round(max(vals) / max(min(vals), 1e-9), 2),
+        }
+    result = {
+        "metric": "headline_bench_idle_noise_band",
+        "n_runs": n_runs,
+        "totals_sec": [r["value"] for r in runs],
+        "load_avg_before_per_run": [r["load_avg_before"][0] for r in runs],
+        "idle_wait_sec_per_run": [r.get("idle_wait_sec", 0) for r in runs],
+        "queries": band,
+        "protocol": (
+            "each run is a fresh bench.py subprocess (fresh JVM) under the "
+            "idle-host gate (wait up to SPARK_GRAFT_BENCH_IDLE_WAIT_SEC for "
+            "1-min load < SPARK_GRAFT_BENCH_IDLE_LOAD); per-query warm-pass "
+            "timings; a future mover counts as a regression only outside "
+            "[min, max] of this band"
+        ),
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, out_json), "w") as fh:
+        json.dump(result, fh, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
