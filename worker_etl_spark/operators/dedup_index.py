@@ -33,14 +33,18 @@ concurrent-reader-safe by construction; see ``operators/segstore.py``):
 - ``fp/``       (simhash long, n long)  ADDITIVE per-fingerprint doc counts
                 (the Manku WWW'07 fingerprint store's occupancy); true
                 count = sum(n) per simhash.
-- ``band/``     (kid int, val long, simhash long)  the PRECOMPUTED band
-                keys of every DISTINCT corpus fingerprint under the fixed
-                ``_BAND_SUBSETS`` plan — appended only for fingerprints new
-                to the index, so rows are unique per (kid, simhash).  This
-                is what lets ``simhash_near_batch`` probe without
-                re-aggregating or re-exploding the corpus per run
-                (round-10's measured 2.66×-per-10× d18 slope was exactly
-                that per-classify ``groupBy(simhash)`` + ×-keys explode).
+- ``band/``     (key long, simhash long)  the PRECOMPUTED band keys of
+                every DISTINCT corpus fingerprint under the fixed
+                ``_BAND_SUBSETS`` plan, fused into one long per row
+                (``key = kid·2^30 + 30-bit subset value``) — appended only
+                for fingerprints new to the index, so rows are unique per
+                (key's kid, simhash).  This is what lets
+                ``simhash_near_batch`` probe without re-aggregating or
+                re-exploding the corpus per run (round-10's measured
+                2.66×-per-10× d18 slope was exactly that per-classify
+                ``groupBy(simhash)`` + ×-keys explode); the fused key keeps
+                the scan two narrow long columns and the hash probe
+                single-key.
 
 Why append-only: per-batch maintenance touches O(batch) rows plus
 broadcast-filtered scans of the narrow index tables; there is no staging
@@ -118,7 +122,7 @@ _SCHEMAS = {
     "card": "doc_id long, delta long",
     "simhash": "doc_id long, simhash long",
     "fp": "simhash long, n long",
-    "band": "kid int, val long, simhash long",
+    "band": "key long, simhash long",
 }
 
 
@@ -136,22 +140,21 @@ def _append(df: DataFrame, index_dir: str, table: str) -> None:
 
 
 def _band_keys(fp_col: str = "simhash") -> F.Column:
-    """Array of (kid, val) structs for a fingerprint column under the fixed
-    maintained-index band plan."""
+    """Array of fused band keys (``kid·2^30 + 30-bit subset value``) for a
+    fingerprint column under the fixed maintained-index band plan — one
+    long per key so the stored table stays two narrow columns and the
+    band join probes a single-long hash key."""
+    kid_shift = (_N_BANDS - HAM_MAX) * _BAND_BITS  # 30: subset values < 2^30
     return F.array(
         *[
-            F.struct(
-                F.lit(kid).cast("int").alias("kid"),
-                F.expr(
-                    " + ".join(
-                        f"((({fp_col} >> {b * _BAND_BITS}) & {_BAND_MASK})"
-                        f" << {pos * _BAND_BITS})"
-                        for pos, b in enumerate(sub)
-                    )
+            F.expr(
+                f"{kid << kid_shift}L + "
+                + " + ".join(
+                    f"((({fp_col} >> {b * _BAND_BITS}) & {_BAND_MASK})"
+                    f" << {pos * _BAND_BITS})"
+                    for pos, b in enumerate(sub)
                 )
-                .cast("long")
-                .alias("val"),
-            )
+            ).cast("long")
             for kid, sub in enumerate(_BAND_SUBSETS)
         ]
     )
@@ -247,8 +250,8 @@ def update_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
             )
             new_fps = fpb.select("simhash").join(known, "simhash", "left_anti")
             _append(
-                new_fps.select(F.explode(_band_keys()).alias("k"), "simhash").select(
-                    "k.kid", "k.val", "simhash"
+                new_fps.select(
+                    F.explode(_band_keys()).alias("key"), "simhash"
                 ),
                 index_dir,
                 "band",
@@ -342,8 +345,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
             # re-derived from the folded fingerprint set: guarantees the
             # one-row-per-(kid, fingerprint) invariant by construction.
             "band": fp_now.select(
-                F.explode(_band_keys()).alias("k"), "simhash"
-            ).select("k.kid", "k.val", "simhash"),
+                F.explode(_band_keys()).alias("key"), "simhash"
+            ),
         }
         df_now = folded["df"]
         rare_now = df_now.filter(F.col("n") <= DF_CAP).select("h")
@@ -506,12 +509,12 @@ def _band_candidates(
     bkeys = (
         bsim.select("simhash")
         .distinct()
-        .select(F.col("simhash").alias("fp_b"), F.explode(_band_keys()).alias("k"))
-        .select("fp_b", "k.kid", "k.val")
+        .select(F.col("simhash").alias("fp_b"), F.explode(_band_keys()).alias("key"))
     )
     band = _read(spark, index_dir, "band", _SCHEMAS["band"]).select(
-        "kid", "val", F.col("simhash").alias("fp_c")
+        "key", F.col("simhash").alias("fp_c")
     )
+    kid_shift = (_N_BANDS - HAM_MAX) * _BAND_BITS
     first_kid = (
         "CASE "
         + " ".join(
@@ -521,8 +524,8 @@ def _band_candidates(
         + " END"
     )
     fp_pairs = (
-        band.join(F.broadcast(bkeys), ["kid", "val"])
-        .filter(F.expr(f"kid = ({first_kid})"))
+        band.join(F.broadcast(bkeys), "key")
+        .filter(F.expr(f"(key >> {kid_shift}) = ({first_kid})"))
         .select(
             "fp_b", "fp_c", F.expr("bit_count(fp_b ^ fp_c)").alias("hamming")
         )
@@ -554,18 +557,22 @@ def simhash_near_batch(
     output-sized, never doc-pair-sized.
     """
     bsim, fp_pairs = _band_candidates(spark, batch, index_dir, max_hamming)
-    n_docs = (
-        _read(spark, index_dir, "fp", _SCHEMAS["fp"])
-        .groupBy("simhash")
-        .agg(F.sum("n").alias("n_docs"))
-        .select(F.col("simhash").alias("fp_c"), "n_docs")
+    hits = fp_pairs.filter(F.col("hamming") <= max_hamming)
+    # n_near needs the matched corpus fingerprints' doc counts.  The hit set
+    # is output-sized (measured flat on the ladder), so BROADCAST it against
+    # the additive fp table — a map-side probe of a 2-long-column scan —
+    # instead of folding the whole corpus-sized fp table through a shuffle
+    # per classification (each hit pair appears once, so summing a
+    # fingerprint's additive segments across the joined rows is its true
+    # doc count).
+    fp_tbl = _read(spark, index_dir, "fp", _SCHEMAS["fp"]).select(
+        F.col("simhash").alias("fp_c"), "n"
     )
     fp_hits = (
-        fp_pairs.filter(F.col("hamming") <= max_hamming)
-        .join(n_docs, "fp_c")
+        fp_tbl.join(F.broadcast(hits), "fp_c")
         .groupBy("fp_b")
         .agg(
-            F.sum("n_docs").alias("n_near"),
+            F.sum("n").alias("n_near"),
             F.min("hamming").cast("long").alias("min_hamming"),
         )
     )
