@@ -41,6 +41,11 @@ def _wait_for_idle() -> dict:
         "load_avg_initial": round(initial, 2),
         "idle_wait_sec": waited,
         "idle_target": target,
+        # AMBIENT load at measurement start — captured before the session
+        # bootstrap/warm-up, which otherwise dominates the 1-min average
+        # (the r7-r10 "load 4.5-7" readings were partly the bench's own
+        # warm passes).  This is the number the idle-host protocol gates on.
+        "load_avg_before": [round(x, 2) for x in os.getloadavg()],
     }
 
 
@@ -146,7 +151,9 @@ def main() -> None:
                 "queries": timings,
                 "cold_total_sec": round(sum(v for v in cold.values() if v >= 0), 3),
                 "untimed_shingle_warm_sec": shingle_warm,
-                "load_avg_before": [round(x, 2) for x in load_before],
+                # load at pass start includes the bench's OWN warm-up work;
+                # the protocol's ambient "load_avg_before" comes from idle.
+                "load_avg_at_pass_start": [round(x, 2) for x in load_before],
                 "load_avg_after": [round(x, 2) for x in load_after],
                 **idle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
