@@ -270,6 +270,40 @@ def test_classify_during_compact_is_safe(spark, tmpdirs):
     assert post == reference
 
 
+def test_classify_during_ingest_sees_consistent_prefix(spark, tmpdirs):
+    """A classifier whose plan predates a concurrent ingest batch keeps
+    reading the manifests it resolved — its result equals the pre-ingest
+    classification exactly (per-table atomic manifests; the in-flight batch
+    is simply not visible to the held plan), and a FRESH plan after the
+    ingest reflects the grown corpus."""
+    _, inc_dir, _ = tmpdirs
+    corpus, batch = _corpus_and_batch(spark)
+    first = corpus.filter(F.col("doc_id") % 2 == 0)
+    second = corpus.filter(F.col("doc_id") % 2 == 1)
+    update_index(spark, first, inc_dir)
+    reference = {
+        (r.doc_id, r.status) for r in classify_batch(spark, batch, inc_dir).collect()
+    }
+    held_plan = classify_batch(spark, batch, inc_dir)  # resolves manifests now
+    update_index(spark, second, inc_dir)  # concurrent ingest lands
+    in_flight = {(r.doc_id, r.status) for r in held_plan.collect()}
+    release_persists()
+    assert in_flight == reference
+    # a fresh plan sees the full corpus — and differs (the second half adds
+    # exact-dup hits for this split at sf0.001)
+    post = {
+        (r.doc_id, r.status) for r in classify_batch(spark, batch, inc_dir).collect()
+    }
+    release_persists()
+    full_dir = tmpdirs[0]
+    update_index(spark, corpus, full_dir)
+    expected_full = {
+        (r.doc_id, r.status) for r in classify_batch(spark, batch, full_dir).collect()
+    }
+    release_persists()
+    assert post == expected_full
+
+
 def test_crashed_writer_debris_is_invisible_and_vacuumed(spark, tmpdirs):
     """A writer that crashes mid-publish leaves only unreferenced dirs
     (dot-staging or an unmanifested segment) — reads are unaffected (no
