@@ -262,7 +262,9 @@ def test_classify_during_compact_is_safe(spark, tmpdirs):
     release_persists()
     assert in_flight == reference
     # Vacuum reclaims the superseded segments; a fresh plan still matches.
-    assert vacuum_index(inc_dir, grace_sec=0.0) > 0
+    # (grace 0 needs the explicit reader-quiescence assertion — the held
+    # plan above has fully materialized, so it is true here.)
+    assert vacuum_index(inc_dir, grace_sec=0.0, no_active_readers=True) > 0
     post = {
         (r.doc_id, r.status) for r in classify_batch(spark, batch, inc_dir).collect()
     }
@@ -272,10 +274,11 @@ def test_classify_during_compact_is_safe(spark, tmpdirs):
 
 def test_classify_during_ingest_sees_consistent_prefix(spark, tmpdirs):
     """A classifier whose plan predates a concurrent ingest batch keeps
-    reading the manifests it resolved — its result equals the pre-ingest
-    classification exactly (per-table atomic manifests; the in-flight batch
-    is simply not visible to the held plan), and a FRESH plan after the
-    ingest reflects the grown corpus."""
+    reading the manifest snapshot it resolved — its result equals the
+    pre-ingest classification exactly (the store-level manifest swap is
+    atomic, so the in-flight batch is invisible to the held plan across ALL
+    tables at once), and a FRESH plan after the ingest reflects the grown
+    corpus."""
     _, inc_dir, _ = tmpdirs
     corpus, batch = _corpus_and_batch(spark)
     first = corpus.filter(F.col("doc_id") % 2 == 0)
@@ -322,20 +325,88 @@ def test_crashed_writer_debris_is_invisible_and_vacuumed(spark, tmpdirs):
     os.makedirs(os.path.join(exact_dir, ".tmp-seg-crashed"))
     os.makedirs(os.path.join(exact_dir, "seg-orphan-never-committed"))
     assert _folded(spark, idx) == before  # debris invisible to readers
-    assert vacuum_index(idx, grace_sec=0.0) >= 2
+    assert vacuum_index(idx, grace_sec=0.0, no_active_readers=True) >= 2
     assert not os.path.exists(os.path.join(exact_dir, ".tmp-seg-crashed"))
     assert not os.path.exists(os.path.join(exact_dir, "seg-orphan-never-committed"))
     assert _folded(spark, idx) == before
     # Corruption (manifest names a missing segment) is loud, never empty.
-    manifest = os.path.join(exact_dir, "MANIFEST")
+    manifest = os.path.join(idx, "MANIFEST")
     with open(manifest, encoding="utf-8") as fh:
         good = fh.read()
     with open(manifest, "w", encoding="utf-8") as fh:
-        fh.write(good + "seg-that-does-not-exist\n")
+        fh.write(good + "seg exact seg-that-does-not-exist\n")
     with pytest.raises(RuntimeError, match="corruption"):
         _read(spark, idx, "exact", "hh string").count()
     with open(manifest, "w", encoding="utf-8") as fh:
         fh.write(good)
+
+
+def test_ingest_commit_is_atomic_and_idempotent(spark, tmpdirs):
+    """Round-12 (ADVICE medium): a multi-table ingest batch commits as ONE
+    store-manifest swap.  A writer that crashes after staging any subset of
+    table segments leaves the index logically UNCHANGED (no cross-table
+    partial state), the retry ingests cleanly, and a redelivered batch id
+    is skipped — so crash+retry never duplicates exact/df/postings rows or
+    double-counts n_near."""
+    from worker_etl_spark.operators import segstore
+
+    _, _, idx = tmpdirs
+    rows1 = [(i, 20, f"abcde unique{i:02d} filler{i:02d}") for i in range(4)]
+    rows2 = [(50 + i, 20, f"vwxyz other{i:02d} extra{i:02d}") for i in range(3)]
+    assert update_index(spark, _docs_df(spark, rows1), idx, batch_id="day-1")
+    after_b1 = _folded(spark, idx)
+
+    # Crash mid-batch-2: commit raises AFTER every segment staged.
+    real_commit = segstore.commit
+
+    def exploding_commit(*a, **k):
+        raise RuntimeError("simulated crash before manifest swap")
+
+    segstore.commit = exploding_commit
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            update_index(spark, _docs_df(spark, rows2), idx, batch_id="day-2")
+    finally:
+        segstore.commit = real_commit
+    # No partial state: every table reads exactly as before the crash.
+    assert _folded(spark, idx) == after_b1
+    assert not segstore.committed(idx, "day-2")
+
+    # Retry commits cleanly; redelivery of BOTH batch ids is a no-op.
+    assert update_index(spark, _docs_df(spark, rows2), idx, batch_id="day-2")
+    after_b2 = _folded(spark, idx)
+    assert not update_index(spark, _docs_df(spark, rows1), idx, batch_id="day-1")
+    assert not update_index(spark, _docs_df(spark, rows2), idx, batch_id="day-2")
+    assert _folded(spark, idx) == after_b2
+    # The crashed attempt's staged segments are debris; vacuum reclaims them.
+    assert vacuum_index(idx, grace_sec=0.0, no_active_readers=True) > 0
+    assert _folded(spark, idx) == after_b2
+
+
+def test_vacuum_grace_guard_and_loud_reader_failure(spark, tmpdirs):
+    """Round-11 verdict #4: the reader-lifetime invariant is enforced — a
+    zero/negative grace is refused without an explicit reader-quiescence
+    assertion, and a reader that DOES outlive a forced vacuum fails loudly
+    (Spark raises on the deleted files) instead of returning silently-wrong
+    rows."""
+    _, _, idx = tmpdirs
+    rows = [(i, 20, f"abcde unique{i:02d} filler{i:02d}") for i in range(4)]
+    update_index(spark, _docs_df(spark, rows), idx)
+    with pytest.raises(ValueError, match="no_active_readers"):
+        vacuum_index(idx, grace_sec=0.0)
+    # Hold a plan against the current manifest, compact, force-vacuum, then
+    # materialize the held plan: loud failure, never silent-empty.
+    batch = _docs_df(spark, [(9, 20, "abcde unique00 filler00x")])
+    held = classify_batch(spark, batch, idx)
+    compact_index(spark, idx)
+    assert vacuum_index(idx, grace_sec=0.0, no_active_readers=True) > 0
+    with pytest.raises(Exception, match="(?i)file|exist|path"):
+        held.collect()
+    release_persists()
+    # A fresh plan (current manifest) still classifies correctly.
+    got = {(r.doc_id, r.status) for r in classify_batch(spark, batch, idx).collect()}
+    release_persists()
+    assert got == {(9, "near_dup")}
 
 
 def test_simhash_near_batch_rejects_wider_radius(spark, tmpdirs):

