@@ -1,13 +1,22 @@
 """Maintained IVF ANN index (operators/ann_index.py) — round-10 verdict #5:
-the maintained-index posture extended to similarity.
+the maintained-index posture extended to similarity; round-11 verdict #1/#3:
+bounded-occupancy cell splitting + the segstore manifest/compaction
+lifecycle for postings.
 
-Pins the contracts s09's ladder flatness claim rests on:
+Pins the contracts the ladder claims rest on:
 1. INCREMENTAL == FULL: appending the corpus in chunks (each assigned to the
    frozen centroids, no retrain) yields search results identical to one-shot
    ingestion.
-2. The search scan is PARTITION-PRUNED to the probed cells — the layout is
-   the index; an unpruned scan would silently read the whole corpus.
+2. The search scan is PARTITION-PRUNED to exactly the probed cells — the
+   layout is the index — and pruning does not change results (search equals
+   a brute-force exact re-rank restricted to the probed cells).
 3. Appends never touch the centroid table (the no-retrain contract).
+4. Occupancy-cap splitting bounds every live cell at the cap, is a
+   deterministic function of the index contents, preserves the
+   probe-over-live-centroids + exact-in-cell-re-rank semantics, and reduces
+   probed candidate volume.
+5. Splits/compaction commit atomically (held reader plans survive and stay
+   consistent); appends are idempotent under a batch id.
 """
 
 from __future__ import annotations
@@ -16,14 +25,21 @@ import os
 import shutil
 import tempfile
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from worker_etl_spark.operators import segstore
 from worker_etl_spark.operators.ann_index import (
     append_ann_batch,
+    compact_ann_index,
     create_ann_index,
+    maintain_ann_index,
+    postings_file_count,
     probed_candidate_count,
+    read_postings,
     search_ann,
+    vacuum_ann_index,
 )
 from worker_etl_spark.queries.similarity_q import _IVF_STRIDE, _QUERY_STRIDE
 
@@ -53,6 +69,58 @@ def _rows(df):
     return [
         (r.query_id, r.cand_id, round(r.cosine, 6), r.rank) for r in df.collect()
     ]
+
+
+def _live_centroids(spark, index_dir):
+    pdf = (
+        segstore.read(spark, index_dir, "centroids", "cid long, embedding array<float>")
+        .orderBy("cid")
+        .toPandas()
+    )
+    return (
+        pdf["cid"].to_numpy(dtype=np.int64),
+        np.array(pdf["embedding"].tolist(), dtype=np.float64),
+    )
+
+
+def _probed_cells_per_query(spark, queries, index_dir, probes=2):
+    """Replicate probe selection (rounded cosine, smallest-cid ties) in
+    numpy: {query_id: [cell ids]}."""
+    qpdf = queries.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    q = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    c_ids, c = _live_centroids(spark, index_dir)
+    sims = np.round(
+        (q @ c.T)
+        / np.outer(np.linalg.norm(q, axis=1), np.linalg.norm(c, axis=1)),
+        6,
+    )
+    order = np.lexsort((np.arange(len(c_ids))[None, :].repeat(len(q_ids), 0), -sims))
+    return {
+        int(q_ids[i]): [int(c_ids[ci]) for ci in order[i, :probes]]
+        for i in range(len(q_ids))
+    }, {int(q_ids[i]): q[i] for i in range(len(q_ids))}
+
+
+def _reference_search(spark, queries, index_dir, probes=2, k=5):
+    """Brute-force exact re-rank restricted to each query's probed LIVE
+    cells — the semantics search_ann must equal, computed independently."""
+    probed, qvecs = _probed_cells_per_query(spark, queries, index_dir, probes)
+    all_cells = sorted({c for cs in probed.values() for c in cs})
+    posts = read_postings(spark, index_dir, cells=all_cells).toPandas()
+    p_cells = posts["cell"].to_numpy(dtype=np.int64)
+    p_ids = posts["vec_id"].to_numpy(dtype=np.int64)
+    p_mat = np.array(posts["embedding"].tolist(), dtype=np.float64)
+    p_nrm = np.linalg.norm(p_mat, axis=1)
+    out = []
+    for qid in sorted(probed):
+        mask = np.isin(p_cells, probed[qid]) & (p_ids != qid)
+        ids, mat, nrm = p_ids[mask], p_mat[mask], p_nrm[mask]
+        cos = np.round((mat @ qvecs[qid]) / (nrm * np.linalg.norm(qvecs[qid])), 6)
+        top = np.lexsort((ids, -cos))[:k]
+        for rank, t in enumerate(top, 1):
+            out.append((qid, int(ids[t]), round(float(cos[t]), 6), rank))
+    return out
 
 
 def test_incremental_appends_equal_one_shot(spark, idx_dirs):
@@ -86,7 +154,24 @@ def test_append_does_not_touch_centroids(spark, idx_dirs):
     assert before == after
 
 
+def test_append_is_idempotent_under_batch_id(spark, idx_dirs):
+    idx, _ = idx_dirs
+    base, batch, cents, _ = _frames(spark)
+    create_ann_index(spark, cents, idx)
+    append_ann_batch(spark, base, idx, batch_id="bootstrap")
+    n = read_postings(spark, idx).count()
+    assert append_ann_batch(spark, batch, idx, batch_id="day-1")
+    n1 = read_postings(spark, idx).count()
+    assert n1 > n
+    # redelivery: skipped, no duplicate postings
+    assert not append_ann_batch(spark, batch, idx, batch_id="day-1")
+    assert read_postings(spark, idx).count() == n1
+
+
 def test_search_scan_is_partition_pruned(spark, idx_dirs):
+    """Round-11 ADVICE: assert the PROBED CELL IDS appear in the partition
+    filters (not just the substring 'cell'), and that the pruned search
+    equals an independent exact re-rank restricted to the probed cells."""
     idx, _ = idx_dirs
     base, batch, cents, queries = _frames(spark)
     create_ann_index(spark, cents, idx)
@@ -94,15 +179,88 @@ def test_search_scan_is_partition_pruned(spark, idx_dirs):
     append_ann_batch(spark, batch, idx)
     got = search_ann(spark, queries, idx)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    scan = plan[plan.index("FileScan") :]
-    pruned = scan.split("PartitionFilters: [")[1].split("]")[0]
-    assert "cell" in pruned, f"postings scan not partition-pruned: {pruned}"
+    probed, _qvecs = _probed_cells_per_query(spark, queries, idx)
+    probed_cells = sorted({c for cs in probed.values() for c in cs})
+    scans = plan.split("PartitionFilters: [")[1:]
+    assert len(scans) >= 2, "expected one pruned scan per postings segment"
+    for scan in scans:
+        flt = scan.split("]")[0]
+        assert "cell" in flt, f"postings scan not partition-pruned: {flt}"
+        for c in probed_cells:
+            assert str(c) in flt, f"probed cell {c} missing from filter: {flt}"
     # and the probed candidate volume is a strict subset of the corpus
     n_probed = probed_candidate_count(spark, queries, idx)
-    n_total = spark.read.parquet(os.path.join(idx, "postings")).count()
+    n_total = read_postings(spark, idx).count()
     assert 0 < n_probed < n_total
-    # pruning must not change results: compare against an unpruned re-rank
-    # restricted to the same probed cells semantics via the oracle-checked
-    # registered query path (covered at sf0.01 by check_oracle; here we just
-    # assert the search returns the full k for at least one query).
-    assert len(_rows(got)) > 0
+    # pruning must not change results: equal to the independent exact
+    # re-rank over the same probed cells
+    assert _rows(got) == _reference_search(spark, queries, idx)
+
+
+def test_split_bounds_occupancy_and_preserves_semantics(spark, idx_dirs):
+    """Occupancy-cap splitting (round-11 verdict #1): every live cell ends
+    at or under the cap, probed candidate volume drops, search still equals
+    the probe-over-live-centroids exact re-rank, and the split is a
+    deterministic function of the index contents."""
+    idx, idx2 = idx_dirs
+    base, batch, cents, queries = _frames(spark)
+    for d in (idx, idx2):
+        create_ann_index(spark, cents, d)
+        append_ann_batch(spark, base, d)
+        append_ann_batch(spark, batch, d)
+    pre_candidates = probed_candidate_count(spark, queries, idx)
+    cap = 20  # sf0.001: ~450 postings over ~15 cells → several cells split
+    stats = maintain_ann_index(spark, idx, occupancy_cap=cap)
+    assert stats["cells_split"] > 0
+    assert stats["max_occupancy_before"] > cap
+    assert stats["max_occupancy_after"] <= cap
+    assert stats["centroids_after"] > stats["centroids_before"]
+    # split cells bound the probe: fewer candidates for the same query set
+    assert probed_candidate_count(spark, queries, idx) < pre_candidates
+    # semantics: search == independent exact re-rank over the live cells
+    assert _rows(search_ann(spark, queries, idx)) == _reference_search(
+        spark, queries, idx
+    )
+    # no posting lost: live rows cover base+batch exactly once
+    live_cells, _ = _live_centroids(spark, idx)
+    live = read_postings(spark, idx, cells=[int(c) for c in live_cells])
+    total = base.unionByName(batch).count()
+    assert live.count() == total
+    assert live.select("vec_id").distinct().count() == total
+    # determinism: the same maintenance on an identical index yields the
+    # same centroid table (ids and vectors)
+    maintain_ann_index(spark, idx2, occupancy_cap=cap)
+    c1 = segstore.read(spark, idx, "centroids", "cid long, embedding array<float>")
+    c2 = segstore.read(spark, idx2, "centroids", "cid long, embedding array<float>")
+    rows1 = sorted((r.cid, tuple(r.embedding)) for r in c1.collect())
+    rows2 = sorted((r.cid, tuple(r.embedding)) for r in c2.collect())
+    assert rows1 == rows2
+
+
+def test_split_compact_atomicity_and_small_file_fold(spark, idx_dirs):
+    """Round-11 verdict #3: a reader plan held across split + compaction
+    keeps reading the superseded segments (same results); compaction folds
+    the per-append small files and drops retired cells' dead rows; after a
+    forced vacuum a fresh plan still searches correctly."""
+    idx, _ = idx_dirs
+    base, batch, cents, queries = _frames(spark)
+    create_ann_index(spark, cents, idx)
+    for m in range(4):
+        append_ann_batch(spark, base.filter(F.col("vec_id") % 4 == m), idx)
+    append_ann_batch(spark, batch, idx)
+    pre_rows = _rows(search_ann(spark, queries, idx))
+    held = search_ann(spark, queries, idx)  # resolves pre-split manifest
+    maintain_ann_index(spark, idx, occupancy_cap=20)
+    post_split_rows = _rows(search_ann(spark, queries, idx))
+    files_before = postings_file_count(idx)
+    stats = compact_ann_index(spark, idx)
+    assert stats["postings_files_after"] < files_before
+    assert stats["postings_rows_after"] < stats["postings_rows_before"]  # dead rows
+    # held plan (pre-split manifest): old segments still on disk → identical
+    assert _rows(held) == pre_rows
+    # fresh plan after compaction: identical to post-split results
+    assert _rows(search_ann(spark, queries, idx)) == post_split_rows
+    # forced vacuum (readers above fully materialized) reclaims superseded
+    # segments; a fresh plan still works and matches
+    assert vacuum_ann_index(idx, grace_sec=0.0, no_active_readers=True) > 0
+    assert _rows(search_ann(spark, queries, idx)) == post_split_rows
