@@ -36,18 +36,38 @@ def main() -> int:
         if proc.returncode != 0:
             print(f"run {i} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
             return 1
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        runs.append(json.loads(line))
+        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not json_lines:
+            print(
+                f"run {i} printed no JSON result line — stdout tail:\n"
+                f"{proc.stdout[-2000:]}",
+                file=sys.stderr,
+            )
+            return 1
+        runs.append(json.loads(json_lines[-1]))
         print(
             f"run {i}: total {runs[-1]['value']} s, "
             f"load_before {runs[-1]['load_avg_before'][0]}, "
             f"waited {runs[-1].get('idle_wait_sec', 0)} s",
             file=sys.stderr,
         )
-    names = sorted(runs[0]["queries"])
+    # Intersect query names across runs (ADVICE round-11: a run with a
+    # differing query set must not KeyError away the whole session), and
+    # report any asymmetry instead of crashing.
+    names = set(runs[0]["queries"])
+    for r in runs[1:]:
+        names &= set(r["queries"])
+    dropped = sorted(set().union(*(set(r["queries"]) for r in runs)) - names)
+    if dropped:
+        print(f"queries not present in every run (excluded): {dropped}",
+              file=sys.stderr)
     band = {}
-    for n in names:
+    for n in sorted(names):
         vals = [r["queries"][n] for r in runs if r["queries"][n] >= 0]
+        if not vals:
+            band[n] = {"min": -1, "median": -1, "max": -1, "spread_x": 0,
+                       "note": "errored in every run"}
+            continue
         band[n] = {
             "min": min(vals),
             "median": round(statistics.median(vals), 3),

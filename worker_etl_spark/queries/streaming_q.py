@@ -1365,7 +1365,11 @@ def evt19_streaming_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFram
         # Stage outside the registry, publish with one atomic rename: the
         # published dir doubles as the commit marker (no append-then-mark
         # crash window; a replay after a crash overwrites the orphan
-        # staging dir and publishes exactly once).
+        # staging dir and publishes exactly once).  Portability: this
+        # assumes a same-filesystem atomic rename (POSIX/HDFS); on an
+        # S3-class object store the publish would ride a conditional PUT
+        # of the marker instead — the same protocol note as
+        # operators/segstore.py's manifest swap.
         staging = os.path.join(staging_root, f"batch-{batch_id}")
         seg.write.mode("overwrite").parquet(staging)
         os.rename(staging, final)
