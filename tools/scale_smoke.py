@@ -475,6 +475,27 @@ def sim_rung(spark, copies: int) -> dict:
 #: per-rung session restarts.  A shared process always runs small→large, so
 #: it systematically inflates growth ratios.  Each rung therefore runs in
 #: its OWN python subprocess (fresh JVM); the parent only assembles ratios.
+#: Per-rung idle gate (round-11 verdict #2: a kept 1000-copy rung ran at
+#: load 9.53 — mostly the PREVIOUS rung's own decaying load, since rungs ran
+#: back-to-back).  Before spawning each rung subprocess the parent waits,
+#: bounded, for the 1-min load to fall under the threshold — the same
+#: discipline bench.py applies to itself.
+IDLE_LOAD = float(os.environ.get("SPARK_GRAFT_LADDER_IDLE_LOAD", "1.0"))
+IDLE_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LADDER_IDLE_WAIT_SEC", "900"))
+
+
+def _wait_for_idle() -> tuple[float, int]:
+    """Block until 1-min load < IDLE_LOAD or IDLE_WAIT_SEC elapses; returns
+    (load at release, seconds waited)."""
+    waited = 0
+    load = os.getloadavg()[0]
+    while load >= IDLE_LOAD and waited < IDLE_WAIT_SEC:
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return load, waited
+
+
 def _growth_subproc(kind: str, ladder, queries, extra: dict | None = None) -> dict:
     import subprocess
 
@@ -486,7 +507,7 @@ def _growth_subproc(kind: str, ladder, queries, extra: dict | None = None) -> di
             prefix=f"rung_{kind}_{copies}_", suffix=".json"
         )
         os.close(fd)
-        load_before = os.getloadavg()[0]
+        load_before, idle_waited = _wait_for_idle()
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--rung", kind,
@@ -507,6 +528,7 @@ def _growth_subproc(kind: str, ladder, queries, extra: dict | None = None) -> di
             rung = json.load(fh)
         os.unlink(rung_json)
         rung["load_avg_1m_before"] = round(load_before, 2)
+        rung["idle_wait_sec"] = idle_waited
         return rung
 
     for copies in ladder:

@@ -7,8 +7,9 @@ standing corpus and persisted; every ingest batch is assigned to its nearest
 live centroid — O(batch × centroids) work, no retrain, no corpus re-scan —
 and appended to a CELL-PARTITIONED postings table.  A search probes its
 nearest cells and re-ranks EXACTLY inside them, so the parquet layout itself
-is the index: ``cell=N/`` partition dirs mean a probe reads only the probed
-cells' files (partition pruning), never the corpus.
+is the index: the search scan's file index is built from the probed
+``cell=N/`` dirs alone — pruned by construction — and never touches the
+corpus.
 
 Round-12 storage + scale posture (round-11 verdict #1/#3):
 
@@ -95,32 +96,56 @@ def _centroid_mats(spark: SparkSession, index_dir: str):
     return ids, mat, np.linalg.norm(mat, axis=1)
 
 
+def _cell_dirs(
+    index_dir: str, cells: list[int] | None = None
+) -> list[str]:
+    """The ``cell=N`` leaf directories backing the live postings segments,
+    optionally restricted to *cells* — pure filesystem metadata."""
+    want = None if cells is None else {int(c) for c in cells}
+    out = []
+    for p in segstore.segment_paths(index_dir, "postings"):
+        for entry in os.listdir(p):
+            if not entry.startswith("cell="):
+                continue
+            try:
+                c = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if want is None or c in want:
+                out.append(os.path.join(p, entry))
+    return sorted(out)
+
+
 def read_postings(
     spark: SparkSession, index_dir: str, cells: list[int] | None = None
 ) -> DataFrame:
-    """Union-read the live postings segments as (cell long, vec_id long,
-    embedding array<float>).  With *cells*, each segment scan carries a
-    ``cell IN (...)`` partition filter, so pruning applies per segment —
-    the layout-is-the-index contract survives any number of appends."""
-    paths = segstore.segment_paths(index_dir, "postings")
-    if not paths:
+    """Read the live postings segments as (cell long, vec_id long,
+    embedding array<float>).  The scan's file index is built from the
+    ``cell=N`` LEAF DIRECTORIES themselves — restricted to *cells* when
+    given — so pruning holds BY CONSTRUCTION (the unprobed cells' files are
+    never in the scan at all; assert via ``df.inputFiles()``), the probed
+    files bin-pack into one scan regardless of how many append segments
+    accumulated (Spark refuses one multi-root partitioned read, and a
+    per-segment union fragments tiny files into per-branch partitions —
+    measured ~3× the single-scan wall at the 10-copy rung shape), and the
+    explicit schema skips per-segment footer inference.  ``cell`` is
+    recovered from the file path — exactly the partition-directory value."""
+    dirs = _cell_dirs(index_dir, cells)
+    if not dirs:
         return spark.createDataFrame(
             [], "cell long, vec_id long, embedding array<float>"
         )
-    parts = []
-    for p in paths:
-        df = spark.read.parquet(p)
-        if cells is not None:
-            df = df.filter(F.col("cell").isin([int(c) for c in cells]))
-        parts.append(
-            df.select(
-                F.col("cell").cast("long").alias("cell"), "vec_id", "embedding"
-            )
+    return (
+        spark.read.schema("vec_id long, embedding array<float>")
+        .parquet(*dirs)
+        .select(
+            F.regexp_extract(F.input_file_name(), "cell=([0-9]+)", 1)
+            .cast("long")
+            .alias("cell"),
+            "vec_id",
+            "embedding",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def create_ann_index(
@@ -209,15 +234,10 @@ def _max_cid_ever(index_dir: str, live_cids) -> int:
     dir across ALL postings segments (retired parents included), from pure
     filesystem metadata.  Child cids allocate above this, so a child can
     never collide with a retired cell's dead partition dirs."""
-    mx = max([int(c) for c in live_cids], default=-1)
-    for p in segstore.segment_paths(index_dir, "postings"):
-        for entry in os.listdir(p):
-            if entry.startswith("cell="):
-                try:
-                    mx = max(mx, int(entry.split("=", 1)[1]))
-                except ValueError:
-                    continue
-    return mx
+    cells = [
+        int(os.path.basename(d).split("=", 1)[1]) for d in _cell_dirs(index_dir)
+    ]
+    return max([int(c) for c in live_cids] + cells, default=-1)
 
 
 def _split_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -407,10 +427,11 @@ def search_ann(
     k: int = TOP_K,
 ) -> DataFrame:
     """Exact re-rank inside each query's *probes* nearest LIVE cells:
-    (query_id, cand_id, cosine, rank).  Every postings segment scan carries
-    a ``cell IN (probed)`` filter, so partition pruning limits the read to
-    the probed cells' files — the maintained-index counterpart of s03's
-    in-flight probe mask.  Scoring (round-11 ADVICE): each Arrow chunk is
+    (query_id, cand_id, cosine, rank).  The postings scan is built from the
+    probed cells' ``cell=N`` leaf dirs only (``read_postings``), so the read
+    is pruned to the probed cells BY CONSTRUCTION — the maintained-index
+    counterpart of s03's in-flight probe mask.  Scoring (round-11 ADVICE):
+    each Arrow chunk is
     grouped by cell (a chunk is usually one cell's file, so ~one group) and
     scored with ONE matmul against only that cell's probing queries;
     per-query top-k uses ``np.argpartition`` with boundary ties re-ranked

@@ -1626,10 +1626,11 @@ def s09_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     index posture (d16/d18's) extended to similarity, so ingest is O(batch ×
     centroids) with no quantizer retrain and no corpus re-assignment.
 
-    Scale shape: the postings table is PARTITIONED BY CELL, so a search's
-    ``cell IN (probed)`` filter prunes the scan to the probed cells' files —
-    the partition layout IS the inverted index; appends only add files
-    inside cell dirs, preserving pruning forever.  Assignment/probe/re-rank
+    Scale shape: the postings table is PARTITIONED BY CELL and a search's
+    scan is BUILT from the probed cells' ``cell=N`` dirs alone (pruning by
+    construction, asserted on the scan's input files) — the partition
+    layout IS the inverted index; appends only add segment files inside
+    cell dirs, preserving pruning forever.  Assignment/probe/re-rank
     reuse s03's rounded-cosine + smallest-id recipe, so the maintained path
     is value-hash-verified against the stateless SQL formulation (the oracle
     assigns every corpus vector — base and batch alike — to the SAME frozen
