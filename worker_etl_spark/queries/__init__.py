@@ -116,292 +116,293 @@ def release_persists() -> int:
 # changed set to the very front.  Names not yet registered are skipped;
 # registered names missing from the list are appended in module insertion
 # order, so nothing is ever dropped.
-# --- round-7 rotation: 5 changed (d06 broadcast shrink, src09/src19 pyds
-# --- option hardening + fixture cap, src20 Derby lifecycle, w09 atomic
-# --- version claim), then the stalest-green block — the r2 rows (d02-d05,
-# --- i01-i06, q01-q35), whose code has seen two years of shared-helper
-# --- evolution since their only driver row.
+# --- round-12 rotation: 3 materially changed (s09 leaf-dir pruned search +
+# --- split-capable index, d16/d18 atomic-commit ingest), then stalest-first
+# --- — the r6-green g02/src*/srm01 block reaches the window (round-11
+# --- verdict #5: the g/src/srm families had not had a driver row since
+# --- their registration rounds).
 _PRIORITY: list[str] = [
-    "s09_incremental_ann",
-    "d16_incremental_dedup",
-    "d18_incremental_simhash",
-    "evt19_streaming_dedup_registry",
-    "w08_merge_on_read_delete",
-    "w10_manifest_pruning",
-    "c04_html_strip",
-    "d12_containment_pairs",
-    "d13_banding_pr_audit",
-    "d15_fuzzy_entity_join",
-    "evt08_cusum_alerts",
-    "evt09_record_high_events",
-    "evt10_disorder_diagnostics",
-    "evt11_seasonality_profile",
-    "evt12_dynamic_gap_sessions",
-    "evt13_freshness_gaps",
-    "evt14_incremental_view_maintenance",
-    "i07_sampled_infer",
-    "i13_fd_discovery",
-    "i14_median_imputation",
-    "i16_column_entropy",
-    "i17_mutual_information",
-    "i18_pii_column_scan",
-    "i19_benford_audit",
-    "m08_multipart_reassembly",
-    "m09_frame_motion_profile",
-    "m10_payload_entropy",
-    "p09_dedup_token_yield",
-    "p10_tokenizer_fertility",
-    "p11_k_anonymity_audit",
-    "p13_erasure_propagation",
-    "p14_target_encoding",
-    "p15_weighted_sample",
-    "p16_l_diversity",
-    "q59_peak_trailing_spend",
-    "q60_top_supplier",
-    "q62_sliding_distinct_users",
-    "q63_share_of_parent",
-    "q65_interval_coverage",
-    "q66_exact_correlation",
-    "q67_cohort_retention",
-    "q68_ordered_funnel",
-    "q70_grouping_id",
-    "q72_asof_rate_normalization",
-    "q76_cumulative_uniques",
-    "q77_bitemporal_restatement",
-    "q82_rolling_trend",
-    "q83_identity_stitching",
-    "q84_pareto_frontier",
-    "q85_subtree_rollup",
-    "q86_gini_concentration",
-    "q87_market_basket",
-    "q88_supplier_affinity",
-    "c01_trim_null_normalize",
-    "c02_drop_all_null_rows",
-    "c03_sanitized_projection",
-    "d01_exact_dedup",
-    "g02_grid_detection",
-    "i11_constraint_audit",
-    "m01_media_metadata",
-    "m02_media_features",
-    "q89_dynamic_pivot",
-    "s01_topk_bruteforce",
-    "s02_topk_lsh",
-    "s03_topk_ivf",
-    "s05_quantized_topk",
-    "s06_pq_adc_topk",
-    "s07_vector_quality_audit",
-    "src01_csv_ingest",
-    "src02_excel_ingest",
-    "src11_multiline_csv_ingest",
-    "src13_xml_ingest",
-    "src14_codec_roundtrip",
-    "src15_latin1_csv_ingest",
-    "src16_nested_json_flatten",
-    "src17_zip_archive_ingest",
-    "src18_packed_binary_ingest",
-    "srm01_stream_ingest",
-    "t02_quality_score",
-    "t03_langid",
-    "t04_fingerprint",
-    "t19_zipf_fit",
-    "t20_code_detection",
-    "t22_langid_metrics",
-    "t23_readability",
-    "t25_template_detection",
-    "t26_script_detection",
-    "t27_line_boilerplate",
-    "v04_feature_hashing",
-    "w11_snapshot_diff_cdc",
-    "w12_partition_evolution",
-    "w13_compaction_plan",
-    "w14_inferred_members",
-    "w16_row_ttl_retention",
-    "d02_minhash_signatures",
-    "d03_lsh_buckets",
-    "d05_ngram_jaccard",
-    "evt17_cusum_changepoint",
-    "i01_infer_types",
-    "i02_align_coerce",
-    "i03_catalog_schema_reingest",
-    "i04_coercion_metrics",
-    "i05_schema_evolution",
-    "i06_type_widening",
-    "i23_sequence_gap_audit",
-    "p17_stratified_split",
-    "q01_pricing_summary",
-    "q02_forecast_revenue",
-    "q03_top_orders",
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q06_segment_stats",
-    "q07_topn_per_flag",
-    "q08_running_total",
-    "q09_distinct_parts",
-    "q10_setops",
-    "q11_customers_without_orders",
-    "q12_rollup",
-    "q13_pivot",
-    "q14_sessionize",
-    "q90_sole_late_supplier",
-    "q91_polymorphic_udtf",
-    "q92_activity_streaks",
-    "q93_order_count_distribution",
-    "q94_rebate_allocation",
-    "q95_windowed_funnel",
-    "q96_listagg_top_nations",
-    "q97_bag_setops",
-    "s08_grid_nearest_neighbor",
-    "src19_xlsx_datasource",
-    "src20_jdbc_roundtrip",
-    "src21_variant_ingest",
-    "src22_multichar_delim_csv",
-    "d04_simhash",
-    "d06_embedding_neardup",
-    "d10_simhash_hamming",
-    "d17_semantic_neardup",
-    "evt18_ohlc_conflation",
-    "i08_column_profile",
-    "i24_linear_interpolation",
-    "m11_png_pixel_stats",
-    "q15_tumbling_windows",
-    "q16_sliding_windows",
-    "q17_json_props",
-    "q18_argmax",
-    "q19_asof_join",
-    "q20_range_join",
-    "q21_price_quantiles",
-    "q22_salted_skew_join",
-    "q23_cube_flags",
-    "q24_price_stats",
-    "q25_bucketed_join",
-    "q26_grouping_sets",
-    "q27_revenue_momentum",
-    "q28_hash_sample",
-    "q29_approx_stats",
-    "q30_small_qty_revenue",
-    "q31_moving_revenue",
-    "q32_rank_family",
-    "q53_cogroup_asof",
-    "q79_triangle_count",
-    "q98_global_balance_anti",
-    "q99_conversion_latency",
-    "src09_xls_datasource",
-    "src23_avro_ingest",
-    "src24_avro_typed_rollup",
-    "srm02_multi_object_batch",
-    "t05_tfidf_topterms",
-    "t10_contamination",
-    "t14_substring_dup_share",
-    "t16_distinctive_terms",
-    "t17_countmin_audit",
-    "t18_bigram_perplexity",
-    "t28_collocations",
-    "t29_bm25_retrieval",
-    "t30_ngram_novelty",
-    "v06_centroid_distance_matrix",
-    "w04_partitioned_bucketed_layout",
-    "w09_snapshot_time_travel",
-    "w17_write_audit_publish",
-    "w18_shallow_clone",
-    "w19_cow_delete",
-    "d07_dup_clusters",
-    "d08_edit_distance_neardup",
-    "d09_minhash_estimate",
-    "d11_dedup_survivors",
-    "evt01_watermarked_windows",
-    "evt02_session_windows",
-    "evt03_interval_join",
-    "evt04_interval_join_outer",
-    "g01_grid_ingest_e2e",
-    "g03_grid_fallback_whole_sheet",
-    "g04_detection_config_knobs",
-    "i25_llm_schema_strategy",
-    "m03_frame_samples",
-    "m04_media_dedup",
-    "m05_magic_byte_quarantine",
-    "m06_frame_neardup",
-    "m12_wav_pcm_stats",
-    "m13_jpeg_pixel_stats",
-    "m14_image_resize",
-    "p01_curation_pipeline",
-    "p02_source_quota_sample",
-    "p03_leakage_safe_split",
-    "p04_sequence_packing",
-    "p05_mixture_reweight",
-    "q33_collected_arrays",
-    "q34_full_outer_reconcile",
-    "q35_unpivot_metrics",
-    "q36_exists_urgent_customers",
-    "q37_conditional_aggregates",
-    "q38_date_functions",
-    "q39_string_functions",
-    "s04_ann_recall",
-    "src03_excel_native_ingest",
-    "src04_jsonl_ingest",
-    "src05_xls_ingest",
-    "src06_orc_ingest",
-    "srm03_excel_object",
-    "srm04_python_stream_source",
-    "t01_token_stats",
-    "t06_pii_redaction",
-    "t07_bigram_stats",
-    "t08_bpe_token_stats",
-    "t09_cdc_chunking",
-    "t11_repetition_filters",
-    "t12_vocab_coverage",
-    "v01_embedding_centroids",
-    "v02_array_functions",
-    "w20_positional_delete",
-    "w21_schema_evolution",
-    "w22_python_stream_sink",
-    "d14_sorted_neighborhood",
-    "evt05_stream_dedup",
-    "evt06_stream_static_enrich",
-    "evt07_backfill_available_now",
-    "evt15_ewma_smoothing",
-    "evt16_holt_trend",
-    "i09_merge_schema_scan",
-    "i10_drift_psi",
-    "i20_chi_square",
-    "i21_equi_depth_bins",
-    "i22_referential_integrity",
-    "m07_audio_energy",
-    "m15_jpeg_color_stats",
-    "p06_dataset_card",
-    "p07_per_source_cap",
-    "p08_curriculum_buckets",
-    "q40_percentile_disc",
-    "q41_correlated_scalar_subquery",
-    "q42_lateral_posexplode",
-    "q43_regex_family",
-    "q44_null_semantics",
-    "q45_map_functions",
-    "q46_pandas_udaf_quantiles",
-    "q47_python_udtf_chunks",
-    "q48_window_value_family",
-    "q49_observed_aggregate",
-    "q50_scd2_dimension",
-    "q51_last_touch_attribution",
-    "q52_rollup_merge",
-    "q54_pagerank_transitions",
-    "q55_calendar_gapfill",
-    "q56_mad_anomalies",
-    "q57_market_share",
-    "q58_supplier_hierarchy",
-    "src07_gzip_csv_ingest",
-    "src08_corrupt_jsonl",
-    "src10_fixed_width_ingest",
-    "srm05_stream_llm_schema",
-    "t13_word_entropy",
-    "v03_kmeans_quantized",
-    "v05_covariance_matrix",
-    "w01_partitioned_sink",
-    "w02_upsert_sink",
-    "w03_compaction_sink",
-    "w05_sorted_layout",
-    "w06_zorder_layout",
-    "w07_dynamic_partition_overwrite",
+    "s09_incremental_ann",  # materially changed r12 (maintained-index commit/search rework)
+    "d16_incremental_dedup",  # materially changed r12 (maintained-index commit/search rework)
+    "d18_incremental_simhash",  # materially changed r12 (maintained-index commit/search rework)
+    "q86_gini_concentration",  # green r5
+    "q87_market_basket",  # green r5
+    "q88_supplier_affinity",  # green r5
+    "c01_trim_null_normalize",  # green r6
+    "c02_drop_all_null_rows",  # green r6
+    "c03_sanitized_projection",  # green r6
+    "d01_exact_dedup",  # green r6
+    "g02_grid_detection",  # green r6
+    "i11_constraint_audit",  # green r6
+    "m01_media_metadata",  # green r6
+    "m02_media_features",  # green r6
+    "q89_dynamic_pivot",  # green r6
+    "s01_topk_bruteforce",  # green r6
+    "s02_topk_lsh",  # green r6
+    "s03_topk_ivf",  # green r6
+    "s05_quantized_topk",  # green r6
+    "s06_pq_adc_topk",  # green r6
+    "s07_vector_quality_audit",  # green r6
+    "src01_csv_ingest",  # green r6
+    "src02_excel_ingest",  # green r6
+    "src11_multiline_csv_ingest",  # green r6
+    "src13_xml_ingest",  # green r6
+    "src14_codec_roundtrip",  # green r6
+    "src15_latin1_csv_ingest",  # green r6
+    "src16_nested_json_flatten",  # green r6
+    "src17_zip_archive_ingest",  # green r6
+    "src18_packed_binary_ingest",  # green r6
+    "srm01_stream_ingest",  # green r6
+    "t02_quality_score",  # green r6
+    "t03_langid",  # green r6
+    "t04_fingerprint",  # green r6
+    "t19_zipf_fit",  # green r6
+    "t20_code_detection",  # green r6
+    "t22_langid_metrics",  # green r6
+    "t23_readability",  # green r6
+    "t25_template_detection",  # green r6
+    "t26_script_detection",  # green r6
+    "t27_line_boilerplate",  # green r6
+    "v04_feature_hashing",  # green r6
+    "w11_snapshot_diff_cdc",  # green r6
+    "w12_partition_evolution",  # green r6
+    "w13_compaction_plan",  # green r6
+    "w14_inferred_members",  # green r6
+    "w16_row_ttl_retention",  # green r6
+    "d02_minhash_signatures",  # green r7
+    "d03_lsh_buckets",  # green r7
+    "d05_ngram_jaccard",  # green r7
+    "evt17_cusum_changepoint",  # green r7
+    "i01_infer_types",  # green r7
+    "i02_align_coerce",  # green r7
+    "i03_catalog_schema_reingest",  # green r7
+    "i04_coercion_metrics",  # green r7
+    "i05_schema_evolution",  # green r7
+    "i06_type_widening",  # green r7
+    "i23_sequence_gap_audit",  # green r7
+    "p17_stratified_split",  # green r7
+    "q01_pricing_summary",  # green r7
+    "q02_forecast_revenue",  # green r7
+    "q03_top_orders",  # green r7
+    "q04_order_priority",  # green r7
+    "q05_region_revenue",  # green r7
+    "q06_segment_stats",  # green r7
+    "q07_topn_per_flag",  # green r7
+    "q08_running_total",  # green r7
+    "q09_distinct_parts",  # green r7
+    "q10_setops",  # green r7
+    "q11_customers_without_orders",  # green r7
+    "q12_rollup",  # green r7
+    "q13_pivot",  # green r7
+    "q14_sessionize",  # green r7
+    "q90_sole_late_supplier",  # green r7
+    "q91_polymorphic_udtf",  # green r7
+    "q92_activity_streaks",  # green r7
+    "q93_order_count_distribution",  # green r7
+    "q94_rebate_allocation",  # green r7
+    "q95_windowed_funnel",  # green r7
+    "q96_listagg_top_nations",  # green r7
+    "q97_bag_setops",  # green r7
+    "s08_grid_nearest_neighbor",  # green r7
+    "src19_xlsx_datasource",  # green r7
+    "src20_jdbc_roundtrip",  # green r7
+    "src21_variant_ingest",  # green r7
+    "src22_multichar_delim_csv",  # green r7
+    "d04_simhash",  # green r8
+    "d06_embedding_neardup",  # green r8
+    "d10_simhash_hamming",  # green r8
+    "d17_semantic_neardup",  # green r8
+    "evt18_ohlc_conflation",  # green r8
+    "i08_column_profile",  # green r8
+    "i24_linear_interpolation",  # green r8
+    "m11_png_pixel_stats",  # green r8
+    "q15_tumbling_windows",  # green r8
+    "q16_sliding_windows",  # green r8
+    "q17_json_props",  # green r8
+    "q18_argmax",  # green r8
+    "q19_asof_join",  # green r8
+    "q20_range_join",  # green r8
+    "q21_price_quantiles",  # green r8
+    "q22_salted_skew_join",  # green r8
+    "q23_cube_flags",  # green r8
+    "q24_price_stats",  # green r8
+    "q25_bucketed_join",  # green r8
+    "q26_grouping_sets",  # green r8
+    "q27_revenue_momentum",  # green r8
+    "q28_hash_sample",  # green r8
+    "q29_approx_stats",  # green r8
+    "q30_small_qty_revenue",  # green r8
+    "q31_moving_revenue",  # green r8
+    "q32_rank_family",  # green r8
+    "q53_cogroup_asof",  # green r8
+    "q79_triangle_count",  # green r8
+    "q98_global_balance_anti",  # green r8
+    "q99_conversion_latency",  # green r8
+    "src09_xls_datasource",  # green r8
+    "src23_avro_ingest",  # green r8
+    "src24_avro_typed_rollup",  # green r8
+    "srm02_multi_object_batch",  # green r8
+    "t05_tfidf_topterms",  # green r8
+    "t10_contamination",  # green r8
+    "t14_substring_dup_share",  # green r8
+    "t16_distinctive_terms",  # green r8
+    "t17_countmin_audit",  # green r8
+    "t18_bigram_perplexity",  # green r8
+    "t28_collocations",  # green r8
+    "t29_bm25_retrieval",  # green r8
+    "t30_ngram_novelty",  # green r8
+    "v06_centroid_distance_matrix",  # green r8
+    "w04_partitioned_bucketed_layout",  # green r8
+    "w09_snapshot_time_travel",  # green r8
+    "w17_write_audit_publish",  # green r8
+    "w18_shallow_clone",  # green r8
+    "w19_cow_delete",  # green r8
+    "d07_dup_clusters",  # green r9
+    "d08_edit_distance_neardup",  # green r9
+    "d09_minhash_estimate",  # green r9
+    "d11_dedup_survivors",  # green r9
+    "evt01_watermarked_windows",  # green r9
+    "evt02_session_windows",  # green r9
+    "evt03_interval_join",  # green r9
+    "evt04_interval_join_outer",  # green r9
+    "g01_grid_ingest_e2e",  # green r9
+    "g03_grid_fallback_whole_sheet",  # green r9
+    "g04_detection_config_knobs",  # green r9
+    "i25_llm_schema_strategy",  # green r9
+    "m03_frame_samples",  # green r9
+    "m04_media_dedup",  # green r9
+    "m05_magic_byte_quarantine",  # green r9
+    "m06_frame_neardup",  # green r9
+    "m12_wav_pcm_stats",  # green r9
+    "m13_jpeg_pixel_stats",  # green r9
+    "m14_image_resize",  # green r9
+    "p01_curation_pipeline",  # green r9
+    "p02_source_quota_sample",  # green r9
+    "p03_leakage_safe_split",  # green r9
+    "p04_sequence_packing",  # green r9
+    "p05_mixture_reweight",  # green r9
+    "q33_collected_arrays",  # green r9
+    "q34_full_outer_reconcile",  # green r9
+    "q35_unpivot_metrics",  # green r9
+    "q36_exists_urgent_customers",  # green r9
+    "q37_conditional_aggregates",  # green r9
+    "q38_date_functions",  # green r9
+    "q39_string_functions",  # green r9
+    "s04_ann_recall",  # green r9
+    "src03_excel_native_ingest",  # green r9
+    "src04_jsonl_ingest",  # green r9
+    "src05_xls_ingest",  # green r9
+    "src06_orc_ingest",  # green r9
+    "srm03_excel_object",  # green r9
+    "srm04_python_stream_source",  # green r9
+    "t01_token_stats",  # green r9
+    "t06_pii_redaction",  # green r9
+    "t07_bigram_stats",  # green r9
+    "t08_bpe_token_stats",  # green r9
+    "t09_cdc_chunking",  # green r9
+    "t11_repetition_filters",  # green r9
+    "t12_vocab_coverage",  # green r9
+    "v01_embedding_centroids",  # green r9
+    "v02_array_functions",  # green r9
+    "w20_positional_delete",  # green r9
+    "w21_schema_evolution",  # green r9
+    "w22_python_stream_sink",  # green r9
+    "d14_sorted_neighborhood",  # green r10
+    "evt05_stream_dedup",  # green r10
+    "evt06_stream_static_enrich",  # green r10
+    "evt07_backfill_available_now",  # green r10
+    "evt15_ewma_smoothing",  # green r10
+    "evt16_holt_trend",  # green r10
+    "i09_merge_schema_scan",  # green r10
+    "i10_drift_psi",  # green r10
+    "i20_chi_square",  # green r10
+    "i21_equi_depth_bins",  # green r10
+    "i22_referential_integrity",  # green r10
+    "m07_audio_energy",  # green r10
+    "m15_jpeg_color_stats",  # green r10
+    "p06_dataset_card",  # green r10
+    "p07_per_source_cap",  # green r10
+    "p08_curriculum_buckets",  # green r10
+    "q40_percentile_disc",  # green r10
+    "q41_correlated_scalar_subquery",  # green r10
+    "q42_lateral_posexplode",  # green r10
+    "q43_regex_family",  # green r10
+    "q44_null_semantics",  # green r10
+    "q45_map_functions",  # green r10
+    "q46_pandas_udaf_quantiles",  # green r10
+    "q47_python_udtf_chunks",  # green r10
+    "q48_window_value_family",  # green r10
+    "q49_observed_aggregate",  # green r10
+    "q50_scd2_dimension",  # green r10
+    "q51_last_touch_attribution",  # green r10
+    "q52_rollup_merge",  # green r10
+    "q54_pagerank_transitions",  # green r10
+    "q55_calendar_gapfill",  # green r10
+    "q56_mad_anomalies",  # green r10
+    "q57_market_share",  # green r10
+    "q58_supplier_hierarchy",  # green r10
+    "src07_gzip_csv_ingest",  # green r10
+    "src08_corrupt_jsonl",  # green r10
+    "src10_fixed_width_ingest",  # green r10
+    "srm05_stream_llm_schema",  # green r10
+    "t13_word_entropy",  # green r10
+    "v03_kmeans_quantized",  # green r10
+    "v05_covariance_matrix",  # green r10
+    "w01_partitioned_sink",  # green r10
+    "w02_upsert_sink",  # green r10
+    "w03_compaction_sink",  # green r10
+    "w05_sorted_layout",  # green r10
+    "w06_zorder_layout",  # green r10
+    "w07_dynamic_partition_overwrite",  # green r10
+    "c04_html_strip",  # green r11
+    "d12_containment_pairs",  # green r11
+    "d13_banding_pr_audit",  # green r11
+    "d15_fuzzy_entity_join",  # green r11
+    "evt08_cusum_alerts",  # green r11
+    "evt09_record_high_events",  # green r11
+    "evt10_disorder_diagnostics",  # green r11
+    "evt11_seasonality_profile",  # green r11
+    "evt12_dynamic_gap_sessions",  # green r11
+    "evt13_freshness_gaps",  # green r11
+    "evt14_incremental_view_maintenance",  # green r11
+    "evt19_streaming_dedup_registry",  # green r11
+    "i07_sampled_infer",  # green r11
+    "i13_fd_discovery",  # green r11
+    "i14_median_imputation",  # green r11
+    "i16_column_entropy",  # green r11
+    "i17_mutual_information",  # green r11
+    "i18_pii_column_scan",  # green r11
+    "i19_benford_audit",  # green r11
+    "m08_multipart_reassembly",  # green r11
+    "m09_frame_motion_profile",  # green r11
+    "m10_payload_entropy",  # green r11
+    "p09_dedup_token_yield",  # green r11
+    "p10_tokenizer_fertility",  # green r11
+    "p11_k_anonymity_audit",  # green r11
+    "p13_erasure_propagation",  # green r11
+    "p14_target_encoding",  # green r11
+    "p15_weighted_sample",  # green r11
+    "p16_l_diversity",  # green r11
+    "q59_peak_trailing_spend",  # green r11
+    "q60_top_supplier",  # green r11
+    "q62_sliding_distinct_users",  # green r11
+    "q63_share_of_parent",  # green r11
+    "q65_interval_coverage",  # green r11
+    "q66_exact_correlation",  # green r11
+    "q67_cohort_retention",  # green r11
+    "q68_ordered_funnel",  # green r11
+    "q70_grouping_id",  # green r11
+    "q72_asof_rate_normalization",  # green r11
+    "q76_cumulative_uniques",  # green r11
+    "q77_bitemporal_restatement",  # green r11
+    "q82_rolling_trend",  # green r11
+    "q83_identity_stitching",  # green r11
+    "q84_pareto_frontier",  # green r11
+    "q85_subtree_rollup",  # green r11
+    "w08_merge_on_read_delete",  # green r11
+    "w10_manifest_pruning",  # green r11
 ]
+
 
 
 def load_all() -> dict[str, QuerySpec]:
