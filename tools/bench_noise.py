@@ -21,36 +21,93 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# A run whose total exceeds the session's fastest run by this factor is
+# treated as CONTENDED (round-12 measured episodes: 110.8 s vs 55.3 s and
+# 90.0 s vs 49.6 s on an otherwise idle host — hypervisor-level contention
+# that the 1-min loadavg gate cannot see).  The genuinely-idle band is tight
+# (r11: 50.88-52.56 s, 1.03x), so 1.2x cleanly separates noise from
+# contention; a false positive only costs one extra run.
+CONTENDED_X = float(os.environ.get("SPARK_GRAFT_NOISE_CONTENDED_X", "1.2"))
+
+
+def _one_run(i: int) -> dict | None:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    if proc.returncode != 0:
+        print(f"run {i} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+        return None
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if not json_lines:
+        print(
+            f"run {i} printed no JSON result line — stdout tail:\n"
+            f"{proc.stdout[-2000:]}",
+            file=sys.stderr,
+        )
+        return None
+    run = json.loads(json_lines[-1])
+    print(
+        f"run {i}: total {run['value']} s, "
+        f"load_before {run['load_avg_before'][0]}, "
+        f"waited {run.get('idle_wait_sec', 0)} s",
+        file=sys.stderr,
+    )
+    return run
+
+
 def main() -> int:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_NOISE_BAND.json"
     runs = []
     for i in range(n_runs):
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-            cwd=REPO,
-        )
-        if proc.returncode != 0:
-            print(f"run {i} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+        run = _one_run(i)
+        if run is None:
             return 1
-        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if not json_lines:
-            print(
-                f"run {i} printed no JSON result line — stdout tail:\n"
-                f"{proc.stdout[-2000:]}",
-                file=sys.stderr,
-            )
-            return 1
-        runs.append(json.loads(json_lines[-1]))
+        runs.append(run)
+
+    # Detect and re-run contended runs: relative to the session's fastest
+    # run, a contended run's per-query maxima would inflate the band's
+    # envelope 2-5x and hide real regressions behind it.  Each contended
+    # run gets ONE fresh-subprocess retry; the discarded attempt is kept
+    # verbatim.  If contention persists, fail WITHOUT writing the band —
+    # a poisoned band is worse than no band.
+    discarded = []
+    retried: set[int] = set()
+    while True:
+        floor = min(r["value"] for r in runs)
+        hot = [
+            i
+            for i, r in enumerate(runs)
+            if r["value"] > CONTENDED_X * floor and i not in retried
+        ]
+        if not hot:
+            break
+        i = hot[0]
         print(
-            f"run {i}: total {runs[-1]['value']} s, "
-            f"load_before {runs[-1]['load_avg_before'][0]}, "
-            f"waited {runs[-1].get('idle_wait_sec', 0)} s",
+            f"run {i} total {runs[i]['value']} s > {CONTENDED_X}x session "
+            f"floor {floor} s — contended; re-running once",
             file=sys.stderr,
         )
+        retried.add(i)
+        discarded.append(runs[i])
+        redo = _one_run(i)
+        if redo is None:
+            return 1
+        runs[i] = redo
+    floor = min(r["value"] for r in runs)
+    still_hot = [r["value"] for r in runs if r["value"] > CONTENDED_X * floor]
+    if still_hot:
+        print(
+            f"contention persisted after re-runs (totals "
+            f"{[r['value'] for r in runs]}, floor {floor}); NOT writing "
+            f"{out_json} — retry when the host episode passes",
+            file=sys.stderr,
+        )
+        return 1
     # Intersect query names across runs (ADVICE round-11: a run with a
     # differing query set must not KeyError away the whole session), and
     # report any asymmetry instead of crashing.
@@ -81,12 +138,25 @@ def main() -> int:
         "load_avg_before_per_run": [r["load_avg_before"][0] for r in runs],
         "idle_wait_sec_per_run": [r.get("idle_wait_sec", 0) for r in runs],
         "queries": band,
+        "contended_x": CONTENDED_X,
+        "_contended_runs_discarded": [
+            {
+                "value": r["value"],
+                "cold_total_sec": r.get("cold_total_sec"),
+                "load_avg_before": r["load_avg_before"],
+                "load_avg_after": r.get("load_avg_after"),
+            }
+            for r in discarded
+        ],
         "protocol": (
             "each run is a fresh bench.py subprocess (fresh JVM) under the "
             "idle-host gate (wait up to SPARK_GRAFT_BENCH_IDLE_WAIT_SEC for "
             "1-min load < SPARK_GRAFT_BENCH_IDLE_LOAD); per-query warm-pass "
-            "timings; a future mover counts as a regression only outside "
-            "[min, max] of this band"
+            "timings; a run whose total exceeds the session floor by "
+            "contended_x is re-run once in a fresh subprocess (discarded "
+            "attempt kept verbatim) and the band is refused entirely if "
+            "contention persists; a future mover counts as a regression "
+            "only outside [min, max] of this band"
         ),
     }
     print(json.dumps(result))
