@@ -274,3 +274,43 @@ def test_split_compact_atomicity_and_small_file_fold(spark, idx_dirs):
     # segments; a fresh plan still works and matches
     assert vacuum_ann_index(idx, grace_sec=0.0, no_active_readers=True) > 0
     assert _rows(search_ann(spark, queries, idx)) == post_split_rows
+
+
+def test_repeated_maintenance_cadence_holds_invariants(spark, idx_dirs):
+    """Round-12 steady state: production runs maintain+compact after EVERY
+    ingest cycle, not once at end-of-history.  Across repeated
+    append→maintain→compact→vacuum cycles with a binding cap, every cycle
+    must (a) return occupancy under the cap (no split debt accumulates),
+    (b) keep search equal to the independent probe-then-exact-re-rank
+    reference over the CURRENT live cells, (c) lose no posting, and (d)
+    fold the cycle's small files.  Pins the contract ANN_CADENCE.json's
+    measured numbers rest on."""
+    idx, _ = idx_dirs
+    base, batch, cents, queries = _frames(spark)
+    create_ann_index(spark, cents, idx)
+    cap = 20
+    ingested = None
+    for cyc in range(3):
+        slice_df = base.filter(F.col("vec_id") % 3 == cyc)
+        ingested = slice_df if ingested is None else ingested.unionByName(slice_df)
+        append_ann_batch(spark, slice_df, idx)
+        stats = maintain_ann_index(spark, idx, occupancy_cap=cap)
+        assert stats["max_occupancy_after"] <= cap, f"cycle {cyc}"
+        files_before = postings_file_count(idx)
+        cstats = compact_ann_index(spark, idx)
+        assert cstats["postings_files_after"] <= files_before, f"cycle {cyc}"
+        vacuum_ann_index(idx, grace_sec=0.0, no_active_readers=True)
+        # search over the evolving cell structure stays exact
+        assert _rows(search_ann(spark, queries, idx)) == _reference_search(
+            spark, queries, idx
+        ), f"cycle {cyc}"
+        # every ingested vector is live exactly once
+        live_cells, _ = _live_centroids(spark, idx)
+        live = read_postings(spark, idx, cells=[int(c) for c in live_cells])
+        assert live.count() == ingested.count(), f"cycle {cyc}"
+        assert (
+            live.select("vec_id").distinct().count() == ingested.count()
+        ), f"cycle {cyc}"
+    # later cycles must not re-split settled cells: with the corpus fully
+    # ingested, one more maintenance pass is a no-op
+    assert maintain_ann_index(spark, idx, occupancy_cap=cap)["cells_split"] == 0

@@ -728,6 +728,17 @@ ANN_CHUNKS = 10
 #: 100/1000 rungs split hot cells repeatedly — the regime the round-11
 #: verdict flagged (candidate volume ∝ corpus under frozen centroids).
 ANN_OCCUPANCY_CAP = 4000
+#: Steady-state cadence measurement (round-12): the single-pass ladder
+#: maintains ONCE at end-of-history; production runs maintain+compact per
+#: ingest cycle.  The cadence rung ingests the same 1000-copy corpus in
+#: ANN_CADENCE_CYCLES cycles with the full maintenance cycle after each,
+#: recording per-cycle cost and post-maintenance search — the evidence that
+#: repeated maintenance keeps occupancy under the cap (no split debt
+#: accumulates), that per-cycle maintain cost tracks the cycle's over-cap
+#: volume rather than the cumulative corpus, and that post-maintenance
+#: search stays cap-bound as the corpus grows cycle over cycle.
+ANN_CADENCE_COPIES = 1000
+ANN_CADENCE_CYCLES = 6
 
 
 def _timed_searches(spark, queries, index_dir, n_passes: int = 3) -> list[float]:
@@ -864,6 +875,88 @@ def ann_pinned_rung(spark, copies: int) -> dict:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def ann_cadence_rung(spark, copies: int) -> dict:
+    """Repeated ingest→maintain→compact cycles over a growing corpus (the
+    production cadence), vs the ladder's one end-of-history maintenance.
+    Same pinned query/centroid strides as ``ann_pinned_rung``; the corpus
+    is ingested in ``ANN_CADENCE_CYCLES`` replica-range slices and the FULL
+    maintenance cycle (occupancy-cap split, compaction, vacuum) runs after
+    every slice, with per-cycle cost, occupancy, candidate volume, file
+    counts, and 3-pass search timings recorded."""
+    from worker_etl_spark.operators.ann_index import (
+        append_ann_batch,
+        compact_ann_index,
+        create_ann_index,
+        maintain_ann_index,
+        postings_file_count,
+        probed_candidate_count,
+        vacuum_ann_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix=f"smoke_ann_cadence_{copies}_")
+    index_dir = tempfile.mkdtemp(prefix=f"smoke_ann_cad_index_{copies}_")
+    try:
+        t0 = time.time()
+        emb = _replicate(
+            read_table(spark, BASE_SF, "embeddings"), ["vec_id"], copies,
+            mutate_text=False,
+        )
+        emb = emb.filter(
+            (F.col("vec_id") < OFFSET)
+            | ((F.col("vec_id") % 50 != 0) & (F.col("vec_id") % 31 != 0))
+        )
+        emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+        build_s = round(time.time() - t0, 1)
+        _warm_session(spark, os.path.join(tmp, "embeddings.parquet"))
+        e = spark.read.parquet(os.path.join(tmp, "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        )
+        queries = e.filter(F.col("vec_id") % 50 == 0)
+        create_ann_index(spark, e.filter(F.col("vec_id") % 31 == 0), index_dir)
+        span = max(1, (copies + ANN_CADENCE_CYCLES - 1) // ANN_CADENCE_CYCLES)
+        cyc_out = []
+        for cyc in range(ANN_CADENCE_CYCLES):
+            lo, hi = cyc * span, (cyc + 1) * span
+            rec: dict = {"cycle": cyc, "replica_range": [lo, min(hi, copies)]}
+            t0 = time.time()
+            append_ann_batch(
+                spark,
+                e.filter(
+                    (F.col("vec_id") >= lo * OFFSET)
+                    & (F.col("vec_id") < hi * OFFSET)
+                ),
+                index_dir,
+            )
+            rec["append_sec"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            rec["maintain"] = maintain_ann_index(
+                spark, index_dir, occupancy_cap=ANN_OCCUPANCY_CAP
+            )
+            rec["maintain"]["maintain_sec"] = round(time.time() - t0, 1)
+            rec["probed_candidate_rows"] = probed_candidate_count(
+                spark, queries, index_dir
+            )
+            t0 = time.time()
+            rec["compaction"] = compact_ann_index(spark, index_dir)
+            rec["compaction"]["compact_sec"] = round(time.time() - t0, 1)
+            rec["compaction"]["vacuumed_segment_dirs"] = vacuum_ann_index(
+                index_dir, grace_sec=0.0, no_active_readers=True
+            )
+            rec["postings_files_after_cycle"] = postings_file_count(index_dir)
+            rec["search_sec"] = _timed_searches(spark, queries, index_dir)
+            cyc_out.append(rec)
+            if hi >= copies:
+                break
+        return {
+            "build_sec": build_s,
+            "occupancy_cap": ANN_OCCUPANCY_CAP,
+            "cycles": cyc_out,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def ann_pinned_growth() -> dict:
     """Pinned-batch ladder over the maintained ANN search, one fresh
     subprocess per rung."""
@@ -917,6 +1010,8 @@ def _rung_main(kind: str, copies: int, out_json: str) -> None:
         rung = dedup_pinned_rung(spark, copies)
     elif kind == "ann_pinned":
         rung = ann_pinned_rung(spark, copies)
+    elif kind == "ann_cadence":
+        rung = ann_cadence_rung(spark, copies)
     else:
         rung = sim_rung(spark, copies)
     with open(out_json, "w") as fh:
@@ -964,6 +1059,49 @@ if __name__ == "__main__":
                 "corpus-linear"
             ),
             **ann_pinned_growth(),
+        }
+        print(json.dumps(res))
+        if len(sys.argv) > 2:
+            with open(sys.argv[2], "w") as fh:
+                json.dump(res, fh, indent=2)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ann-cadence":
+        # Steady-state maintenance cadence (round-12): one idle-gated fresh
+        # subprocess; cycles and corpus size fixed by ANN_CADENCE_*.
+        import subprocess
+
+        fd, rung_json = tempfile.mkstemp(prefix="rung_ann_cadence_", suffix=".json")
+        os.close(fd)
+        load_before, idle_waited = _wait_for_idle()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rung", "ann_cadence",
+             str(ANN_CADENCE_COPIES), rung_json],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if proc.returncode != 0:
+            print(f"ann_cadence failed:\n{proc.stderr[-3000:]}", file=sys.stderr)
+            os.unlink(rung_json)
+            raise SystemExit(1)
+        with open(rung_json) as fh:
+            rung = json.load(fh)
+        os.unlink(rung_json)
+        res = {
+            "metric": "ann_maintained_index_cadence",
+            "what": (
+                "repeated ingest->maintain->compact cycles over a growing "
+                f"corpus ({ANN_CADENCE_COPIES} copies in "
+                f"{ANN_CADENCE_CYCLES} replica-range slices, cap "
+                f"{ANN_OCCUPANCY_CAP}): the steady-state complement to the "
+                "ladder's one end-of-history maintenance — per-cycle "
+                "maintain cost should track the cycle's over-cap volume "
+                "(not the cumulative corpus), occupancy must return under "
+                "the cap every cycle, and post-maintenance search should "
+                "stay cap-bound as the corpus grows"
+            ),
+            "copies": ANN_CADENCE_COPIES,
+            "n_cycles": ANN_CADENCE_CYCLES,
+            "load_avg_1m_before": round(load_before, 2),
+            "idle_wait_sec": idle_waited,
+            **rung,
         }
         print(json.dumps(res))
         if len(sys.argv) > 2:
