@@ -66,8 +66,18 @@ def _infer_oracle_sql(source: str = "lineitem") -> str:
 
 @register("i01_infer_types", oracle=_infer_oracle_sql(), headline=True)
 def i01_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from worker_etl_spark.sources.tables import spread
+
     l = read_table(spark, sf_dir, "lineitem")
-    stringified = l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])
+    # spread BEFORE the stringify (opt r12, guide §2.3/§2.4): with the
+    # projection inside the repartition the cast-to-string of every cell ran
+    # BELOW the exchange — serialized on the source's (single) input split —
+    # and the shuffle moved the fat strings.  Exchanging the raw typed
+    # columns moves fewer bytes and runs the 6.6M-cell stringify on all
+    # cores after the exchange.
+    stringified = spread(l.select(*_LINEITEM_COLS)).select(
+        *[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS]
+    )
     schema = inference.infer_schema(stringified)
     return spark.createDataFrame(
         [(f["name"], f["type"]) for f in schema],
@@ -114,8 +124,13 @@ def i07_sampled_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_inference.py); it is not oracle-checkable because the
     file split is engine-specific, so this query pins the row-predicate
     contract instead."""
+    from worker_etl_spark.sources.tables import spread
+
     l = read_table(spark, sf_dir, "lineitem")
-    stringified = l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])
+    # spread before the stringify — same single-split-cast fix as i01.
+    stringified = spread(l.select(*_LINEITEM_COLS)).select(
+        *[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS]
+    )
     # the knob filters the already-stringified frame, so cast the key back
     # (exact for integer-valued strings; still no hashing, no hex strings).
     # Same mix as _SAMPLED_LINEITEM above: reduce mod 2^31-1 (no int64
@@ -451,29 +466,62 @@ def i08_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from worker_etl_spark.sources.tables import spread
 
     l = read_table(spark, sf_dir, "lineitem")
-    # spread(): the Expand multiplies rows ×|columns| INSIDE the scan stage,
-    # so a single-split source serializes the melt + map-side combine on one
-    # core; widen first (no-op when the source has real splits).
-    stringified = spread(
-        l.select(*[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS])
+    # spread BEFORE the stringify (opt r12): the cast of 6.6M cells otherwise
+    # runs below the exchange on the source's single input split, and the
+    # shuffle moves strings instead of the narrower typed columns.
+    stringified = spread(l.select(*_LINEITEM_COLS)).select(
+        *[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS]
+    )
+    # Split the stats by what they actually need (opt r12, guide §2.3/§2.4):
+    # min/max/counts never needed the per-value distinct collapse — they come
+    # from ONE scalar aggregate over the frame (map-side partials, a 1-row
+    # exchange).  Carrying them through the old (column, value)-grain rollup
+    # forced a SortAggregate (string min/max has no mutable hash buffer) and
+    # with it a full Sort of the ~1.5M distinct melted rows.  Only n_distinct
+    # needs the melt, and alone it is a pure HashAggregate chain: Expand →
+    # distinct on (column, v) → vocab-grain count.  Same answer, no Sort, one
+    # corpus-sized shuffle instead of a fatter sorted one.
+    n_cols = len(_LINEITEM_COLS)
+    scalar = stringified.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            agg
+            for c in _LINEITEM_COLS
+            for agg in (
+                F.count(F.col(c)).alias(f"nn_{c}"),
+                F.min(F.col(c)).alias(f"min_{c}"),
+                F.max(F.col(c)).alias(f"max_{c}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, min_{c}, max_{c}" for c in _LINEITEM_COLS
+    )
+    per_col = scalar.select(
+        "n_rows",
+        F.expr(
+            f"stack({n_cols}, {stack_args})"
+            " AS (column_name, n_non_null, min_value, max_value)"
+        ),
     )
     melted = stringified.unpivot(
         ids=[], values=_LINEITEM_COLS,
         variableColumnName="column_name", valueColumnName="v",
     )
-    per_value = melted.groupBy("column_name", "v").agg(
-        F.count(F.lit(1)).alias("cnt")
+    distincts = (
+        melted.distinct()
+        .groupBy("column_name")
+        .agg(F.count("v").alias("n_distinct"))
     )
     return (
-        per_value.groupBy("column_name")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_rows"),
-            F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0))
-            .cast("long")
-            .alias("n_non_null"),
-            F.count("v").alias("n_distinct"),
-            F.min("v").alias("min_value"),
-            F.max("v").alias("max_value"),
+        distincts.join(F.broadcast(per_col), "column_name")
+        .select(
+            "column_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_non_null").cast("long").alias("n_non_null"),
+            "n_distinct",
+            "min_value",
+            "max_value",
         )
         .orderBy("column_name")
     )
