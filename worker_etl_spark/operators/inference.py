@@ -262,11 +262,22 @@ def _counter_scan(
                             _regex_mask(fail, "[0-9]{4}-[0-9]{2}-[0-9]{2}")
                         ]
                         if len(gated):
-                            rec["ts"] = int(
-                                pd.to_datetime(gated, errors="coerce", format="mixed")
+                            # parse each UNIQUE gated string once and weight
+                            # by its count (opt r12, guide §4): format="mixed"
+                            # parses per element, so dedup is exact — date
+                            # columns have ~thousands of distinct values per
+                            # hundreds of thousands of cells.
+                            vc = gated.value_counts()
+                            ok_mask = (
+                                pd.to_datetime(
+                                    pd.Series(vc.index),
+                                    errors="coerce",
+                                    format="mixed",
+                                )
                                 .notna()
-                                .sum()
+                                .to_numpy()
                             )
+                            rec["ts"] = int(vc.to_numpy()[ok_mask].sum())
                 if "bool" in fams:
                     # hash-set membership against the precomputed lower()
                     # preimage — skips a lowercased copy of every cell

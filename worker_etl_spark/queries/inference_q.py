@@ -454,8 +454,8 @@ def i08_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows next to an inferred schema: per column, row/non-null/distinct
     counts plus lexicographic min/max over the untyped (string) view.
 
-    Scale shape: the wide frame MELTS to (column, value) with the native
-    ``unpivot`` (an Expand node — no shuffle, no UDF), then an EXPLICIT
+    Scale shape: the wide frame MELTS to (column_idx, value) with the native
+    ``stack`` (an Expand node — no shuffle, no UDF), then an EXPLICIT
     two-stage aggregate: first (column, value) with map-side combine — the
     distinct-collapsing shuffle carries one row per distinct cell value,
     not per cell — then a |columns|-key rollup where every stat (counts
@@ -472,53 +472,42 @@ def i08_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stringified = spread(l.select(*_LINEITEM_COLS)).select(
         *[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS]
     )
-    # Split the stats by what they actually need (opt r12, guide §2.3/§2.4):
-    # min/max/counts never needed the per-value distinct collapse — they come
-    # from ONE scalar aggregate over the frame (map-side partials, a 1-row
-    # exchange).  Carrying them through the old (column, value)-grain rollup
-    # forced a SortAggregate (string min/max has no mutable hash buffer) and
-    # with it a full Sort of the ~1.5M distinct melted rows.  Only n_distinct
-    # needs the melt, and alone it is a pure HashAggregate chain: Expand →
-    # distinct on (column, v) → vocab-grain count.  Same answer, no Sort, one
-    # corpus-sized shuffle instead of a fatter sorted one.
+    # Melt on a TINYINT column index, not the name string (opt r12, guide
+    # §2.3 "shuffle fewer bytes"): the Expand and both aggregate exchanges
+    # then carry 1 byte of column id per melted row instead of the repeated
+    # name, and the column-grain SortAggregate partial sorts by an int key
+    # instead of a string.  The name is re-attached from an 11-element
+    # literal array AFTER the final 11-row aggregate.  (A round-12 attempt
+    # that split min/max/counts into a separate scalar aggregate to dodge
+    # that SortAggregate re-scanned lineitem — measured 2.05 s vs 1.49 s for
+    # this single-scan shape, and it broke the one-scan plan contract
+    # pinned by tests/test_plans.py.)
     n_cols = len(_LINEITEM_COLS)
-    scalar = stringified.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[
-            agg
-            for c in _LINEITEM_COLS
-            for agg in (
-                F.count(F.col(c)).alias(f"nn_{c}"),
-                F.min(F.col(c)).alias(f"min_{c}"),
-                F.max(F.col(c)).alias(f"max_{c}"),
-            )
-        ],
-    )
     stack_args = ", ".join(
-        f"'{c}', nn_{c}, min_{c}, max_{c}" for c in _LINEITEM_COLS
+        f"CAST({i} AS TINYINT), `{c}`" for i, c in enumerate(_LINEITEM_COLS)
     )
-    per_col = scalar.select(
-        "n_rows",
-        F.expr(
-            f"stack({n_cols}, {stack_args})"
-            " AS (column_name, n_non_null, min_value, max_value)"
-        ),
+    melted = stringified.select(
+        F.expr(f"stack({n_cols}, {stack_args}) AS (ci, v)")
     )
-    melted = stringified.unpivot(
-        ids=[], values=_LINEITEM_COLS,
-        variableColumnName="column_name", valueColumnName="v",
-    )
-    distincts = (
-        melted.distinct()
-        .groupBy("column_name")
-        .agg(F.count("v").alias("n_distinct"))
+    per_value = melted.groupBy("ci", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    name = F.element_at(
+        F.array(*[F.lit(c) for c in _LINEITEM_COLS]), F.col("ci").cast("int") + 1
     )
     return (
-        distincts.join(F.broadcast(per_col), "column_name")
+        per_value.groupBy("ci")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_non_null"),
+            F.count("v").alias("n_distinct"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
         .select(
-            "column_name",
-            F.col("n_rows").cast("long").alias("n_rows"),
-            F.col("n_non_null").cast("long").alias("n_non_null"),
+            name.alias("column_name"),
+            "n_rows",
+            "n_non_null",
             "n_distinct",
             "min_value",
             "max_value",

@@ -56,8 +56,28 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     the plan has fewer partitions; at real scale (100 TB = thousands of
     splits) it is a no-op and no shuffle is added.  The shuffle it does add
     locally moves the raw column once — always cheaper than a 32× idle
-    compute stage."""
+    compute stage.
+
+    Two execution-cost rules learned the hard way (opt r12, guide §1/§2):
+
+    - NEVER probe ``.rdd.getNumPartitions()`` on a frame that already
+      contains a shuffle: under AQE the RDD conversion *executes* the
+      upstream exchanges eagerly to learn the final partition count
+      (measured 6.8 s on a 600 k-row repartition — and then the real action
+      re-ran the same shuffle).  A frame whose analyzed plan already holds a
+      Repartition node is spread by construction; skip it for free.
+    - Partition by ``xxhash64`` over the row instead of round-robin:
+      ``repartition(n)`` round-robin must locally SORT every input partition
+      first (``spark.sql.execution.sortBeforeRepartition``, kept at its
+      retry-safe default) — measured 1.30 s vs 0.86 s on the same shuffle.
+      The hash is deterministic per row content, so shuffle retries re-route
+      rows identically with no sort.  Balance holds whenever rows are
+      near-unique (every engine frame carries an id column); a pathological
+      all-duplicate frame would skew, which the round-robin path shared via
+      its identical-rows-sort anyway."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target)
+    return df.repartition(target, F.xxhash64(*[F.col(f"`{c}`") for c in df.columns]))
