@@ -126,15 +126,11 @@ def _sql_plane(p: list[float]) -> str:
 
 
 def _spark_plane_dot(col: str, p: list[float]) -> F.Column:
-    # Unrolled literal dot (opt r12, guide §1.2): higher-order functions are
-    # CodegenFallback in Spark — the zip_with/aggregate fold paid an
-    # interpreted lambda dispatch per element.  The explicit left-associated
-    # sum whole-stage-codegens; it starts from the same 0D seed and adds in
-    # array order, so every intermediate double is bit-identical to the fold.
-    expr = "CAST(0 AS DOUBLE)"
-    for i, x in enumerate(p):
-        expr += f" + (CAST({col}[{i}] AS DOUBLE) * CAST({x} AS DOUBLE))"
-    return F.expr(expr)
+    arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"
+    return F.expr(
+        f"aggregate(zip_with({col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
 
 
 def _bucket_spark(col: str) -> F.Column:
@@ -276,7 +272,7 @@ def s02_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "vec_id",
         "embedding",
-        norm("embedding", _DIM).alias("nrm"),
+        norm("embedding").alias("nrm"),
         _bucket_spark("embedding").alias("bucket"),
     )
     q = v.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
@@ -292,7 +288,7 @@ def s02_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            (dot("q_emb", "embedding", _DIM) / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+            (dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
         )
     )
     win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -595,26 +591,14 @@ def v02_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     per_vec = e.select(
         (F.col("vec_id") % 8).alias("bucket"),
-        norm("embedding", _DIM).alias("nrm"),
-        # Unrolled per-index forms of the filter/transform/aggregate lambdas
-        # (opt r12, guide §1.2): HOFs are CodegenFallback; these codegen.
-        # n_pos counts the same >0 predicate; greatest() is array_max over
-        # the same abs() values; the relu sum starts from the same 0D seed
-        # and adds in array order — bit-identical doubles.
+        norm("embedding").alias("nrm"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_pos"),
         F.expr(
-            " + ".join(f"IF(embedding[{i}] > 0, 1, 0)" for i in range(_DIM))
-        ).alias("n_pos"),
-        F.expr(
-            "greatest("
-            + ", ".join(f"abs(CAST(embedding[{i}] AS DOUBLE))" for i in range(_DIM))
-            + ")"
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
         ).alias("max_abs"),
         F.expr(
-            "CAST(0 AS DOUBLE)"
-            + "".join(
-                f" + IF(embedding[{i}] > 0, CAST(embedding[{i}] AS DOUBLE), 0D)"
-                for i in range(_DIM)
-            )
+            "aggregate(embedding, 0D,"
+            " (acc, x) -> acc + CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0D END)"
         ).alias("relu_sum"),
     )
     return (
@@ -638,32 +622,19 @@ def _quantize_codes(e: DataFrame) -> DataFrame:
     """(vec_id, code: array<bigint>) — int8-style symmetric quantization with
     ONE global scale = max |x| (order-independent, so every engine derives
     the identical scale and identical codes)."""
-    # Unrolled element accesses (opt r12, guide §1.2): the aggregate/transform
-    # lambdas were CodegenFallback; greatest() and an explicit array() of the
-    # per-index expressions codegen.  greatest(0D, |x_0|, …, |x_63|) is the
-    # same max the fold computed (max is order-independent and exact), and
-    # each code element applies the identical round/cast per index.
     scale_df = e.agg(
         F.max(
             F.expr(
-                "greatest(CAST(0 AS DOUBLE), "
-                + ", ".join(
-                    f"abs(CAST(embedding[{i}] AS DOUBLE))" for i in range(_DIM)
-                )
-                + ")"
+                "aggregate(embedding, 0D,"
+                " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
             )
         ).alias("scale")
     )
     return e.crossJoin(F.broadcast(scale_df)).select(
         "vec_id",
-        F.array(
-            *[
-                F.expr(
-                    f"CAST(round(CAST(embedding[{i}] AS DOUBLE) / scale"
-                    f" * {_SQ_BITS}, 0) AS BIGINT)"
-                )
-                for i in range(_DIM)
-            ]
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale"
+            f" * {_SQ_BITS}, 0) AS BIGINT))"
         ).alias("code"),
     )
 
@@ -868,7 +839,7 @@ def v03_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assignment) + one (cluster, dim)-grain aggregate (update); nothing
     O(n²), nothing driver-side."""
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    vn = _quantize_codes(e).withColumn("n2", dot("code", "code", _DIM))
+    vn = _quantize_codes(e).withColumn("n2", dot("code", "code"))
 
     seeds = (
         vn.filter(F.col("vec_id") % _KM_STRIDE == 0)
@@ -881,7 +852,7 @@ def v03_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "code",
             (
-                (F.col("n2") + F.col("s2") - 2 * dot("code", "scode", _DIM)) * 100
+                (F.col("n2") + F.col("s2") - 2 * dot("code", "scode")) * 100
                 + F.col("cr")
             ).alias("k1"),
         )
@@ -899,7 +870,7 @@ def v03_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " x -> x.avg_val)"
             ).alias("centroid")
         )
-        .withColumn("c2", dot("centroid", "centroid", _DIM))
+        .withColumn("c2", dot("centroid", "centroid"))
     )
     a2 = (
         vn.crossJoin(F.broadcast(cent))
@@ -907,7 +878,7 @@ def v03_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 F.round(
-                    (F.col("n2") + F.col("c2") - 2 * dot("code", "centroid", _DIM))
+                    (F.col("n2") + F.col("c2") - 2 * dot("code", "centroid"))
                     * 1000000,
                     0,
                 ).cast("long")
@@ -1043,9 +1014,7 @@ def s06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pq_dist(a: str, b: str):
         return (
-            dot(a, a, _PQ_SUBDIM)
-            + dot(b, b, _PQ_SUBDIM)
-            - 2 * dot(a, b, _PQ_SUBDIM)
+            dot(a, a) + dot(b, b) - 2 * dot(a, b)
         ).cast("long")
 
     encoded = (
@@ -1151,7 +1120,7 @@ def s07_vector_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = _quantize_codes(e.select("vec_id", "embedding")).join(
         e.select("vec_id", "label"), "vec_id"
     )
-    norms = vn.select("label", dot("code", "code", _DIM).cast("long").alias("n2"))
+    norms = vn.select("label", dot("code", "code").cast("long").alias("n2"))
     mu = norms.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("CAST(sum(n2) div count(*) AS BIGINT)").alias("mean_n2"),

@@ -32,7 +32,7 @@ from worker_etl_spark.functions.text import (
     sql_tokens,
     tokens,
 )
-from worker_etl_spark.queries import register
+from worker_etl_spark.queries import bounded_persist, register
 from worker_etl_spark.sources.tables import read_table, spread
 
 
@@ -942,46 +942,44 @@ def t14_substring_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in total gram volume, the same shape the public recipe runs at
     trillion-token scale.  No reference counterpart (SURVEY.md §2 Part B)."""
     d = read_table(spark, sf_dir, "documents")
-    toks = spread(
-        d.select("doc_id", tokens(norm_text(F.col("text"))).alias("toks")).filter(
-            F.size("toks") >= _SUB_N
-        )
+    toks = (
+        spread(d.select("doc_id", "text"))
+        .select("doc_id", tokens(norm_text(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= _SUB_N)
     )
+    # Per-doc distinctness needs NO shuffle: all of a doc's gram hashes sit
+    # in one array before the explode, so array_distinct == the old
+    # (doc_id, h).distinct() exchange (opt r12, guide §1.2 step 1 / §2.4 —
+    # the old shape recomputed the tokenize→explode→distinct pipeline THREE
+    # times: totals, semi-join probe, shared build; interleaved A/B 28.8 s →
+    # 2.1 s median).  Corpus doc-frequency is then one window over h and the
+    # doc-grain rollup one map-side-combined aggregate — 2 shuffles, 0 joins.
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(toks) - {_SUB_N - 1}),"
-                f" i -> array_join(slice(toks, i, {_SUB_N}), ' '))"
+                f"array_distinct(transform(sequence(1, size(toks) - {_SUB_N - 1}),"
+                f" i -> CAST(conv(substring(md5(array_join(slice(toks, i, {_SUB_N}),"
+                f" ' ')), 1, 8), 16, 10) AS BIGINT)))"
             )
-        ).alias("g"),
-    ).select("doc_id", hex_int(F.col("g")).alias("h")).distinct()
-    shared = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") >= 2
+        ).alias("h"),
     )
-    per_doc = (
-        grams.join(shared.select("h"), "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
+    cnt = grams.select(
+        "doc_id", F.count(F.lit(1)).over(W.partitionBy("h")).alias("cnt")
     )
-    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("n_dup"),
+    )
     return (
-        totals.join(per_doc, "doc_id", "left")
-        .select(
+        per_doc.select(
             "doc_id",
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias(
-                "n_dup_grams"
-            ),
+            F.col("n_dup").cast("long").alias("n_dup_grams"),
             F.round(
-                F.coalesce(F.col("n_dup"), F.lit(0))
-                / F.col("n_grams").cast("double"),
-                6,
+                F.col("n_dup") / F.col("n_grams").cast("double"), 6
             ).alias("dup_share"),
-            (
-                F.coalesce(F.col("n_dup"), F.lit(0))
-                > _SUB_FLAG * F.col("n_grams")
-            ).alias("flagged"),
+            (F.col("n_dup") > _SUB_FLAG * F.col("n_grams")).alias("flagged"),
         )
         .orderBy(F.desc("dup_share"), "doc_id")
         .limit(20)
@@ -1293,9 +1291,15 @@ def t18_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scoring" passes of the real recipe); one doc-grain and one lang-grain
     aggregate close it out.  No reference counterpart (SURVEY.md §2)."""
     d = read_table(spark, sf_dir, "documents")
-    toks = spread(
-        d.select("doc_id", "lang", tokens(norm_text(F.col("text"))).alias("toks"))
-    ).filter(F.size("toks") >= 2)
+    # spread the RAW columns and tokenize ABOVE the exchange (opt r12, guide
+    # §2.4): with the projection inside spread() the regex normalize+split of
+    # the whole corpus ran below the shuffle on the source's single input
+    # split.
+    toks = (
+        spread(d.select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", tokens(norm_text(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
     bigrams = toks.select(
         "doc_id",
         "lang",
@@ -1306,9 +1310,22 @@ def t18_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "lang", "bg.w1", "bg.w2")
-    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    ug_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
-    vocab = bigrams.agg(F.countDistinct("w2").alias("v"))
+    # cu and V are marginals of the (w1,w2) count table — derive them from
+    # vocab-sized bg_counts instead of re-tokenizing and re-exploding the
+    # whole corpus (sum(cb) over w2 ≡ count per w1, distinct w2 of pairs ≡
+    # distinct w2), and PERSIST bg_counts so its three consumers share one
+    # build (opt r12, guide §1.2 step 1: Spark has no common-subtree reuse,
+    # so the unpersisted frame re-ran tokenize+explode per consumer — 4
+    # corpus passes; now 2).  The persisted frame is vocab-grain (distinct
+    # word pairs), o(corpus) per the bounded_persist contract.
+    bg_counts = bounded_persist(
+        bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")),
+        "distinct bigram vocabulary",
+    )
+    ug_counts = bg_counts.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cu")
+    )
+    vocab = bg_counts.agg(F.countDistinct("w2").alias("v"))
     scored = (
         bigrams.join(bg_counts, ["w1", "w2"])
         .join(ug_counts, "w1")
