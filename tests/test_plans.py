@@ -287,13 +287,17 @@ def test_q59_range_frame_single_window_sort(spark):
 
 
 def test_t14_gram_join_stays_equi(spark):
-    """Substring-dup share: the gram-frequency membership test must plan as
-    a (left semi) hash/sort-merge EQUI join on the gram hash — never a
+    """Substring-dup share (single-pass r12 shape): per-doc gram dedup is
+    in-row (array_distinct before the explode) and corpus doc-frequency is
+    an h-partitioned window — ONE tokenize Generate, no join at all (the
+    r11 shape's semi-join membership probe is gone), and never a
     nested-loop or cartesian pair enumeration."""
     plan = _plan(spark, "t14_substring_dup_share")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan
+    assert "Join" not in plan  # no pair enumeration of any kind remains
+    assert len(re.findall(r"\bGenerate\b", plan)) == 1
+    assert "Window" in plan
 
 
 def test_s06_codebook_and_dtable_broadcast(spark):

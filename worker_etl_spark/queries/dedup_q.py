@@ -690,6 +690,13 @@ def d08_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= _EDIT_JACCARD_FLOOR
     )
+    # NOT pruned via a pair-member semi-join (opt r12, measured): persisting
+    # the ≤2·|pairs| normalized texts and joining both sides against that
+    # re-measured ~1 s SLOWER (1.81 → 2.87 s, control-normalized) — the
+    # extra broadcast build + cache barrier outweigh the saved second
+    # norm_text scan at this corpus size.  At real scale the same move is
+    # the guide §3.2 shape; re-evaluate on a corpus where the normalize
+    # pass dominates.
     norm = read_table(spark, sf_dir, "documents").select(
         "doc_id", norm_text(F.col("text")).alias("norm")
     ).filter(F.length("norm") >= _SHINGLE_W)

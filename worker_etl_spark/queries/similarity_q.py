@@ -29,7 +29,7 @@ from pyspark.sql.window import Window as W
 
 from worker_etl_spark.functions.text import hex_int, sql_hex_int, sql_tokens, tokens
 from worker_etl_spark.functions.vectors import dot, norm, sql_dot, sql_norm
-from worker_etl_spark.queries import register
+from worker_etl_spark.queries import bounded_persist, register
 from worker_etl_spark.sources.tables import read_table
 
 _DIM = 64
@@ -839,7 +839,14 @@ def v03_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assignment) + one (cluster, dim)-grain aggregate (update); nothing
     O(n²), nothing driver-side."""
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    vn = _quantize_codes(e).withColumn("n2", dot("code", "code"))
+    # vn feeds three consumers (seeds build, iteration-1 assignment, and the
+    # iteration-2 re-assignment), each a separate job because the first two
+    # end in broadcast builds — share ONE quantize scan (opt r12, guide
+    # §2.4; same shared-build shape as t18's bg_counts).
+    vn = bounded_persist(
+        _quantize_codes(e).withColumn("n2", dot("code", "code")),
+        "quantized codes + self-dots (|embeddings| rows)",
+    )
 
     seeds = (
         vn.filter(F.col("vec_id") % _KM_STRIDE == 0)
@@ -993,6 +1000,13 @@ def s06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores actually ship (IVF from s03 composes in front as the coarse
     stage)."""
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NOT persisted (opt r12, measured): sharing vn/subs across the four
+    # consumers via bounded_persist re-measured NEUTRAL-to-worse (2.34 →
+    # 2.59 s median, control-normalized) — the broadcast-build jobs are
+    # fixed-cost-dominated at this corpus size and the extra
+    # materialization barriers outweigh the saved recompute.  v03 keeps the
+    # persist because its consumers re-run a heavier subtree (measured 21%
+    # there).
     vn = _quantize_codes(e)
     sub_slices = F.array(
         *[

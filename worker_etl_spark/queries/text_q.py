@@ -199,6 +199,11 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): one-object corpora give the scan a single split; the shingle
     # explode+hash below is the heavy stage, so widen before it (no-op when
     # the source already has enough splits).
+    # NOT persisted (opt r12, measured): sharing the normalized corpus across
+    # the two branches via bounded_persist re-measured ~1 s SLOWER (1.24 →
+    # 2.2 s median, control-normalized) — the cache materialization barrier
+    # breaks the scan→norm→explode→partial-agg fusion and costs more than
+    # the duplicated fused scan it saves.
     norm = spread(
         d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
             F.length("norm") >= _SHINGLE
@@ -270,7 +275,14 @@ def t05_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = spread(d.select("doc_id", norm_text(F.col("text")).alias("nt"))).select(
         "doc_id", F.explode(tokens(F.col("nt"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency build (a broadcast-side job) and
+    # the scoring join; without the persist the tokenize→explode→(doc,term)
+    # aggregate re-ran once per consumer (opt r12, guide §2.4 shared build —
+    # materializing tf is the standard TF-IDF pipeline call).
+    tf = bounded_persist(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+        "(doc, term) counts — ≤ corpus token volume",
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -616,8 +628,14 @@ def t10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(doc_alias, hex_int(F.col("g")).alias("h"))
         )
 
-    # Eval side is tiny: distinct + broadcast are both cheap.
-    ev = grams(toks.filter(F.col("doc_id") % _EVAL_MOD == 0), "eval_doc").distinct()
+    # Eval side is tiny: distinct + broadcast are both cheap.  Persisted
+    # (opt r12, guide §2.4): it feeds BOTH the broadcast join build and the
+    # per-doc cardinality build — without the persist each broadcast job
+    # re-ran the eval-slice tokenize+gram pipeline.
+    ev = bounded_persist(
+        grams(toks.filter(F.col("doc_id") % _EVAL_MOD == 0), "eval_doc").distinct(),
+        "distinct eval-doc grams (benchmark-sized)",
+    )
     corp = grams(toks.filter(F.col("doc_id") % _EVAL_MOD != 0), "corpus_doc")
     card = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n_eval"))
     ov = (
