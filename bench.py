@@ -22,6 +22,69 @@ from worker_etl_spark.queries import load_all, release_persists  # noqa: E402
 from worker_etl_spark.session import get_spark  # noqa: E402
 
 
+def _burn_chunk(_: int) -> float:
+    """Fixed, deterministic CPU work unit for the contention sentinel."""
+    t0 = time.time()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return time.time() - t0
+
+
+def _burn_probe() -> dict:
+    """Machine-checkable contention sentinel (round-12 verdict #1: the r12
+    driver bench passed a 1-minute idle gate and was then stolen MID-PASS,
+    which nothing in the artifact could prove).  Runs one fixed CPU chunk on
+    a single process (calibration), then the same chunk on every core
+    simultaneously; on an exclusive host the N-way wall equals the 1-way
+    wall (independent processes, no shared state), so
+    ``parallel_efficiency = calib / wall`` reads ~1.0 idle and drops in
+    proportion to external steal.  Recorded before AND after the timed
+    passes so a steal episode inside the window is visible from the
+    artifact alone."""
+    import multiprocessing as mp
+
+    n = os.cpu_count() or 1
+    try:
+        ctx = mp.get_context("fork")
+        calib = _burn_chunk(0)
+        t0 = time.time()
+        with ctx.Pool(n) as pool:
+            pool.map(_burn_chunk, range(n))
+        wall = time.time() - t0
+        return {
+            "procs": n,
+            "calib_1proc_sec": round(calib, 3),
+            "wall_sec": round(wall, 3),
+            "parallel_efficiency": round(calib / wall, 3) if wall > 0 else None,
+        }
+    except Exception as exc:  # noqa: BLE001 — sentinel must never fail a bench
+        return {"error": str(exc)}
+
+
+def _steal_flags(timings: dict[str, float]) -> list[str]:
+    """Per-query steal detection against the pinned idle noise band: any
+    warm-pass query above ``contended_x`` × its band max is flagged.  The
+    flag is INFORMATIONAL — a legitimately-changed query can trip it until
+    the band is re-pinned — but a broad flag set plus a low sentinel
+    efficiency is the machine-readable contention verdict the r12 artifacts
+    lacked."""
+    band_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_NOISE_BAND.json")
+    try:
+        with open(band_path) as fh:
+            band = json.load(fh)
+        factor = float(band.get("contended_x", 1.2))
+        out = []
+        for name, sec in timings.items():
+            ref = band.get("queries", {}).get(name)
+            if ref and sec > factor * ref["max"]:
+                out.append(name)
+        return sorted(out)
+    except Exception:  # noqa: BLE001 — no band, no flags
+        return []
+
+
 def _wait_for_idle() -> dict:
     """Idle-host protocol (round-10 verdict #3: r7-r10 headline benches all
     ran at 1-min load 4.5-7, making round-over-round deltas unfalsifiable).
@@ -135,8 +198,10 @@ def main() -> None:
     # load ≳ cores/2, or whose warm pass is slower than its cold pass, is
     # contaminated by contention, not by a plan change.
     load_before = os.getloadavg()
+    burn_before = _burn_probe()
     cold = run_pass()
     timings = run_pass()
+    burn_after = _burn_probe()
     load_after = os.getloadavg()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
@@ -155,6 +220,12 @@ def main() -> None:
                 # the protocol's ambient "load_avg_before" comes from idle.
                 "load_avg_at_pass_start": [round(x, 2) for x in load_before],
                 "load_avg_after": [round(x, 2) for x in load_after],
+                # contention sentinel (r13): full-width CPU burn probes
+                # bracketing the timed passes + per-query band flags — the
+                # machine-checkable steal verdict the r12 artifacts lacked.
+                "sentinel_burn_before": burn_before,
+                "sentinel_burn_after": burn_after,
+                "suspect_steal_queries": _steal_flags(timings),
                 **idle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

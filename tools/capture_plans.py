@@ -1,4 +1,4 @@
-"""Capture .explain('formatted') for named queries into plans/r12/.
+"""Capture .explain('formatted') for named queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py before|after name [name ...]
 
@@ -18,7 +18,11 @@ from worker_etl_spark.queries import load_all, release_persists  # noqa: E402
 from worker_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
+)
 
 
 def main() -> None:

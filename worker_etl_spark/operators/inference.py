@@ -75,18 +75,24 @@ def _lower_preimage(tokens: tuple[str, ...]) -> list[str] | None:
     counter kernel can run one hash-set ``isin`` instead of materializing a
     lowercased copy of every cell (measured 7-12× cheaper per column).
 
-    Valid only when the enumeration IS the full preimage: ASCII tokens with
-    no 'k' and no 'i' (U+212A KELVIN SIGN lowercases to 'k'; U+0130 İ
-    lowercases to a two-codepoint sequence and can never equal a token of
-    different length, but plain dotless-I locales are not a concern for
-    str.lower, which is locale-independent).  Returns None when the token
-    set is outside that safe domain, and the caller falls back to lower().
+    Valid only when the enumeration IS the full preimage: LOWERCASE ASCII
+    tokens with no 'k'.  Verified by exhaustive scan over all of Unicode
+    (opt r13): U+212A KELVIN SIGN is the ONLY non-ASCII codepoint whose
+    ``str.lower()`` is a single ASCII character ('k'), so excluding
+    'k'-bearing tokens makes the ASCII case-product complete.  (U+017F ſ
+    maps to 's' only under ``casefold``, never ``str.lower`` — both kernel
+    paths agree on it; U+0130 İ lowercases to TWO codepoints and can't
+    match.)  A MIXED-CASE token has an EMPTY preimage under str.lower()
+    (lower() never emits an uppercase letter), so emitting its case
+    variants would overcount — return None and take the exact fallback
+    (round-12 ADVICE).  Returns None whenever the token set is outside the
+    safe domain, and the caller falls back to lower().
     """
     from itertools import product
 
     out: set[str] = set()
     for t in tokens:
-        if not t.isascii() or "k" in t:
+        if not t.isascii() or "k" in t or t != t.lower():
             return None
         choices = [
             (ch, ch.upper()) if ch.isalpha() else (ch,) for ch in t
@@ -217,6 +223,13 @@ def _counter_scan(
                 zero_copy_only=False
             )
         except Exception:  # noqa: BLE001 — fall back to pandas regex
+            # RE2's '$' anchors at end-of-TEXT; Python re's '$' also matches
+            # before a trailing newline, so a $-anchored pattern must run as
+            # fullmatch here or the two paths disagree on values like
+            # '123\n' (round-12 ADVICE; the prefix-gate patterns keep
+            # str.match semantics, which are identical in both engines).
+            if pattern.endswith("$"):
+                return series.str.fullmatch(pattern[:-1]).eq(True).to_numpy()
             return series.str.match(pattern).eq(True).to_numpy()
 
     def kernel(batches):

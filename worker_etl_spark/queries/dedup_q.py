@@ -1271,11 +1271,31 @@ def d13_banding_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.col("jaccard").alias("j")
     )
     n_cand = cand.count()
+    # ONE pass over truth and ONE over truth⋈cand instead of a per-threshold
+    # driver loop (opt r13, guide §1.2/§2.4: 7 jobs → 2 — the old loop
+    # re-filtered and re-joined the SAME pair frames once per threshold).
+    # Conditional sums over every threshold ride a single aggregate each;
+    # the recall arithmetic is unchanged driver-side math.
+    rel_cols = [
+        F.coalesce(
+            F.sum((F.col("j") >= t).cast("long")), F.lit(0)
+        ).alias(f"r{i}")
+        for i, t in enumerate(_D13_THRESHOLDS)
+    ]
+    hit_cols = [
+        F.coalesce(
+            F.sum((F.col("j") >= t).cast("long")), F.lit(0)
+        ).alias(f"h{i}")
+        for i, t in enumerate(_D13_THRESHOLDS)
+    ]
+    stats = (
+        truth.agg(*rel_cols)
+        .crossJoin(truth.join(cand, ["doc_a", "doc_b"]).agg(*hit_cols))
+        .collect()[0]
+    )
     rows = []
-    for t in _D13_THRESHOLDS:
-        rel = truth.filter(F.col("j") >= t)
-        n_rel = rel.count()
-        n_hit = rel.join(cand, ["doc_a", "doc_b"]).count()
+    for i, t in enumerate(_D13_THRESHOLDS):
+        n_rel, n_hit = stats[f"r{i}"], stats[f"h{i}"]
         rows.append(
             (t, n_rel, n_cand, n_hit, round(n_hit / max(n_rel, 1), 6))
         )
@@ -1528,18 +1548,28 @@ def d15_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical run yields the same variant (TPC-H's zero-padded names have
     # 6+ zero runs), so undeduped sides would square that multiplicity
     # through the join (measured: ~4x on this corpus).
-    cand = (
+    #
+    # IDs-only through the blocking join (opt r13, guide §2.3/§8 "decide
+    # with small rows, attach payloads once"): the variant equi-join and the
+    # pair distinct shuffle (feed_id, master_id) longs, never the ~18-char
+    # name strings; names re-attach AFTER via broadcast joins against the
+    # |customer|-row sides.  Pair set is identical (names are functionally
+    # dependent on their ids), so blocked/best/aggregate are unchanged.
+    cand_ids = (
         delete_variants(dirty, "feed_name")
-        .select("feed_id", "feed_name", "v")
+        .select("feed_id", "v")
         .dropDuplicates(["feed_id", "v"])
         .join(
             delete_variants(master, "c_name")
-            .select("master_id", "c_name", "v")
+            .select("master_id", "v")
             .dropDuplicates(["master_id", "v"]),
             "v",
         )
-        .select("feed_id", "feed_name", "master_id", "c_name")
+        .select("feed_id", "master_id")
         .distinct()
+    )
+    cand = cand_ids.join(F.broadcast(dirty), "feed_id").join(
+        F.broadcast(master), "master_id"
     )
     blocked = cand.withColumn(
         "dist", F.levenshtein(F.col("feed_name"), F.col("c_name"))

@@ -699,15 +699,23 @@ def q21_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary (raw doubles did: 52724.245 ± 1 ulp → .24 vs .25)."""
     l = _t(spark, sf_dir, "lineitem")
     c = l.select("l_returnflag", F.round(F.col("l_extendedprice") * 100, 0).alias("cents"))
-    p25 = F.expr("percentile(cents, 0.25)")
-    p75 = F.expr("percentile(cents, 0.75)")
+    # ONE array-percentile aggregate instead of three scalar ones (opt r13,
+    # guide §2.3 "aggregate state"): percentile(col, array(...)) maintains a
+    # single value→count map per group and reads all three quantiles out of
+    # it, where three scalar percentile() calls each built and sorted their
+    # OWN copy of the same map (3× update cost, 3× memory, 3× sort).  The
+    # interpolation math per quantile is byte-identical (same Percentile
+    # aggregate), so values — and the oracle hash — are unchanged.
+    p = F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))")
     return (
         c.groupBy("l_returnflag")
-        .agg(
-            F.round(p25 / 100.0, 2).alias("p25"),
-            F.round(F.expr("percentile(cents, 0.5)") / 100.0, 2).alias("median"),
-            F.round(p75 / 100.0, 2).alias("p75"),
-            F.round((p75 - p25) / 100.0, 2).alias("iqr"),
+        .agg(p.alias("pq"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("pq")[0] / 100.0, 2).alias("p25"),
+            F.round(F.col("pq")[1] / 100.0, 2).alias("median"),
+            F.round(F.col("pq")[2] / 100.0, 2).alias("p75"),
+            F.round((F.col("pq")[2] - F.col("pq")[0]) / 100.0, 2).alias("iqr"),
         )
         .orderBy("l_returnflag")
     )

@@ -741,9 +741,15 @@ def src09_xls_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one typed tail per sheet, each from a per-sheet PRUNED load (the
     # ``sheets`` read option drops non-matching (file, sheet) partitions at
     # plan time, so each tail decodes exactly one sheet; option-based
-    # pruning, not pushFilters — see sources/pyds.py for why)
-    out = []
-    for sheet, label in (("Nations", "nations"), ("Regions", "regions")):
+    # pruning, not pushFilters — see sources/pyds.py for why).  Tails are
+    # INDEPENDENT eager pipelines (detection + inference each run jobs), so
+    # build them from a thread pool (guide §2.6): each tail's tiny jobs
+    # back-fill the cores the others leave idle instead of serializing
+    # 2× the fixed per-job latency.  pool.map preserves sheet order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _tail(arg: tuple[str, str]) -> DataFrame:
+        sheet, label = arg
         grid = (
             spark.read.format("xlsgrid")
             .option("path", path)
@@ -751,13 +757,14 @@ def src09_xls_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
         )
         t = _grid_to_typed(widen_grid(grid))
-        out.append(
-            t.select(
-                F.lit(label).alias("src_table"),
-                F.col("key").cast("long").alias("key"),
-                F.col("name").alias("name"),
-            )
+        return t.select(
+            F.lit(label).alias("src_table"),
+            F.col("key").cast("long").alias("key"),
+            F.col("name").alias("name"),
         )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        out = list(pool.map(_tail, (("Nations", "nations"), ("Regions", "regions"))))
     return out[0].unionByName(out[1]).orderBy("src_table", "key")
 
 
@@ -827,14 +834,14 @@ def src19_xlsx_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_xlsgrid(spark)
     # per-sheet pruned loads: each tail decodes ONE (file, sheet) partition
     # out of the mixed-generation directory (option-based pruning — see
-    # sources/pyds.py for why this is a read option, not pushFilters)
-    out = []
-    for sheet, label in (
-        ("Nations", "nations"),
-        ("Regions", "regions"),
-        ("SuppliersEven", "suppliers"),
-        ("SuppliersOdd", "suppliers"),
-    ):
+    # sources/pyds.py for why this is a read option, not pushFilters).
+    # The four tails are independent eager pipelines (detection + inference
+    # jobs); a thread pool overlaps them (guide §2.6) so the fixed per-job
+    # latency of 4 sheets is paid once, not four times in series.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _tail(arg: tuple[str, str]) -> DataFrame:
+        sheet, label = arg
         grid = (
             spark.read.format("xlsgrid")
             .option("path", tmp)
@@ -842,11 +849,22 @@ def src19_xlsx_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
         )
         t = _grid_to_typed(widen_grid(grid))
-        out.append(
-            t.select(
-                F.lit(label).alias("src_table"),
-                F.col("key").cast("long").alias("key"),
-                F.col("name").alias("name"),
+        return t.select(
+            F.lit(label).alias("src_table"),
+            F.col("key").cast("long").alias("key"),
+            F.col("name").alias("name"),
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        out = list(
+            pool.map(
+                _tail,
+                (
+                    ("Nations", "nations"),
+                    ("Regions", "regions"),
+                    ("SuppliersEven", "suppliers"),
+                    ("SuppliersOdd", "suppliers"),
+                ),
             )
         )
     res = out[0]
@@ -1598,11 +1616,26 @@ def src14_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
     )
     tmp = fixture_dir("src14")
+
+    # The three codec writes are INDEPENDENT jobs over the same slice —
+    # submit them from a small thread pool (guide §2.6 "overlap independent
+    # jobs") so each write's scheduling/commit tail back-fills the others'
+    # idle cores instead of serializing three full write barriers.  Each
+    # thread drives its own job; outputs are per-codec directories, so
+    # nothing races.  (Opt r13; value-identical outputs, oracle unchanged.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(codec: str) -> None:
+        li.write.mode("overwrite").option("compression", codec).parquet(
+            os.path.join(tmp, codec)
+        )
+
+    with ThreadPoolExecutor(max_workers=len(_SRC14_CODECS)) as pool:
+        list(pool.map(_write, _SRC14_CODECS))
+
     frames = []
     for codec in _SRC14_CODECS:
-        loc = os.path.join(tmp, codec)
-        li.write.mode("overwrite").option("compression", codec).parquet(loc)
-        back = spark.read.parquet(loc)
+        back = spark.read.parquet(os.path.join(tmp, codec))
         frames.append(
             back.agg(
                 F.lit(codec).alias("codec"),
@@ -2761,20 +2794,24 @@ def srm04_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     qname = "srm04_sink"
+    # Default (ASAP) trigger (opt r13, same rationale as w22): per-file batch
+    # boundaries are the SOURCE cursor's doing, so the 250 ms processingTime
+    # interval only added idle wall time between the 5 batches.
     q = (
         stream.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(processingTime="250 milliseconds")
         .start()
     )
     try:
         deadline = time.time() + 240
         while time.time() < deadline:
+            # memory-sink count is a driver-local relation scan (no cluster
+            # job); poll fine-grained so quiescence is detected promptly.
             if spark.sql(f"SELECT count(*) c FROM {qname}").collect()[0].c >= len(n):
                 break
-            time.sleep(0.5)
+            time.sleep(0.05)
     finally:
         q.stop()
     return spark.sql(
@@ -2841,6 +2878,11 @@ def w22_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_pyqueue(spark)
     register_txnjsonl(spark)
     schema = "n_nationkey long, n_regionkey long"
+    # Default (ASAP) trigger, not processingTime="250ms" (opt r13, guide §1.2
+    # step 1): batch boundaries come from the SOURCE's one-file-per-batch
+    # cursor, so the fixed trigger interval only inserted 250 ms of idle
+    # between the 5 batches (>1 s of pure wall floor).  Measurement protocol
+    # unchanged: same 5 micro-batches, same manifests, same committed rows.
     q = (
         spark.readStream.format("pyqueue")
         .schema(schema)
@@ -2849,15 +2891,31 @@ def w22_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("txnjsonl")
         .option("path", sink)
         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(processingTime="250 milliseconds")
         .start()
     )
+
+    def _committed_rows() -> int:
+        # poll the manifest ledger directly (each manifest already carries
+        # per-part n_rows): the old read_committed(...).count() poll ran a
+        # full Spark job every 500 ms that CONTENDED with the micro-batches
+        # it was waiting on (opt r13, guide §1.4 — measure the work, not the
+        # measurement).  os.replace-published manifests are always complete.
+        commits = os.path.join(sink, "_commits")
+        if not os.path.isdir(commits):
+            return 0
+        total = 0
+        for nm in os.listdir(commits):
+            if nm.startswith("batch-") and nm.endswith(".json"):
+                with open(os.path.join(commits, nm), encoding="utf-8") as fh:
+                    total += sum(p["n_rows"] for p in json.load(fh)["parts"])
+        return total
+
     try:
         deadline = time.time() + 240
         while time.time() < deadline:
-            if read_committed(spark, sink, schema).count() >= len(n):
+            if _committed_rows() >= len(n):
                 break
-            time.sleep(0.5)
+            time.sleep(0.05)
     finally:
         q.stop()
     return (

@@ -528,6 +528,14 @@ def t09_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.select("doc_id", norm_text(F.col("text")).alias("norm")).filter(
         F.length("norm") >= _CDC_W + 1
     )
+    # NOT the in-row higher-order-filter shape (opt r13, measured NEGATIVE):
+    # size(filter(sequence(...), i -> hex_int(...) % MOD = 0)) removes the
+    # explode + per-doc aggregate exchange, but lambda bodies are
+    # CodegenFallback — the md5/conv per position runs INTERPRETED, and the
+    # measured end-to-end is 5.3 s vs ~3.6 s for this codegen'd explode
+    # pipeline (idle host, t17 control flat).  Same regime as the r12
+    # HOF-unroll revert: at this corpus size the query is compute-bound on
+    # the hash, and codegen beats a saved exchange.
     pos = n.select(
         "doc_id",
         F.length("norm").cast("long").alias("doc_len"),
