@@ -39,6 +39,32 @@ def register(name: str, oracle: str | None, headline: bool = False):
     return deco
 
 
+def local_frame(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Tiny driver-built RESULT frame as a JVM local relation (opt r13).
+
+    ``createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` PYTHON partitions, so every downstream action
+    launches ~32 Python-worker round-trips just to re-emit a handful of
+    driver-known rows (measured 1.2-1.5 s per action on local[32]; 5.5 s
+    under ``coalesce(1)``, whose single task computes the Python parents
+    SEQUENTIALLY).  Routing through a pandas DataFrame takes the Arrow
+    conversion into a JVM LocalRelation — ~0.3 s, zero Python workers at
+    action time — with object dtype so None survives and the explicit
+    schema string keeps types exact.  Any conversion failure falls back to
+    the plain path (correctness over speed)."""
+    try:
+        import pandas as pd
+        from pyspark.sql.types import _parse_datatype_string
+
+        names = _parse_datatype_string(schema).fieldNames()
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows], columns=names, dtype=object
+        )
+        return spark.createDataFrame(pdf, schema)
+    except Exception:  # noqa: BLE001 — fall back to the row-list path
+        return spark.createDataFrame(rows, schema)
+
+
 # --- bounded intra-query persists (round-4 verdict #5) -------------------------
 # Some queries persist a small derived frame (a detection grid, a contracted
 # type graph) so several metadata passes or unrolled iterations reuse it.

@@ -41,7 +41,7 @@ from worker_etl_spark.functions.text import (
     tokens,
 )
 from worker_etl_spark.functions.vectors import dot, norm, sql_dot, sql_norm
-from worker_etl_spark.queries import register
+from worker_etl_spark.queries import local_frame, register
 from worker_etl_spark.queries.similarity_q import _S08_R
 from worker_etl_spark.sources.tables import read_table, spread
 
@@ -1300,7 +1300,8 @@ def d13_banding_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (t, n_rel, n_cand, n_hit, round(n_hit / max(n_rel, 1), 6))
         )
     cand.unpersist()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "threshold double, n_relevant long, n_candidates long, n_hit long,"
         " recall double",

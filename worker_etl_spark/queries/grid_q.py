@@ -31,7 +31,7 @@ from pyspark.sql.window import Window as W
 from worker_etl_spark.operators.cleaning import ROW_ID, clean_table
 from worker_etl_spark.operators.detection import detect_tables, extract_table
 from worker_etl_spark.operators.inference import align_to_schema, infer_schema
-from worker_etl_spark.queries import bounded_persist, register
+from worker_etl_spark.queries import bounded_persist, local_frame, register
 from worker_etl_spark.sources.tables import read_table
 
 _N_SAMPLE = 20
@@ -57,7 +57,8 @@ def _lineitem_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("4"),
         )
     )
-    fixed = spark.createDataFrame(
+    fixed = local_frame(
+        spark,
         [
             ("ingest.xlsx", "Sheet1", 0, None, None, None, None, None),
             ("ingest.xlsx", "Sheet1", 1, None, "order key", "qty", "ship date", None),
@@ -128,7 +129,8 @@ def g02_grid_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         ("multi.xlsx", "Sheet1", i, *r) for i, r in enumerate(_G02_LAYOUT)
     ]
-    grid = spark.createDataFrame(
+    grid = local_frame(
+        spark,
         rows,
         schema="file string, sheet string, row_idx long, "
         + ", ".join(f"`{i}` string" for i in range(7)),
@@ -155,7 +157,8 @@ def g03_grid_fallback_whole_sheet(spark: SparkSession, sf_dir: str) -> DataFrame
     rows = [
         ("multi.xlsx", "Sheet1", i, *r) for i, r in enumerate(_G02_LAYOUT)
     ]
-    grid = spark.createDataFrame(
+    grid = local_frame(
+        spark,
         rows,
         schema="file string, sheet string, row_idx long, "
         + ", ".join(f"`{i}` string" for i in range(7)),
@@ -192,7 +195,8 @@ def g04_detection_config_knobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         ("multi.xlsx", "Sheet1", i, *r) for i, r in enumerate(_G02_LAYOUT)
     ]
-    grid = spark.createDataFrame(
+    grid = local_frame(
+        spark,
         rows,
         schema="file string, sheet string, row_idx long, "
         + ", ".join(f"`{i}` string" for i in range(7)),

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from worker_etl_spark.queries.fixtures import fixture_dir
 from worker_etl_spark.config import BOOL_FALSE_TOKENS, BOOL_TRUE_TOKENS
 from worker_etl_spark.operators import inference
-from worker_etl_spark.queries import register
+from worker_etl_spark.queries import local_frame, register
 from worker_etl_spark.sinks.writer import write_catalog_table
 from worker_etl_spark.sources.tables import read_table
 
@@ -79,7 +79,8 @@ def i01_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(c).cast("string").alias(c) for c in _LINEITEM_COLS]
     )
     schema = inference.infer_schema(stringified)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(f["name"], f["type"]) for f in schema],
         "column_name string, inferred_type string",
     ).orderBy("column_name")
@@ -145,7 +146,8 @@ def i07_sampled_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) % 100
     ) < 10
     schema = inference.infer_schema(stringified, sample=pred)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(f["name"], f["type"]) for f in schema],
         "column_name string, inferred_type string",
     ).orderBy("column_name")
@@ -336,7 +338,8 @@ def i04_coercion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     messy = _i02_messy_frame(spark, sf_dir)
     metrics = inference.coercion_metrics(messy, _I02_TARGET)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (m["name"], m["original_nulls"], m["new_nulls"], m["rows"], m["warn"])
             for m in metrics

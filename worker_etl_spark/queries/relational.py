@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from worker_etl_spark.functions.text import sql_tokens
-from worker_etl_spark.queries import bounded_persist, register
+from worker_etl_spark.queries import bounded_persist, local_frame, register
 from worker_etl_spark.session import shuffle_width
 
 
@@ -658,7 +658,8 @@ def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    bands = local_frame(
+        spark,
         [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 1e9)],
         "band_name string, lo double, hi double",
     )
@@ -1663,7 +1664,8 @@ def q44_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(
         F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg"), "c_acctbal"
     )
-    dim = spark.createDataFrame(
+    dim = local_frame(
+        spark,
         [("AUTOMOBILE", 1), ("FURNITURE", 2), ("MACHINERY", 3),
          ("HOUSEHOLD", 4), (None, 0)],
         "seg_key string, code int",
@@ -3425,7 +3427,8 @@ def q72_asof_rate_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("rate_day")
     ).distinct()
     curs = (
-        days.sparkSession.createDataFrame(
+        local_frame(
+            days.sparkSession,
             [("USD",), ("EUR",), ("GBP",)], "cur string"
         )
     )
@@ -3609,7 +3612,8 @@ def q77_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.min("valid_day"), _Q77_MID_DAY).alias("t_mid"),
         F.max("tx_day").alias("t_end"),
     )
-    cutoffs = feed.sparkSession.createDataFrame(
+    cutoffs = local_frame(
+        feed.sparkSession,
         [("mid",), ("end",)], "label string"
     )
     asof = (
@@ -3716,6 +3720,23 @@ def q79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = e.select(
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
     ).distinct()
+    # EXACT eligibility pre-filter before the day-blocked self-join (opt
+    # r13, guide §3.2 "reduce the big side before shuffling it"): an edge
+    # needs ≥ MIN_CODAYS SHARED days and shared ≤ min(active_a, active_b),
+    # so a user active on fewer days can never appear in an edge — drop
+    # them from BOTH sides before pair generation.  At sf0.1 only 526 of
+    # 1500 users qualify, so the join's pair volume falls ~8× (26.8M →
+    # ~3.3M rows into the aggregate); the filter is a broadcast semi-join
+    # of a ≤|users|-row frame.  Edges — and everything derived from them
+    # (deg, n_nodes, wedges, triangles) — are value-identical.
+    ud = bounded_persist(ud, "(user, day) distinct activity (≤ users×days)")
+    eligible = (
+        ud.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= _Q79_MIN_CODAYS)
+        .select("user_id")
+    )
+    ud_elig = ud.join(F.broadcast(eligible), "user_id")
     # AQE explode-blindness (round-5 fix, 8.8 s → 1.5 s at sf0.1): the
     # (user, day) distinct is SMALL post-shuffle, so AQE coalesces it to one
     # partition — but the day-blocked self-join below EXPLODES it ~700× and
@@ -3723,7 +3744,7 @@ def q79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side to the session's shuffle width so pair generation fans out;
     # the 40k-row shuffle this adds is noise next to the join's output.
     n_part = shuffle_width(spark)
-    a, b = ud.repartition(n_part).alias("a"), ud.alias("b")
+    a, b = ud_elig.repartition(n_part).alias("a"), ud_elig.alias("b")
     edges = (
         a.join(
             b,
@@ -3770,8 +3791,15 @@ def q79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o1.src") == F.col("o2.src"))
         & (F.col("o1.dst") < F.col("o2.dst")),
     ).select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    # Closure check as a BROADCAST join (opt r13, guide §3.1): the wedge
+    # stream is |E|·out-degree rows (2.5M at sf0.1) while the thresholded
+    # edge list is 45k rows — broadcasting the edges means the wedges are
+    # verified map-side and never shuffle.  (At 100 TB the edge list of a
+    # thresholded co-activity graph is the side you size the broadcast
+    # against; if it outgrows the cap this reverts to the shuffled
+    # equi-join by removing the hint.)
     tri = wedges.join(
-        edges,
+        F.broadcast(edges),
         (edges.ua == F.least(F.col("v"), F.col("w")))
         & (edges.ub == F.greatest(F.col("v"), F.col("w"))),
     ).agg(F.count(F.lit(1)).alias("n_tri"))

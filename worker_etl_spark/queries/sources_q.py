@@ -22,7 +22,12 @@ from worker_etl_spark.queries.fixtures import fixture_dir
 from worker_etl_spark.operators.cleaning import ROW_ID, clean_table
 from worker_etl_spark.operators.detection import detect_tables, extract_table
 from worker_etl_spark.operators.inference import align_to_schema, infer_schema
-from worker_etl_spark.queries import bounded_persist, defer_cleanup, register
+from worker_etl_spark.queries import (
+    bounded_persist,
+    defer_cleanup,
+    local_frame,
+    register,
+)
 from worker_etl_spark.sources.excel import demo_text_parser, read_excel_grids
 from worker_etl_spark.sources.files import read_csv_grid, widen_grid
 from worker_etl_spark.sources.tables import read_table
@@ -169,9 +174,15 @@ def srm02_multi_object_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         census.append(
             (table, spark.read.parquet(os.path.join(wh, "ds", table)).count())
         )
-    return spark.createDataFrame(
-        sorted(census), "object string, n_rows long"
-    ).coalesce(1).orderBy("object")
+    # local_frame + NO coalesce(1) (opt r13): the census is 3 driver-known
+    # rows — the old list-createDataFrame spread them over 32 Python
+    # partitions and the coalesce(1) task then computed those parents
+    # SEQUENTIALLY, ~5 s of pure Python-worker round-trips per action.
+    from worker_etl_spark.queries import local_frame
+
+    return local_frame(
+        spark, sorted(census), "object string, n_rows long"
+    ).orderBy("object")
 
 
 # --- src03: native .xlsx ingest (S3, stdlib OOXML reader, no codec) ----------
@@ -1271,7 +1282,8 @@ def _w10_layout(spark: SparkSession, sf_dir: str) -> tuple[str, "DataFrame"]:
             mins.append(st.min)
             maxs.append(st.max)
         rows.append((fp, min(mins), max(maxs), md.num_rows))
-    manifest = spark.createDataFrame(
+    manifest = local_frame(
+        spark,
         rows, "path string, min_ts timestamp, max_ts timestamp, n_rows long"
     )
     man_loc = os.path.join(tmp, "manifest")
@@ -2286,7 +2298,8 @@ def w17_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                        int(audit["nonpositive_price"]), bool(clean)))
     served = read_snapshot(spark, wh, "ds", "orders_published").count()
     return (
-        spark.createDataFrame(
+        local_frame(
+            spark,
             ledger, "batch string, rule string, n_violations long, published boolean"
         )
         .withColumn("served_rows", F.lit(int(served)).cast("long"))
