@@ -142,67 +142,44 @@ def release_persists() -> int:
 # changed set to the very front.  Names not yet registered are skipped;
 # registered names missing from the list are appended in module insertion
 # order, so nothing is ever dropped.
-# --- round-12 rotation: 3 materially changed (s09 leaf-dir pruned search +
-# --- split-capable index, d16/d18 atomic-commit ingest), then stalest-first
-# --- — the r6-green g02/src*/srm01 block reaches the window (round-11
-# --- verdict #5: the g/src/srm families had not had a driver row since
-# --- their registration rounds).
+# --- round-13 rotation: 30 materially changed (the 8 r12-restructured
+# --- queries the r12 driver window missed — VERDICT r12 item 2 — plus this
+# --- round's restructured/runtime-path-changed set), then stalest-first
+# --- from tools/rotate_priority.py at r12 correctness data.
 _PRIORITY: list[str] = [
-    "s09_incremental_ann",  # materially changed r12 (maintained-index commit/search rework)
-    "d16_incremental_dedup",  # materially changed r12 (maintained-index commit/search rework)
-    "d18_incremental_simhash",  # materially changed r12 (maintained-index commit/search rework)
-    "q86_gini_concentration",  # green r5
-    "q87_market_basket",  # green r5
-    "q88_supplier_affinity",  # green r5
-    "c01_trim_null_normalize",  # green r6
-    "c02_drop_all_null_rows",  # green r6
-    "c03_sanitized_projection",  # green r6
-    "d01_exact_dedup",  # green r6
-    "g02_grid_detection",  # green r6
-    "i11_constraint_audit",  # green r6
-    "m01_media_metadata",  # green r6
-    "m02_media_features",  # green r6
-    "q89_dynamic_pivot",  # green r6
-    "s01_topk_bruteforce",  # green r6
-    "s02_topk_lsh",  # green r6
-    "s03_topk_ivf",  # green r6
-    "s05_quantized_topk",  # green r6
-    "s06_pq_adc_topk",  # green r6
-    "s07_vector_quality_audit",  # green r6
-    "src01_csv_ingest",  # green r6
-    "src02_excel_ingest",  # green r6
-    "src11_multiline_csv_ingest",  # green r6
-    "src13_xml_ingest",  # green r6
-    "src14_codec_roundtrip",  # green r6
-    "src15_latin1_csv_ingest",  # green r6
-    "src16_nested_json_flatten",  # green r6
-    "src17_zip_archive_ingest",  # green r6
-    "src18_packed_binary_ingest",  # green r6
-    "srm01_stream_ingest",  # green r6
-    "t02_quality_score",  # green r6
-    "t03_langid",  # green r6
-    "t04_fingerprint",  # green r6
-    "t19_zipf_fit",  # green r6
-    "t20_code_detection",  # green r6
-    "t22_langid_metrics",  # green r6
-    "t23_readability",  # green r6
-    "t25_template_detection",  # green r6
-    "t26_script_detection",  # green r6
-    "t27_line_boilerplate",  # green r6
-    "v04_feature_hashing",  # green r6
-    "w11_snapshot_diff_cdc",  # green r6
-    "w12_partition_evolution",  # green r6
-    "w13_compaction_plan",  # green r6
-    "w14_inferred_members",  # green r6
-    "w16_row_ttl_retention",  # green r6
-    "d02_minhash_signatures",  # green r7
-    "d03_lsh_buckets",  # green r7
-    "d05_ngram_jaccard",  # green r7
+    "t14_substring_dup_share",  # materially changed r12/r13 (restructured plan or runtime path)
+    "t18_bigram_perplexity",  # materially changed r12/r13 (restructured plan or runtime path)
+    "t05_tfidf_topterms",  # materially changed r12/r13 (restructured plan or runtime path)
+    "t10_contamination",  # materially changed r12/r13 (restructured plan or runtime path)
+    "v03_kmeans_quantized",  # materially changed r12/r13 (restructured plan or runtime path)
+    "i01_infer_types",  # materially changed r12/r13 (restructured plan or runtime path)
+    "i07_sampled_infer",  # materially changed r12/r13 (restructured plan or runtime path)
+    "i08_column_profile",  # materially changed r12/r13 (restructured plan or runtime path)
+    "w22_python_stream_sink",  # materially changed r12/r13 (restructured plan or runtime path)
+    "srm04_python_stream_source",  # materially changed r12/r13 (restructured plan or runtime path)
+    "srm02_multi_object_batch",  # materially changed r12/r13 (restructured plan or runtime path)
+    "src14_codec_roundtrip",  # materially changed r12/r13 (restructured plan or runtime path)
+    "src19_xlsx_datasource",  # materially changed r12/r13 (restructured plan or runtime path)
+    "src09_xls_datasource",  # materially changed r12/r13 (restructured plan or runtime path)
+    "q21_price_quantiles",  # materially changed r12/r13 (restructured plan or runtime path)
+    "d13_banding_pr_audit",  # materially changed r12/r13 (restructured plan or runtime path)
+    "d15_fuzzy_entity_join",  # materially changed r12/r13 (restructured plan or runtime path)
+    "q79_triangle_count",  # materially changed r12/r13 (restructured plan or runtime path)
+    "i04_coercion_metrics",  # materially changed r12/r13 (restructured plan or runtime path)
+    "g01_grid_ingest_e2e",  # materially changed r12/r13 (restructured plan or runtime path)
+    "g02_grid_detection",  # materially changed r12/r13 (restructured plan or runtime path)
+    "g03_grid_fallback_whole_sheet",  # materially changed r12/r13 (restructured plan or runtime path)
+    "g04_detection_config_knobs",  # materially changed r12/r13 (restructured plan or runtime path)
+    "q20_range_join",  # materially changed r12/r13 (restructured plan or runtime path)
+    "q44_null_semantics",  # materially changed r12/r13 (restructured plan or runtime path)
+    "q72_asof_rate_normalization",  # materially changed r12/r13 (restructured plan or runtime path)
+    "q77_bitemporal_restatement",  # materially changed r12/r13 (restructured plan or runtime path)
+    "w10_manifest_pruning",  # materially changed r12/r13 (restructured plan or runtime path)
+    "w17_write_audit_publish",  # materially changed r12/r13 (restructured plan or runtime path)
+    "t09_cdc_chunking",  # materially changed r12/r13 (restructured plan or runtime path)
     "evt17_cusum_changepoint",  # green r7
-    "i01_infer_types",  # green r7
     "i02_align_coerce",  # green r7
     "i03_catalog_schema_reingest",  # green r7
-    "i04_coercion_metrics",  # green r7
     "i05_schema_evolution",  # green r7
     "i06_type_widening",  # green r7
     "i23_sequence_gap_audit",  # green r7
@@ -230,7 +207,6 @@ _PRIORITY: list[str] = [
     "q96_listagg_top_nations",  # green r7
     "q97_bag_setops",  # green r7
     "s08_grid_nearest_neighbor",  # green r7
-    "src19_xlsx_datasource",  # green r7
     "src20_jdbc_roundtrip",  # green r7
     "src21_variant_ingest",  # green r7
     "src22_multichar_delim_csv",  # green r7
@@ -239,7 +215,6 @@ _PRIORITY: list[str] = [
     "d10_simhash_hamming",  # green r8
     "d17_semantic_neardup",  # green r8
     "evt18_ohlc_conflation",  # green r8
-    "i08_column_profile",  # green r8
     "i24_linear_interpolation",  # green r8
     "m11_png_pixel_stats",  # green r8
     "q15_tumbling_windows",  # green r8
@@ -247,8 +222,6 @@ _PRIORITY: list[str] = [
     "q17_json_props",  # green r8
     "q18_argmax",  # green r8
     "q19_asof_join",  # green r8
-    "q20_range_join",  # green r8
-    "q21_price_quantiles",  # green r8
     "q22_salted_skew_join",  # green r8
     "q23_cube_flags",  # green r8
     "q24_price_stats",  # green r8
@@ -261,26 +234,18 @@ _PRIORITY: list[str] = [
     "q31_moving_revenue",  # green r8
     "q32_rank_family",  # green r8
     "q53_cogroup_asof",  # green r8
-    "q79_triangle_count",  # green r8
     "q98_global_balance_anti",  # green r8
     "q99_conversion_latency",  # green r8
-    "src09_xls_datasource",  # green r8
     "src23_avro_ingest",  # green r8
     "src24_avro_typed_rollup",  # green r8
-    "srm02_multi_object_batch",  # green r8
-    "t05_tfidf_topterms",  # green r8
-    "t10_contamination",  # green r8
-    "t14_substring_dup_share",  # green r8
     "t16_distinctive_terms",  # green r8
     "t17_countmin_audit",  # green r8
-    "t18_bigram_perplexity",  # green r8
     "t28_collocations",  # green r8
     "t29_bm25_retrieval",  # green r8
     "t30_ngram_novelty",  # green r8
     "v06_centroid_distance_matrix",  # green r8
     "w04_partitioned_bucketed_layout",  # green r8
     "w09_snapshot_time_travel",  # green r8
-    "w17_write_audit_publish",  # green r8
     "w18_shallow_clone",  # green r8
     "w19_cow_delete",  # green r8
     "d07_dup_clusters",  # green r9
@@ -291,9 +256,6 @@ _PRIORITY: list[str] = [
     "evt02_session_windows",  # green r9
     "evt03_interval_join",  # green r9
     "evt04_interval_join_outer",  # green r9
-    "g01_grid_ingest_e2e",  # green r9
-    "g03_grid_fallback_whole_sheet",  # green r9
-    "g04_detection_config_knobs",  # green r9
     "i25_llm_schema_strategy",  # green r9
     "m03_frame_samples",  # green r9
     "m04_media_dedup",  # green r9
@@ -320,19 +282,16 @@ _PRIORITY: list[str] = [
     "src05_xls_ingest",  # green r9
     "src06_orc_ingest",  # green r9
     "srm03_excel_object",  # green r9
-    "srm04_python_stream_source",  # green r9
     "t01_token_stats",  # green r9
     "t06_pii_redaction",  # green r9
     "t07_bigram_stats",  # green r9
     "t08_bpe_token_stats",  # green r9
-    "t09_cdc_chunking",  # green r9
     "t11_repetition_filters",  # green r9
     "t12_vocab_coverage",  # green r9
     "v01_embedding_centroids",  # green r9
     "v02_array_functions",  # green r9
     "w20_positional_delete",  # green r9
     "w21_schema_evolution",  # green r9
-    "w22_python_stream_sink",  # green r9
     "d14_sorted_neighborhood",  # green r10
     "evt05_stream_dedup",  # green r10
     "evt06_stream_static_enrich",  # green r10
@@ -353,7 +312,6 @@ _PRIORITY: list[str] = [
     "q41_correlated_scalar_subquery",  # green r10
     "q42_lateral_posexplode",  # green r10
     "q43_regex_family",  # green r10
-    "q44_null_semantics",  # green r10
     "q45_map_functions",  # green r10
     "q46_pandas_udaf_quantiles",  # green r10
     "q47_python_udtf_chunks",  # green r10
@@ -372,7 +330,6 @@ _PRIORITY: list[str] = [
     "src10_fixed_width_ingest",  # green r10
     "srm05_stream_llm_schema",  # green r10
     "t13_word_entropy",  # green r10
-    "v03_kmeans_quantized",  # green r10
     "v05_covariance_matrix",  # green r10
     "w01_partitioned_sink",  # green r10
     "w02_upsert_sink",  # green r10
@@ -382,8 +339,6 @@ _PRIORITY: list[str] = [
     "w07_dynamic_partition_overwrite",  # green r10
     "c04_html_strip",  # green r11
     "d12_containment_pairs",  # green r11
-    "d13_banding_pr_audit",  # green r11
-    "d15_fuzzy_entity_join",  # green r11
     "evt08_cusum_alerts",  # green r11
     "evt09_record_high_events",  # green r11
     "evt10_disorder_diagnostics",  # green r11
@@ -392,7 +347,6 @@ _PRIORITY: list[str] = [
     "evt13_freshness_gaps",  # green r11
     "evt14_incremental_view_maintenance",  # green r11
     "evt19_streaming_dedup_registry",  # green r11
-    "i07_sampled_infer",  # green r11
     "i13_fd_discovery",  # green r11
     "i14_median_imputation",  # green r11
     "i16_column_entropy",  # green r11
@@ -418,15 +372,60 @@ _PRIORITY: list[str] = [
     "q67_cohort_retention",  # green r11
     "q68_ordered_funnel",  # green r11
     "q70_grouping_id",  # green r11
-    "q72_asof_rate_normalization",  # green r11
     "q76_cumulative_uniques",  # green r11
-    "q77_bitemporal_restatement",  # green r11
     "q82_rolling_trend",  # green r11
     "q83_identity_stitching",  # green r11
     "q84_pareto_frontier",  # green r11
     "q85_subtree_rollup",  # green r11
     "w08_merge_on_read_delete",  # green r11
-    "w10_manifest_pruning",  # green r11
+    "c01_trim_null_normalize",  # green r12
+    "c02_drop_all_null_rows",  # green r12
+    "c03_sanitized_projection",  # green r12
+    "d01_exact_dedup",  # green r12
+    "d02_minhash_signatures",  # green r12
+    "d03_lsh_buckets",  # green r12
+    "d05_ngram_jaccard",  # green r12
+    "d16_incremental_dedup",  # green r12
+    "d18_incremental_simhash",  # green r12
+    "i11_constraint_audit",  # green r12
+    "m01_media_metadata",  # green r12
+    "m02_media_features",  # green r12
+    "q86_gini_concentration",  # green r12
+    "q87_market_basket",  # green r12
+    "q88_supplier_affinity",  # green r12
+    "q89_dynamic_pivot",  # green r12
+    "s01_topk_bruteforce",  # green r12
+    "s02_topk_lsh",  # green r12
+    "s03_topk_ivf",  # green r12
+    "s05_quantized_topk",  # green r12
+    "s06_pq_adc_topk",  # green r12
+    "s07_vector_quality_audit",  # green r12
+    "s09_incremental_ann",  # green r12
+    "src01_csv_ingest",  # green r12
+    "src02_excel_ingest",  # green r12
+    "src11_multiline_csv_ingest",  # green r12
+    "src13_xml_ingest",  # green r12
+    "src15_latin1_csv_ingest",  # green r12
+    "src16_nested_json_flatten",  # green r12
+    "src17_zip_archive_ingest",  # green r12
+    "src18_packed_binary_ingest",  # green r12
+    "srm01_stream_ingest",  # green r12
+    "t02_quality_score",  # green r12
+    "t03_langid",  # green r12
+    "t04_fingerprint",  # green r12
+    "t19_zipf_fit",  # green r12
+    "t20_code_detection",  # green r12
+    "t22_langid_metrics",  # green r12
+    "t23_readability",  # green r12
+    "t25_template_detection",  # green r12
+    "t26_script_detection",  # green r12
+    "t27_line_boilerplate",  # green r12
+    "v04_feature_hashing",  # green r12
+    "w11_snapshot_diff_cdc",  # green r12
+    "w12_partition_evolution",  # green r12
+    "w13_compaction_plan",  # green r12
+    "w14_inferred_members",  # green r12
+    "w16_row_ttl_retention",  # green r12
 ]
 
 

@@ -636,14 +636,13 @@ def t10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(doc_alias, hex_int(F.col("g")).alias("h"))
         )
 
-    # Eval side is tiny: distinct + broadcast are both cheap.  Persisted
-    # (opt r12, guide §2.4): it feeds BOTH the broadcast join build and the
-    # per-doc cardinality build — without the persist each broadcast job
-    # re-ran the eval-slice tokenize+gram pipeline.
-    ev = bounded_persist(
-        grams(toks.filter(F.col("doc_id") % _EVAL_MOD == 0), "eval_doc").distinct(),
-        "distinct eval-doc grams (benchmark-sized)",
-    )
+    # Eval side is tiny: distinct + broadcast are both cheap.  NOT persisted:
+    # the r12 persist (sharing ev across the broadcast-join build and the
+    # cardinality build) measured a WASH twice — r12 contended (3.01→3.15
+    # median) and r13 idle interleaved A/B (persist [2.77, 3.98, 3.5] vs
+    # none [3.4, 4.05, 2.78], control flat) — so by the keep-only-wins rule
+    # the extra materialization barrier goes.
+    ev = grams(toks.filter(F.col("doc_id") % _EVAL_MOD == 0), "eval_doc").distinct()
     corp = grams(toks.filter(F.col("doc_id") % _EVAL_MOD != 0), "corpus_doc")
     card = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n_eval"))
     ov = (
