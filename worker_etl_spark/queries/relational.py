@@ -4285,7 +4285,14 @@ def q87_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     are part-grain (small) and broadcast.  All three statistics derive
     from exact BIGINT counts — the double division at the end is
     order-independent, so the cross-engine hash is stable."""
-    b = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # Persisted (opt r13, guide §2.4, same rationale as q88): the distinct
+    # basket projection feeds FOUR consumers (the eager n_orders dim, both
+    # self-join sides, the item-frequency dim) — one materialization of the
+    # 600k-row scan + distinct instead of four.
+    b = bounded_persist(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct(),
+        "distinct (order, part) basket edges (≤ |lineitem|)",
+    )
     n_orders = b.select("l_orderkey").distinct().count()  # scalar dim, one job
     a1, a2 = b.alias("a"), b.alias("b")
     pair = (
@@ -4379,7 +4386,17 @@ def q88_supplier_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     would get a frequency cap, same as d05's DF cap).  Degrees are a
     supplier-grain dim, broadcast back; both scores divide exact
     BIGINTs, so the hash is engine-stable."""
-    sp = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    # Persisted (opt r13, guide §2.4 shared build): the distinct
+    # supplier-part projection feeds THREE consumers — the degree dim and
+    # both sides of the co-occurrence self-join — each of which otherwise
+    # re-runs the full lineitem scan + distinct exchange.  Unlike the r12
+    # negative persists (5k-row documents / 2k embeddings, barrier >
+    # recompute), this subtree aggregates a 600k-row fact — the same regime
+    # as the kept _jaccard_pairs persist.
+    sp = bounded_persist(
+        _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct(),
+        "distinct (supplier, part) edges (≤ |lineitem|)",
+    )
     deg = sp.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
     a, b = sp.alias("a"), sp.alias("b")
     common = (
